@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine code lives in ``kafka_go_cardinality_spark/``; this module only
+declares the query surface (SURVEY.md §2 is the inventory contract).
 """
 
 from __future__ import annotations
@@ -13,26 +15,36 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kafka_go_cardinality_spark.queries import QUERIES, ORACLE_SQL
+from kafka_go_cardinality_spark.sources import load_table
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the reference's day-grain distinct-user count
+    (exact + HLL approx side by side) over events at sf0.001.
+
+    This is the reference's core computation (SURVEY.md §2.1 C5+C6+C8) on
+    the driver's fixture: /root/reference/processor/processor.go:79-102.
+    """
+    from kafka_go_cardinality_spark.operators.cardinality import (
+        cardinality_error_bound,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    return cardinality_error_bound(events, "day").orderBy("timestamp")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-equivalent SQL for every exact-semantics query key.
+
+    Approximate queries (q_card_*_approx, LSH variants) are deliberately
+    absent — Spark HLL++ / MinHash values can never hash-match another
+    engine's estimator (SURVEY.md §7.3); they get rows-only checks plus
+    in-repo error-bound tests against their exact twins.
     """
-    return {}
+    return dict(ORACLE_SQL)

@@ -1,0 +1,147 @@
+"""[CORE] query registrations: the reference's cardinality family plus the
+wire-format operators (SURVEY.md §2.1 C2-C6, §2.2).
+
+Every exact grain gets a DuckDB oracle; approx twins are rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from kafka_go_cardinality_spark.operators.cardinality import (
+    GRAINS,
+    cardinality,
+    grain_fanout,
+    stats_shape,
+)
+from kafka_go_cardinality_spark.queries import query
+from kafka_go_cardinality_spark.sources import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _card_oracle(grain: str) -> str:
+    return f"""
+        SELECT '{grain}_count' AS type,
+               CAST(epoch(date_trunc('{grain}', ts)) AS BIGINT) AS timestamp,
+               count(DISTINCT user_id) AS value
+        FROM events
+        GROUP BY 2
+    """
+
+
+def _register_grain(grain: str) -> None:
+    @query(f"q_card_{grain}_exact", _card_oracle(grain))
+    def _exact(spark: SparkSession, sf_dir: str, grain: str = grain) -> DataFrame:
+        """Exact twin of the reference's {grain} HLL window
+        (/root/reference/processor/processor.go:36-53, 87)."""
+        return cardinality(_events(spark, sf_dir), grain, exact=True)
+
+    @query(f"q_card_{grain}_approx", oracle=None)  # approx: rows-only by design
+    def _approx(spark: SparkSession, sf_dir: str, grain: str = grain) -> DataFrame:
+        """HLL++ estimate at rsd=0.008 ≈ the reference's precision-14 sketch
+        (/root/reference/processor/processor.go:80)."""
+        return cardinality(_events(spark, sf_dir), grain, exact=False)
+
+
+for _g in GRAINS:
+    _register_grain(_g)
+
+
+@query(
+    "q_grain_fanout",
+    """
+    SELECT g.grain || '_count' AS type,
+           CAST(epoch(date_trunc(g.grain, e.ts)) AS BIGINT) AS timestamp,
+           count(DISTINCT e.user_id) AS value
+    FROM events e
+    CROSS JOIN (SELECT unnest(['minute','day','week','month','year']) AS grain) g
+    GROUP BY 1, 2
+    """,
+)
+def q_grain_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[CORE C4] 1→5 grain multiplex as ONE shuffle via explode
+    (/root/reference/processor/processor.go:60-75)."""
+    return grain_fanout(_events(spark, sf_dir), exact=True)
+
+
+@query(
+    "q_stats_shape",
+    """
+    SELECT 'day_count' AS type,
+           CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS timestamp,
+           count(DISTINCT user_id) AS value
+    FROM events
+    GROUP BY 2
+    ORDER BY 2
+    """,
+)
+def q_stats_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[CORE C8] StatMsg envelope {type, timestamp, value}
+    (/root/reference/processor/processor.go:90-94)."""
+    return stats_shape(_events(spark, sf_dir))
+
+
+USER_MSG_SCHEMA = StructType(
+    [StructField("uid", StringType()), StructField("ts", LongType())]
+)
+
+
+def _as_wire(events: DataFrame) -> DataFrame:
+    """Re-encode events as the reference's wire format — one JSON object
+    ``{"uid": ..., "ts": <unix seconds>}`` per record
+    (/root/reference/processor/processor.go:13-16, kafkaio.go:77)."""
+    return events.select(
+        F.col("event_id"),
+        F.to_json(
+            F.struct(
+                F.col("user_id").cast("string").alias("uid"),
+                F.col("ts").cast("long").alias("ts"),
+            )
+        ).alias("raw"),
+    )
+
+
+@query(
+    "q_json_project",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS uid, CAST(floor(epoch(ts)) AS BIGINT) AS ts
+    FROM events
+    """,
+)
+def q_json_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[CORE C2] JSON deserialize + implicit projection
+    (/root/reference/kafkaio/kafkaio.go:76-81): parse the wire format into
+    the fixed UserMsg schema; unknown fields dropped by the schema itself."""
+    wire = _as_wire(_events(spark, sf_dir))
+    parsed = wire.select(F.from_json(F.col("raw"), USER_MSG_SCHEMA).alias("msg"))
+    return parsed.select("msg.uid", "msg.ts")
+
+
+@query(
+    "q_malformed_filter",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS uid, CAST(floor(epoch(ts)) AS BIGINT) AS ts
+    FROM events
+    WHERE event_id % 97 <> 0
+    """,
+)
+def q_malformed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[CORE C3] Malformed-record skip (/root/reference/kafkaio/kafkaio.go:77-81):
+    deterministically corrupt every 97th record, parse PERMISSIVE (null on
+    error), and keep only well-formed rows — the log-and-continue policy."""
+    wire = _as_wire(_events(spark, sf_dir))
+    corrupted = wire.select(
+        F.when(F.col("event_id") % 97 == 0, F.substring("raw", 1, 5))
+        .otherwise(F.col("raw"))
+        .alias("raw")
+    )
+    parsed = corrupted.select(
+        F.from_json(F.col("raw"), USER_MSG_SCHEMA).alias("msg")
+    )
+    return parsed.filter(
+        F.col("msg").isNotNull() & F.col("msg.uid").isNotNull()
+    ).select("msg.uid", "msg.ts")

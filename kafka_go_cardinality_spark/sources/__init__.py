@@ -1,0 +1,5 @@
+"""Data sources: fixture parquet tables and (gated) Kafka connectors."""
+
+from kafka_go_cardinality_spark.sources.tables import TABLE_NAMES, load_table, load_tables
+
+__all__ = ["TABLE_NAMES", "load_table", "load_tables"]

@@ -1,0 +1,77 @@
+"""Shared test fixtures: one local SparkSession, a DuckDB connection with
+the fixture tables pre-registered (mirroring the driver's oracle setup),
+and an order-insensitive result comparator."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from kafka_go_cardinality_spark.session import get_spark
+from kafka_go_cardinality_spark.sources import TABLE_NAMES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="kgc-spark-tests", shuffle_partitions="8")
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF_DIR_ORACLE}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style normalization: columns sorted by name, rows sorted by
+    all values, index dropped — so comparison is order-insensitive."""
+    out = df[sorted(df.columns)].copy()
+    # stringify for a total ordering across mixed/NaN columns
+    order = out.astype(str).sort_values(by=list(out.columns)).index
+    return out.loc[order].reset_index(drop=True)
+
+
+def assert_frames_match(
+    spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, rel_tol: float = 1e-9
+) -> None:
+    """Order-insensitive equality with exact match for non-floats and
+    a tight relative tolerance for floats (the driver hashes values, so any
+    float divergence is a red flag — we round in-query instead of relying
+    on tolerance; the tolerance here only cushions representation noise)."""
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"column mismatch: {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
+    )
+    a, b = normalize(spark_pdf), normalize(oracle_pdf)
+    assert len(a) == len(b), f"row count {len(a)} vs {len(b)}"
+    for col in a.columns:
+        av, bv = a[col], b[col]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            pd.testing.assert_series_equal(
+                av.astype(float),
+                bv.astype(float),
+                check_names=False,
+                rtol=rel_tol,
+                atol=1e-12,
+            )
+        else:
+            assert av.astype(str).tolist() == bv.astype(str).tolist(), (
+                f"value mismatch in column {col!r}:\n{av.head()}\nvs\n{bv.head()}"
+            )
