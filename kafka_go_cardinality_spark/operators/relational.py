@@ -1,0 +1,130 @@
+"""[EXT] Relational operators (SURVEY.md §2.3 E1-E16).
+
+The reference has no relational surface at all — its only dataflow is the
+linear Kafka→HLL→Kafka pipeline wired at ``/root/reference/main.go:24-26``
+— so everything here is the mandated extension, expressed with built-in
+DataFrame operators so Catalyst plans them (broadcast vs shuffle join
+selection, predicate pushdown, partial aggregation, AQE skew handling).
+
+Only operators with real decision content live here; one-expression
+queries are declared inline in ``queries_relational.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def topk(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """Top-k with a total order.  Spark plans this as
+    ``TakeOrderedAndProject`` — each partition keeps a k-row heap and only
+    k rows per partition reach the driver; no global sort materializes.
+    The caller must make `order` a TOTAL order (include a unique key) or
+    the result set is non-deterministic under ties.
+    """
+    return df.orderBy(*order).limit(k)
+
+
+def grouped_topk(
+    df: DataFrame, partition_cols: list[str], order: list[Column], k: int
+) -> DataFrame:
+    """Top-k per group via ``row_number`` over a window — one shuffle on
+    the partition keys; at scale prefer this over self-joins with min/max.
+    `order` must be total within a partition for determinism.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """As-of join (E8): for each left row, attach the most recent right row
+    with ``right.ts <= left.ts`` and the same key.
+
+    Spark has no ASOF JOIN operator; the naive formulation is a non-equi
+    range join (O(n·m) within key).  This implementation uses the
+    union+window technique, which scales: tag both sides, union, and run
+    ``last_value(..., ignoreNulls)`` over a window partitioned by key and
+    ordered by (ts, side) — ONE shuffle on the key, no cross product, no
+    skew amplification.  This is the 100 TB-safe as-of plan.
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        *lcols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+    )
+    tagged_right = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
+        F.col(on),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+    ).select(*lcols, *[f"__r_{c}" for c in right_value_cols], "__ts", "__side")
+    unioned = tagged_left.unionByName(tagged_right)
+    # right rows sort before left rows at equal ts (side 0 < 1), so an
+    # exactly-equal timestamp is visible to the left row — ASOF >= semantics.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned
+    for c in right_value_cols:
+        out = out.withColumn(
+            f"__r_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
+        )
+    return (
+        out.filter(F.col("__side") == 1)
+        .drop("__ts", "__side")
+        .withColumnsRenamed({f"__r_{c}": c for c in right_value_cols})
+    )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap_seconds: int,
+) -> DataFrame:
+    """Bounded range join (E8): pairs (l, r) with the same key and
+    ``l.ts <= r.ts < l.ts + gap``.
+
+    A raw non-equi join degenerates to BroadcastNestedLoopJoin.  Bucketing
+    both sides by ``floor(ts / gap)`` and equi-joining on
+    (key, bucket) ∪ (key, bucket+1) turns it into two hash joins whose
+    false positives are filtered after — the standard interval-join
+    decomposition (what Flink's interval join does internally).
+    """
+    lb = left.withColumn(
+        "__b", (F.unix_timestamp(F.col(left_ts)) / max_gap_seconds).cast("long")
+    )
+    rb = right.withColumnRenamed(on, "__r_key").withColumn(
+        "__rb", (F.unix_timestamp(F.col(right_ts)) / max_gap_seconds).cast("long")
+    )
+    candidates = lb.withColumn(
+        "__probe", F.explode(F.array(F.col("__b"), F.col("__b") + 1))
+    ).join(
+        rb,
+        (F.col("__probe") == F.col("__rb")) & (F.col(on) == F.col("__r_key")),
+    )
+    return candidates.filter(
+        (F.col(right_ts) >= F.col(left_ts))
+        & (
+            F.col(right_ts)
+            < F.col(left_ts) + F.expr(f"INTERVAL {max_gap_seconds} SECONDS")
+        )
+    ).drop("__b", "__rb", "__probe", "__r_key")

@@ -1,1 +1,681 @@
-"""[EXT] relational query registrations — populated in build step 3."""
+"""[EXT] relational query registrations (SURVEY.md §2.3 E1-E16).
+
+Every query here has exact semantics → every one carries a DuckDB oracle.
+Conventions for cross-engine hash parity:
+
+- double aggregates are rounded identically on both sides (summation order
+  differs between engines; per-row arithmetic is IEEE-identical and left
+  unrounded);
+- every LIMIT sits under a TOTAL order (unique tiebreaker column) —
+  otherwise the selected set is nondeterministic under ties;
+- ``floor(epoch(ts))`` in DuckDB mirrors Spark's flooring timestamp→long
+  cast (DuckDB CAST(double AS BIGINT) rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kafka_go_cardinality_spark.operators.relational import (
+    asof_join,
+    grouped_topk,
+    range_join_bucketed,
+    topk,
+)
+from kafka_go_cardinality_spark.queries import query
+from kafka_go_cardinality_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- E1: scans -------------------------------------------------------------
+
+
+@query(
+    "q_scan_parquet",
+    """
+    SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E1] Parquet scan with projection + predicate.  The point at scale:
+    `.explain` shows ReadSchema with exactly two columns and PushedFilters
+    [GreaterThan(l_quantity,45.0)] — the scan reads a projection, not the
+    table."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .filter(F.col("l_quantity") > 45)
+    )
+
+
+# --- E2: filter predicates ---------------------------------------------------
+
+
+@query(
+    "q_filter_pred",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P')
+      AND o_totalprice BETWEEN 1000 AND 5000
+      AND o_orderpriority LIKE '%URGENT%'
+      AND o_custkey IS NOT NULL
+    """,
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E2] Compound predicate: IN + BETWEEN + LIKE + null-check.  All four
+    push to the parquet scan; the reference's only filter is the implicit
+    parse-error skip (/root/reference/kafkaio/kafkaio.go:77-81)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_totalprice").between(1000, 5000)
+        & F.col("o_orderpriority").like("%URGENT%")
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+# --- E3: projection expressions ---------------------------------------------
+
+
+@query(
+    "q_project_expr",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem
+    """,
+)
+def q_project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E3] Arithmetic projection (TPC-H revenue/charge shape).  Per-row
+    IEEE arithmetic is engine-identical, so no rounding is needed."""
+    l = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue.alias("revenue"),
+        (revenue * (1 + F.col("l_tax"))).alias("charge"),
+    )
+
+
+# --- E4/E5: joins -------------------------------------------------------------
+
+
+@query(
+    "q_join_inner",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E4] Equi inner join; Catalyst picks broadcast vs sort-merge vs
+    shuffled-hash from stats + AQE.  The reference has a single input
+    stream (/root/reference/main.go:19) — no join exists there."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name, r.r_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E5] Dimension snowflake with explicit broadcast hints: nation and
+    region are fixed-size (25/5 rows at any sf) — at 100 TB the fact side
+    never shuffles for these joins."""
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    )
+
+
+@query(
+    "q_join3_agg",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_join3_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q3 shape: 3-way join + agg + top-k.  Customer filter is
+    pushed below the join; the orderkey tiebreaker makes LIMIT a total
+    order so the selected set is deterministic."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    joined = c.join(o, c.c_custkey == o.o_custkey).join(
+        l, o.o_orderkey == l.l_orderkey
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return topk(
+        agg.select(
+            "l_orderkey",
+            "revenue",
+            # o_orderdate arrives as TIMESTAMP_NTZ (parquet ms, no UTC flag);
+            # NTZ→long needs a hop through timestamp (session tz is UTC).
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate"),
+        ),
+        [F.col("revenue").desc(), F.col("l_orderkey")],
+        10,
+    )
+
+
+@query(
+    "q_join_left",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E7] Left outer join — keeps customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_semi",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 4000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E7] Left-semi join (EXISTS): customers with at least one big order;
+    at scale a semi-join ships only the join keys of the right side."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 4000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E7] Left-anti join (NOT EXISTS): customers with no order over 400k
+    (every customer has SOME order in the fixture, so the unfiltered anti
+    would be vacuously empty — this keeps the result set non-trivial)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- E8: as-of / range joins --------------------------------------------------
+
+
+@query(
+    "q_asof_join",
+    """
+    SELECT p.event_id, p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts,
+           c.event_id AS click_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E8] As-of join: each purchase gets the user's most recent prior (or
+    simultaneous) click.  Implemented with the union+window technique —
+    one shuffle on user_id, no range cross-product (operators/relational.py
+    ``asof_join``)."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"), F.col("user_id"), F.col("ts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["click_event_id"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("purchase_ts"),
+        "click_event_id",
+    )
+
+
+@query(
+    "q_range_join",
+    """
+    SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    JOIN (SELECT * FROM events WHERE event_type = 'view') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 10 MINUTES
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E8] Bounded interval join: views within 10 minutes after a click by
+    the same user.  Bucketed decomposition → two equi hash joins instead of
+    a nested-loop range join (operators/relational.py
+    ``range_join_bucketed``)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts"), "user_id"
+    )
+    joined = range_join_bucketed(
+        clicks, views, on="user_id", left_ts="ts", right_ts="view_ts", max_gap_seconds=600
+    )
+    return joined.select("click_id", "view_id", "user_id")
+
+
+# --- E9-E11: aggregation ------------------------------------------------------
+
+
+@query(
+    "q_agg_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E9] TPC-H Q1 shape: multi-measure hash aggregation.  Partial
+    (map-side) aggregation means the shuffle carries one row per
+    (flag, status) per partition — at 100 TB the exchange is KB-sized.
+    The reference's only aggregate is one HLL insert
+    (/root/reference/processor/processor.go:87)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q_distinct",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E10] Exact distinct — the reference only has approximate distinct
+    (/root/reference/processor/processor.go:80)."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "q_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E11] Hierarchical rollup: (flag, status), (flag), () grand total.
+    Spark expands rollups into a single Expand+Aggregate — one pass."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E11] Full cube over two low-cardinality dimensions."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- E12: window functions -----------------------------------------------------
+
+
+@query(
+    "q_window_rank",
+    """
+    SELECT c_custkey, c_nationkey, c_acctbal, rn FROM (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E12] Grouped top-k via row_number — top 3 customers by balance per
+    nation; c_custkey tiebreaker makes the window order total."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_custkey", "c_nationkey", "c_acctbal", "rn")
+    )
+
+
+@query(
+    "q_window_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           lag(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order
+    FROM orders
+    """,
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E12] Analytic frame: per-customer running spend + lag.  The
+    (date, orderkey) composite order is total, so the running sum's
+    accumulation sequence — and hence its float value — is deterministic
+    and engine-identical."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+    )
+
+
+# --- E13: top-k -----------------------------------------------------------------
+
+
+@query(
+    "q_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E13] Global top-k → TakeOrderedAndProject (per-partition heaps, no
+    full sort); orderkey tiebreaker for determinism."""
+    return topk(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        10,
+    )
+
+
+# --- E14: set operations ----------------------------------------------------------
+
+
+@query(
+    "q_union",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E14] UNION ALL (Spark's union is bag semantics, like SQL UNION ALL)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s)
+
+
+@query(
+    "q_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E14] INTERSECT (distinct semantics on both engines)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "q_except",
+    """
+    SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+    EXCEPT
+    SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E14] EXCEPT (distinct): users active on Jan 1 but not Jan 2 (every
+    user does every event type in the fixture, so type-based excepts are
+    vacuously empty; daily activity splits the population)."""
+    e = _t(spark, sf_dir, "events")
+    day1 = e.filter(F.to_date("ts") == F.lit("2024-01-01")).select("user_id")
+    day2 = e.filter(F.to_date("ts") == F.lit("2024-01-02")).select("user_id")
+    return day1.subtract(day2)
+
+
+# --- E15: scalar functions ---------------------------------------------------------
+
+
+@query(
+    "q_scalar_str",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           substring(p_name, 1, 8) AS name_prefix,
+           p_brand || '/' || p_type AS brand_type,
+           length(p_name) AS name_len
+    FROM part
+    """,
+)
+def q_scalar_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E15] String scalars: upper / substring / concat / length."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@query(
+    "q_scalar_date",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
+           CAST(floor(epoch(date_trunc('quarter', o_orderdate))) AS BIGINT) AS quarter_start
+    FROM orders
+    """,
+)
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E15] Date scalars: year / month / datediff / date_trunc.  The
+    reference's only date math is epoch arithmetic + AddDate
+    (/root/reference/processor/processor.go:44-49)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.date_trunc("quarter", F.col("o_orderdate")).cast("long").alias("quarter_start"),
+    )
+
+
+@query(
+    "q_scalar_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price_r,
+           abs(l_discount - 0.05) AS disc_dev,
+           round(sqrt(l_quantity), 6) AS qty_sqrt
+    FROM lineitem
+    """,
+)
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E15] Math scalars: round / abs / sqrt (IEEE-deterministic per row)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+    )
+
+
+# --- E16: JSON / array functions ------------------------------------------------------
+
+
+@query(
+    "q_json_extract",
+    """
+    SELECT event_id, CAST(props ->> '$.k' AS INT) AS k
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E16] JSON path extraction from a string column — the reference only
+    touches JSON at the wire (/root/reference/kafkaio/kafkaio.go:77, 92)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@query(
+    "q_array_ops",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           round(CAST(embedding[64] AS DOUBLE), 6) AS last_val,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vec_sum
+    FROM embeddings
+    """,
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E16] Higher-order array functions over ArrayType(Float): size,
+    element_at, and an in-order double-accumulated fold (same accumulation
+    sequence as the oracle → bit-identical before rounding)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.element_at("embedding", 64).cast("double"), 6).alias("last_val"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x.cast("double"),
+            ),
+            6,
+        ).alias("vec_sum"),
+    )
+
+
+@query(
+    "q_array_explode",
+    """
+    SELECT e.vec_id, CAST(t.i - 1 AS INT) AS pos,
+           round(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE), 6) AS val
+    FROM embeddings e CROSS JOIN generate_series(1, 64) t(i)
+    WHERE e.vec_id < 5
+    """,
+)
+def q_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E16] posexplode: flatten vectors to (vec_id, pos, val) rows."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", F.round(F.col("val").cast("double"), 6).alias("val"))
