@@ -1,0 +1,86 @@
+"""Shared expression helpers for the data-pipeline operators.
+
+Each helper has a Spark Column builder and a matching DuckDB SQL fragment
+builder (``*_sql``).  The pair is kept in one place so the engine query
+and its oracle compute *identical* values — the cross-engine determinism
+rules are:
+
+- hashing: md5 (both engines) → first 15 hex chars → base-16 parse →
+  60-bit non-negative BIGINT.  Never use engine-native hash functions
+  (Spark xxhash64 ≠ DuckDB hash).
+- float folds: cast float→double FIRST, accumulate sequentially in array
+  order — bit-identical across engines (verified: Spark ``aggregate`` ==
+  DuckDB ``list_cosine_similarity`` on DOUBLE[]).
+- tokenization: ``lower(trim(text))`` split on ``\\s+``; shingles are
+  space-joined n-grams in order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# ---------------------------------------------------------------- hashing
+
+
+def hash64(col: Column, salt: str = "") -> Column:
+    """Deterministic 60-bit hash via md5 — reproducible in any engine."""
+    salted = F.concat(col, F.lit(f"#{salt}")) if salt else col
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+
+
+def hash64_sql(expr: str, salt: str = "") -> str:
+    salted = f"({expr}) || '#{salt}'" if salt else expr
+    return f"CAST(('0x' || substring(md5({salted}), 1, 15)) AS BIGINT)"
+
+
+# ------------------------------------------------------------ tokenization
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"string_split_regex(lower(trim({expr})), '\\s+')"
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """Distinct space-joined word n-grams, in-order construction."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(0)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(gram)
+
+
+def shingles_sql(tok_col: str, n: int = 3) -> str:
+    """`tok_col` must be a plain column name (bind the token list in a CTE
+    first) — it is referenced n times per shingle."""
+    parts = " || ' ' || ".join(f"{tok_col}[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({tok_col}) - {n - 1}, 0) + 1), "
+        f"i -> {parts}))"
+    )
+
+
+# ------------------------------------------------------------ vector math
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double fold over zip — bit-identical to DuckDB's
+    DOUBLE[] list functions."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))

@@ -1,0 +1,267 @@
+"""[EXT E20] Deduplication operators — exact and near-duplicate detection
+over the ``documents`` table, the core of a training-data pipeline.
+
+The reference has no dedup at all (its only distinct-ness notion is the
+HLL uid sketch, /root/reference/processor/processor.go:80); this family is
+mandated by the driver's north star.
+
+All variants are expressed with built-in JVM-side functions (no Python
+UDFs anywhere): md5-derived 60-bit hashes, higher-order array functions
+for shingles/signatures, and hash-partitioned self-joins for candidate
+pairs.  Scale design per operator:
+
+- exact: one groupBy on a 128-bit content hash — the shuffle carries
+  (hash, id), never the document bodies.
+- MinHash LSH: signatures are k=16 mins over shingle hashes computed
+  map-side; candidate generation is an equi self-join on (band, band
+  hash) buckets — the classic shuffle-friendly LSH plan; verification
+  re-checks exact Jaccard only on candidates.
+- SimHash: 48-bit fingerprints from per-bit token votes; banded equi-join
+  (4×12 bits) guarantees recall for Hamming distance ≤ 3 by pigeonhole.
+- n-gram Jaccard: exact pairs within a blocking key (source) — the
+  explode/self-join/count plan, all integer math.
+
+The fixture corpus has NO natural duplicates (checked), so each query
+plants deterministic duplicates/mutants first — the plant rule is part of
+the query definition and is replicated in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kafka_go_cardinality_spark.functions import hash64, shingles, tokens
+
+# MinHash parameters: 16 permutations in 8 bands of 2 → candidate
+# probability 1-(1-j²)⁸ (≈1 for j≥0.8, ≈.08 for j=0.1).
+NUM_PERMS = 16
+BAND_SIZE = 2
+NUM_BANDS = NUM_PERMS // BAND_SIZE
+
+# SimHash: 48 bits (stays clear of BIGINT sign), 4 bands of 12 →
+# guaranteed recall for Hamming distance ≤ 3.
+SIMHASH_BITS = 48
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def with_exact_dupes(documents: DataFrame) -> DataFrame:
+    """Corpus ∪ exact copies of every 5th doc (planted, id+1_000_000)."""
+    copies = documents.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return documents.unionByName(copies)
+
+
+WITH_EXACT_DUPES_SQL = """
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def with_near_dupes(documents: DataFrame) -> DataFrame:
+    """Corpus ∪ mutants of every 7th doc: last token dropped
+    (id+1_000_000) — shingle Jaccard ≈ (n-1)/n ≈ 0.97 vs the original."""
+    tok = tokens(F.col("text"))
+    mutants = (
+        documents.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn(
+            "text",
+            F.array_join(F.slice(tok, 1, F.greatest(F.size(tok) - 1, F.lit(1))), " "),
+        )
+    )
+    return documents.unionByName(mutants)
+
+
+WITH_NEAR_DUPES_SQL = """
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(list_slice(toks, 1, greatest(len(toks) - 1, 1)), ' ') AS text,
+           lang, source, n_chars
+    FROM (SELECT *, string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents)
+    WHERE doc_id % 7 = 0
+"""
+
+
+def exact_dedup(corpus: DataFrame) -> DataFrame:
+    """Exact dedup groups: content hash → canonical (min) id + copy count.
+    Deterministic by construction (``dropDuplicates`` keeps an arbitrary
+    row; min-id keeps a defined one)."""
+    return (
+        corpus.select(F.md5(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _signature(corpus: DataFrame) -> DataFrame:
+    """doc_id + distinct shingle set + MinHash signature (16 mins)."""
+    sh = shingles(tokens(F.col("text")))
+    sig = [
+        F.array_min(
+            F.transform(F.col("shingle_set"), lambda s, i=i: hash64(s, str(i)))
+        ).alias(f"mh{i}")
+        for i in range(NUM_PERMS)
+    ]
+    return corpus.select("doc_id", sh.alias("shingle_set")).select(
+        "doc_id", "shingle_set", *sig
+    )
+
+
+def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Near-dup pairs via MinHash LSH: band-bucket candidates, then exact
+    Jaccard verification.  Output: (doc_a, doc_b, jaccard) with a < b."""
+    sig = _signature(corpus)
+    bands = sig.select(
+        "doc_id",
+        "shingle_set",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{b * BAND_SIZE + r}")
+                                for r in range(BAND_SIZE)
+                            ],
+                        )
+                    )
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingle_set").alias("set_a"),
+        "band",
+        "band_hash",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingle_set").alias("set_b"),
+        "band",
+        "band_hash",
+    )
+    cands = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "set_a", "set_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = (F.size("set_a") + F.size("set_b") - inter).cast("double")
+    return (
+        cands.select(
+            "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(corpus: DataFrame) -> DataFrame:
+    """48-bit SimHash fingerprint per doc: per-bit ±1 votes over token
+    hashes, assembled via explode + conditional sums (pure JVM exprs)."""
+    tok = corpus.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    hashed = tok.select("doc_id", hash64(F.col("tok"), "simhash").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    voted = hashed.groupBy("doc_id").agg(*votes)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = bit if fp is None else fp + bit
+    return voted.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(corpus: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
+    Banded equi-join (4×12-bit keys) keeps recall exact for ≤3 by
+    pigeonhole while avoiding the all-pairs cross product."""
+    fp = simhash(corpus)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("long")
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "band", "band_key"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "band", "band_key"
+    )
+    cands = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cands.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    corpus: DataFrame, threshold: float = 0.6, block_col: str = "source"
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs within a blocking key — no LSH, no
+    approximation: explode distinct shingles, self-join on (block,
+    shingle), count shared, Jaccard from distinct-set sizes."""
+    sh = corpus.select(
+        "doc_id",
+        F.col(block_col).alias("block"),
+        shingles(tokens(F.col("text"))).alias("shingle_set"),
+    ).withColumn("set_size", F.size("shingle_set"))
+    flat = sh.select(
+        "doc_id", "block", "set_size", F.explode("shingle_set").alias("shingle")
+    )
+    a = flat.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("set_size").alias("size_a"),
+        "block",
+        "shingle",
+    )
+    b = flat.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("set_size").alias("size_b"),
+        "block",
+        "shingle",
+    )
+    shared = (
+        a.join(b, ["block", "shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared"))
+    return shared.select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)

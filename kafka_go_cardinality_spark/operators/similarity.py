@@ -1,0 +1,183 @@
+"""[EXT E21] Similarity search over the ``embeddings`` table
+(``array<float>`` column, dim 64).
+
+Absent from the reference (single scalar uid key only,
+/root/reference/processor/processor.go:13-16); mandated by the north star.
+
+Two paths:
+
+- ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
+  set against the full corpus, per-pair double-fold cosine, grouped top-k
+  via row_number.  This is the baseline and the oracle-checkable path.
+  At 100 TB the corpus side stays partitioned; only queries broadcast.
+- ``ann_lsh_topk`` — sign-random-projection LSH: H deterministic
+  hyperplanes (md5-seeded, no RNG), bucket on the H-bit sketch, search
+  only within the bucket.  Approximate (recall < 1), rows-only check;
+  the scale path when the query set is itself huge — candidate
+  generation becomes an equi-join on sketch buckets instead of a cross
+  product.
+
+- ``embedding_neardup_pairs`` — cosine ≥ τ duplicate pairs blocked on a
+  partition key (label): the embedding-space near-dup detector for
+  training-data pipelines.  Exact within blocks.
+
+All vector math is the shared double-fold (functions.cosine) — verified
+bit-identical to DuckDB's ``list_cosine_similarity`` on DOUBLE[].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from kafka_go_cardinality_spark.functions import as_double, cosine, dot, hash64
+
+ANN_PLANES = 12  # 2^12 buckets
+
+
+def cosine_topk(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact brute-force cosine top-k: the first ``n_queries`` vectors by
+    id each retrieve their k nearest neighbors (self excluded)."""
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    )
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("cv")
+    )
+    pairs = F.broadcast(queries).crossJoin(corpus).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+        )
+    )
+
+
+def _hyperplanes(dim: int = 64):
+    """Deterministic pseudo-random hyperplanes: plane p, component j gets
+    sign/magnitude from a md5-seeded integer — no RNG, reproducible
+    anywhere.  Values in [-0.5, 0.5)."""
+    # built as a literal array-of-arrays column
+    import hashlib
+
+    planes = []
+    for p in range(ANN_PLANES):
+        comps = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"plane{p}:{j}".encode()).hexdigest()[:15], 16)
+            comps.append((h % 1000) / 1000.0 - 0.5)
+        planes.append(comps)
+    return planes
+
+
+def ann_sketch(vec_col, dim: int = 64):
+    """H-bit sign sketch of a double vector under the fixed hyperplanes."""
+    planes = _hyperplanes(dim)
+    bits = []
+    for p, comps in enumerate(planes):
+        plane_lit = F.array(*[F.lit(c) for c in comps])
+        proj = dot(vec_col, plane_lit)
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sketch = bits[0]
+    for b in bits[1:]:
+        sketch = sketch + b
+    return sketch.cast("long")
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket; exact
+    cosine re-rank within bucket.  Rows-only (recall is probabilistic)."""
+    base = embeddings.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("bucket", ann_sketch(F.col("v")))
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    cands = queries.join(base, "bucket").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def with_planted_neighbors(embeddings: DataFrame) -> DataFrame:
+    """Corpus ∪ perturbed copies of every 11th vector (id+1_000_000,
+    +0.25 on the first component, double space) — guarantees non-trivial
+    near-dup pairs in a corpus of otherwise near-orthogonal random
+    vectors."""
+    base = embeddings.select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding"), "label"
+    )
+    mutants = (
+        base.filter(F.col("vec_id") % 11 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+        .withColumn(
+            "embedding",
+            F.concat(
+                F.array(F.element_at("embedding", 1) + F.lit(0.25)),
+                F.slice("embedding", 2, 63),
+            ),
+        )
+    )
+    return base.unionByName(mutants)
+
+
+WITH_PLANTED_NEIGHBORS_SQL = """
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_prepend(CAST(embedding[1] AS DOUBLE) + 0.25,
+                        CAST(embedding[2:64] AS DOUBLE[])) AS embedding,
+           label
+    FROM embeddings WHERE vec_id % 11 = 0
+"""
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked on ``label`` —
+    exact within blocks.  Blocking is the scale lever: the self-join
+    shuffles on label, never cross-block."""
+    aug = with_planted_neighbors(embeddings)
+    a = aug.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "label"
+    )
+    b = aug.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "label"
+    )
+    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            "label",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,1 +1,398 @@
-"""[EXT] data-pipeline query registrations (dedup/similarity/text) — build step 4."""
+"""[EXT] data-pipeline query registrations: dedup (E20), similarity (E21),
+text analysis (E22), multimodal plumbing (E23).
+
+Oracle strategy: everything except the probabilistic ANN variant and the
+mapInPandas decode stub is EXACTLY reproducible in DuckDB because all
+hashing is md5-derived (functions.hash64/hash64_sql) and all float folds
+are order-fixed double accumulation.  The MinHash/SimHash oracle SQL is
+*generated* from the same parameters as the Spark expressions so the two
+can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kafka_go_cardinality_spark.functions import hash64_sql, shingles_sql, tokens_sql
+from kafka_go_cardinality_spark.operators import dedup as dd
+from kafka_go_cardinality_spark.operators import multimodal as mm
+from kafka_go_cardinality_spark.operators import similarity as sim
+from kafka_go_cardinality_spark.operators import text as tx
+from kafka_go_cardinality_spark.queries import query
+from kafka_go_cardinality_spark.sources import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------- E20 dedup
+
+
+@query(
+    "q_dedup_exact",
+    f"""
+    WITH corpus AS ({dd.WITH_EXACT_DUPES_SQL})
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM corpus GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E20] Exact dedup over a corpus with planted exact copies: hash
+    groupBy, canonical = min id (deterministic, unlike dropDuplicates)."""
+    return dd.exact_dedup(dd.with_exact_dupes(_docs(spark, sf_dir)))
+
+
+def _minhash_oracle() -> str:
+    """Generate the DuckDB twin of operators/dedup.minhash_lsh_pairs from
+    the same (NUM_PERMS, BAND_SIZE) parameters."""
+    mh_cols = ",\n           ".join(
+        f"list_min(list_transform(s, x -> {hash64_sql('x', str(i))})) AS mh{i}"
+        for i in range(dd.NUM_PERMS)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, s, {b} AS band, md5({concat}) AS band_hash FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"CAST(mh{b * dd.BAND_SIZE + r} AS VARCHAR)"
+                for r in range(dd.BAND_SIZE)
+            ),
+        )
+        for b in range(dd.NUM_BANDS)
+    )
+    return f"""
+    WITH corpus AS ({dd.WITH_NEAR_DUPES_SQL}),
+    toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM corpus),
+    sh AS (SELECT doc_id, {shingles_sql('t')} AS s FROM toks),
+    sig AS (SELECT doc_id, s,
+           {mh_cols}
+    FROM sh),
+    bands AS (
+      {band_rows}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.s AS set_a, b.s AS set_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             round(CAST(len(list_intersect(set_a, set_b)) AS DOUBLE)
+                   / (len(set_a) + len(set_b) - len(list_intersect(set_a, set_b))),
+                   6) AS jaccard
+      FROM cands
+    ) WHERE jaccard >= 0.8
+    """
+
+
+@query("q_dedup_minhash", _minhash_oracle())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E20] MinHash LSH near-dup pairs (16 perms, 8 bands of 2) over a
+    corpus with planted near-duplicates; md5-derived hashing makes even
+    the LSH candidate set engine-reproducible — the oracle replicates the
+    full pipeline, not just the verified output."""
+    return dd.minhash_lsh_pairs(dd.with_near_dupes(_docs(spark, sf_dir)))
+
+
+def _simhash_oracle() -> str:
+    """DuckDB twin of operators/dedup.simhash_pairs (48 bits, 4 bands)."""
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    mask = (1 << dd.SIMHASH_BAND_BITS) - 1
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {b * dd.SIMHASH_BAND_BITS}) & {mask} AS band_key FROM fp"
+        for b in range(dd.SIMHASH_BANDS)
+    )
+    return f"""
+    WITH corpus AS ({dd.WITH_NEAR_DUPES_SQL}),
+    toks AS (SELECT doc_id, unnest({tokens_sql('text')}) AS tok FROM corpus),
+    hashed AS (SELECT doc_id, {hash64_sql('tok', 'simhash')} AS h FROM toks),
+    voted AS (SELECT doc_id,
+           {votes}
+    FROM hashed GROUP BY doc_id),
+    fp AS (SELECT doc_id, {fp} AS simhash FROM voted),
+    bands AS (
+      {band_rows}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS fp_a, b.simhash AS fp_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+      FROM cands
+    ) WHERE hamming <= 3
+    """
+
+
+@query("q_dedup_simhash", _simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E20] SimHash near-dup pairs: 48-bit fingerprints from per-bit
+    token votes; 4×12-bit banded join guarantees recall for Hamming ≤ 3."""
+    return dd.simhash_pairs(dd.with_near_dupes(_docs(spark, sf_dir)))
+
+
+@query(
+    "q_dedup_ngram",
+    f"""
+    WITH corpus AS ({dd.WITH_NEAR_DUPES_SQL}),
+    toks AS (SELECT doc_id, source, {tokens_sql('text')} AS t FROM corpus),
+    sh AS (SELECT doc_id, source AS block, {shingles_sql('t')} AS s FROM toks),
+    flat AS (SELECT doc_id, block, len(s) AS set_size, unnest(s) AS shingle FROM sh),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.set_size AS size_a, b.set_size AS size_b,
+             count(*) AS shared
+      FROM flat a JOIN flat b
+        ON a.block = b.block AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             round(CAST(shared AS DOUBLE) / (size_a + size_b - shared), 6) AS jaccard
+      FROM shared
+    ) WHERE jaccard >= 0.6
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E20] EXACT n-gram Jaccard near-dup pairs, blocked on source —
+    the no-sketch ground-truth dedup (explode + self-join + count)."""
+    return dd.ngram_jaccard_pairs(dd.with_near_dupes(_docs(spark, sf_dir)))
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Explicit sequential-double cosine — bitwise equal to the Spark
+    fold (functions.cosine); both verified equal to DuckDB
+    list_cosine_similarity on DOUBLE[]."""
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, len({x}) + 1), "
+            f"i -> {x}[i] * {y}[i]), (acc, v) -> acc + v)"
+        )
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+@query(
+    "q_dedup_embedding",
+    f"""
+    WITH aug AS ({sim.WITH_PLANTED_NEIGHBORS_SQL})
+    SELECT vec_a, vec_b, label, cos FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+             round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
+      FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cos >= 0.95
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E20/E21] Embedding-cosine near-dup pairs, blocked on label; exact
+    double math within blocks (planted perturbed copies make the result
+    non-trivial — random 64-d vectors are near-orthogonal)."""
+    return sim.embedding_neardup_pairs(_emb(spark, sf_dir))
+
+
+# ------------------------------------------------------------ E21 similarity
+
+
+@query(
+    "q_sim_cosine_topk",
+    f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (
+      SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+             {_cos_sql('q.v', 't.v')} AS cos,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_cos_sql('q.v', 't.v')} DESC, t.vec_id) AS rank
+      FROM c q CROSS JOIN c t
+      WHERE q.vec_id < 10 AND q.vec_id <> t.vec_id
+    ) WHERE rank <= 5
+    """,
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E21] Brute-force exact cosine top-5 for the first 10 query
+    vectors — the ANN baseline; broadcast queries × partitioned corpus."""
+    return sim.cosine_topk(_emb(spark, sf_dir))
+
+
+@query("q_sim_ann_lsh", oracle=None)  # probabilistic recall: rows-only
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E21] Sign-random-projection LSH ANN: 12 deterministic hyperplanes
+    → 4096 buckets → in-bucket exact re-rank.  Rows-only (recall < 1 by
+    construction); accuracy is asserted against the exact twin in tests."""
+    return sim.ann_lsh_topk(_emb(spark, sf_dir))
+
+
+# ------------------------------------------------------------ E22 text
+
+
+@query(
+    "q_text_tokens",
+    f"""
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{tx.BPE_REGEX}')) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t), 6)
+             AS avg_token_len
+    FROM (SELECT doc_id, text, {tokens_sql('text')} AS t FROM documents)
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22] Token statistics: whitespace + BPE-ish regex counts."""
+    out = tx.token_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        "avg_token_len",
+    )
+
+
+def _langid_oracle() -> str:
+    langs = sorted(tx.STOPWORDS)
+    score_cols = ",\n           ".join(
+        "CAST(len(list_intersect(dt, {lst})) AS INT) AS score_{lang}".format(
+            lst="[" + ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang]) + "]",
+            lang=lang,
+        )
+        for lang in langs
+    )
+    # argmax with ties → alphabetically-last winner, mirroring the Spark
+    # when-chain fold in operators/text.lang_id
+    cases = []
+    for i, lang in enumerate(langs):
+        rest = [f"score_{l2}" for l2 in langs[i + 1 :]] + ["0"]
+        cases.append(
+            f"WHEN score_{lang} > greatest({', '.join(rest)}) THEN '{lang}'"
+        )
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+           {score_cols}
+      FROM (SELECT doc_id, lang, list_distinct({tokens_sql('text')}) AS dt
+            FROM documents)
+    )
+    SELECT doc_id, labeled_lang, {', '.join('score_' + lang for lang in langs)},
+           {case_sql} AS guessed_lang
+    FROM scored
+    """
+
+
+@query("q_text_langid", _langid_oracle())
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22] Stopword-overlap language ID with deterministic tie-break."""
+    out = tx.lang_id(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "labeled_lang",
+        *[
+            F.col(f"score_{lang}").cast("int").alias(f"score_{lang}")
+            for lang in sorted(tx.STOPWORDS)
+        ],
+        "guessed_lang",
+    )
+
+
+@query(
+    "q_text_quality",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             {tokens_sql('text')} AS t,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+             len(list_filter({tokens_sql('text')},
+                 x -> list_contains({tx.STOPWORDS['en']!r}, x))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+           round(CAST(n_stop AS DOUBLE) / len(t), 6) AS stopword_ratio,
+           round(0.4 * least(CAST(n_stop AS DOUBLE) / len(t) * 5, 1.0)
+               + 0.3 * (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 10, 1.0))
+               + 0.3 * (CASE WHEN CAST(n_chars AS DOUBLE) / len(t) >= 3
+                              AND CAST(n_chars AS DOUBLE) / len(t) <= 10
+                             THEN 1.0 ELSE 0.0 END), 6) AS quality
+    FROM base
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22] Heuristic quality scoring (stopword/punct/token-length
+    signals, C4-style)."""
+    out = tx.quality_score(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           CAST(length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS BIGINT)
+             AS norm_len
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22] Whitespace-normalized content fingerprint (md5)."""
+    out = tx.fingerprint(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "fingerprint", F.col("norm_len").cast("long").alias("norm_len")
+    )
+
+
+# ------------------------------------------------------------ E23 multimodal
+
+
+@query(
+    "q_mm_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS INT) AS payload_len
+    FROM documents
+    """,
+)
+def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E23] Multimodal metadata projection over the binary payload
+    table (typed metadata struct + byte length)."""
+    media = mm.as_media(_docs(spark, sf_dir))
+    return media.select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.payload_len").alias("payload_len"),
+    )
+
+
+@query("q_mm_decode", oracle=None)  # mapInPandas plumbing demo: rows-only
+def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E23] Arrow-batched decode pass through mapInPandas; the codec is
+    a deterministic STUB (operators/multimodal._fake_decode) — the batch
+    plumbing, schema, and partitioning are the real article."""
+    return mm.decode_media(mm.as_media(_docs(spark, sf_dir)))
