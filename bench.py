@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs every query registered in ``__spark_entry__.queries()`` against
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q_...": sec, ...}, "sf": 0.1}
+
+Each query is fully materialized through the ``noop`` sink (executes the
+whole physical plan — scan, shuffle, agg — without driver-side collect
+overhead), which is what a cluster run would pay.  A single warm-up query
+runs first so JVM/class-loading costs don't land on the first measured
+query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    try:
+        return float(m.group(1).rstrip(".")) if m else -1.0
+    except ValueError:
+        return -1.0
+
+
+def main() -> int:
+    from kafka_go_cardinality_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="kgc-spark-bench")
+    queries = entry_mod.queries()
+
+    # Warm-up: JIT, codegen, parquet footer caches — not measured.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    next(iter(queries.values()))(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "all_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
