@@ -103,16 +103,24 @@ def exact_dedup(corpus: DataFrame) -> DataFrame:
 
 
 def _signature(corpus: DataFrame) -> DataFrame:
-    """doc_id + distinct shingle set + MinHash signature (16 mins)."""
-    sh = shingles(tokens(F.col("text")))
+    """doc_id + distinct shingle set + MinHash signature (16 mins).
+
+    Tokens and shingles are each bound in their own projection: lambda
+    bodies re-evaluate unbound expressions PER ARRAY ELEMENT (a regex
+    split inlined into ``element_at`` costs O(tokens) per shingle —
+    measured 20× slower), and CollapseProject keeps multi-referenced
+    non-trivial aliases materialized.
+    """
     sig = [
         F.array_min(
             F.transform(F.col("shingle_set"), lambda s, i=i: hash64(s, str(i)))
         ).alias(f"mh{i}")
         for i in range(NUM_PERMS)
     ]
-    return corpus.select("doc_id", sh.alias("shingle_set")).select(
-        "doc_id", "shingle_set", *sig
+    return (
+        corpus.select("doc_id", tokens(F.col("text")).alias("t"))
+        .select("doc_id", shingles(F.col("t")).alias("shingle_set"))
+        .select("doc_id", "shingle_set", *sig)
     )
 
 
@@ -120,9 +128,12 @@ def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Near-dup pairs via MinHash LSH: band-bucket candidates, then exact
     Jaccard verification.  Output: (doc_a, doc_b, jaccard) with a < b."""
     sig = _signature(corpus)
+    sets = sig.select("doc_id", "shingle_set")
+    # Candidate generation shuffles (band, band_hash, doc_id) ONLY — at
+    # 100 TB the shingle sets (i.e. the documents) must never ride the
+    # LSH self-join; they are re-attached per candidate pair afterwards.
     bands = sig.select(
         "doc_id",
-        "shingle_set",
         F.posexplode(
             F.array(
                 *[
@@ -140,28 +151,27 @@ def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
             )
         ).alias("band", "band_hash"),
     )
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingle_set").alias("set_a"),
-        "band",
-        "band_hash",
-    )
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingle_set").alias("set_b"),
-        "band",
-        "band_hash",
-    )
     cands = (
-        left.join(right, ["band", "band_hash"])
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "set_a", "set_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = cands.join(
+        sets.select(F.col("doc_id").alias("doc_a"), F.col("shingle_set").alias("set_a")),
+        "doc_a",
+    ).join(
+        sets.select(F.col("doc_id").alias("doc_b"), F.col("shingle_set").alias("set_b")),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
     union = (F.size("set_a") + F.size("set_b") - inter).cast("double")
     return (
-        cands.select(
+        pairs.select(
             "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
         )
         .filter(F.col("jaccard") >= threshold)
@@ -235,11 +245,15 @@ def ngram_jaccard_pairs(
     """EXACT n-gram Jaccard pairs within a blocking key — no LSH, no
     approximation: explode distinct shingles, self-join on (block,
     shingle), count shared, Jaccard from distinct-set sizes."""
-    sh = corpus.select(
-        "doc_id",
-        F.col(block_col).alias("block"),
-        shingles(tokens(F.col("text"))).alias("shingle_set"),
-    ).withColumn("set_size", F.size("shingle_set"))
+    sh = (
+        corpus.select(
+            "doc_id",
+            F.col(block_col).alias("block"),
+            tokens(F.col("text")).alias("t"),
+        )
+        .select("doc_id", "block", shingles(F.col("t")).alias("shingle_set"))
+        .withColumn("set_size", F.size("shingle_set"))
+    )
     flat = sh.select(
         "doc_id", "block", "set_size", F.explode("shingle_set").alias("shingle")
     )
