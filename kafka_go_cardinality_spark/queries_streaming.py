@@ -1,0 +1,183 @@
+"""[CORE streaming] query registrations: end-to-end Structured Streaming
+replays of the reference pipeline (SURVEY.md §2.1 C1-C9, §2.3 E18-E19).
+
+Each query materializes the full stream path — wire-format JSONL on disk →
+file source (same ``value`` column as Kafka) → ``from_json`` parse →
+watermarked windowed aggregation → ``AvailableNow`` replay into a memory
+sink — and returns the sink table as a batch DataFrame.  ``AvailableNow``
+over a file dump is exactly the reference's restart/replay story
+(``/root/reference/README.md:5``: stateless, re-run over the topic).
+
+Exactness in a stream: distinct aggregations are unsupported on streaming
+frames, so the exact twins use streaming dedup (``dropDuplicates`` on
+(uid, window)) + ``count(*)`` — oracle-checkable, unlike any sketch.  The
+approx twins (HLL++, bounded state) remain the 100 TB path.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kafka_go_cardinality_spark.queries import query
+from kafka_go_cardinality_spark.sources import load_table
+from kafka_go_cardinality_spark.streaming import (
+    file_user_source,
+    parse_user_events,
+    replay_to_memory,
+    session_activity,
+    sliding_cardinality,
+    stream_cardinality,
+    stream_exact_cardinality,
+)
+
+# One wire dump per (process, sf_dir): five streaming queries replay the
+# same JSONL, so write it once.  Keyed also by pid-safe tmp dir.
+_WIRE_DIRS: dict[str, str] = {}
+
+
+def _wire_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events.parquet → JSONL wire dump ``{"uid": ..., "ts": <unix s>}``
+    (processor.go:13-16), the replayable stand-in for a retained Kafka
+    topic.  ``ts`` is floored to whole seconds at the wire boundary — the
+    reference's wire type is integer seconds (processor.go:45)."""
+    existing = _WIRE_DIRS.get(sf_dir)
+    if existing and os.path.isdir(existing):
+        return existing
+    events = load_table(spark, sf_dir, "events")
+    wire = events.select(
+        F.to_json(
+            F.struct(
+                F.col("user_id").cast("string").alias("uid"),
+                F.col("ts").cast("long").alias("ts"),
+            )
+        ).alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="kgc_wire_")
+    # A handful of files ≈ a handful of Kafka partitions; plenty for replay.
+    wire.coalesce(8).write.mode("overwrite").text(path)
+    _WIRE_DIRS[sf_dir] = path
+    return path
+
+
+def _replay(spark: SparkSession, sf_dir: str, build, prefix: str) -> DataFrame:
+    parsed = parse_user_events(file_user_source(spark, _wire_dir(spark, sf_dir)))
+    table = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    replay_to_memory(build(parsed), table, output_mode="complete")
+    return spark.table(table)
+
+
+@query(
+    "q_stream_card_day_exact",
+    """
+    SELECT 'day_count' AS type,
+           CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS timestamp,
+           count(DISTINCT user_id) AS value
+    FROM events
+    GROUP BY 2
+    """,
+)
+def q_stream_card_day_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[CORE C1-C8] Full streaming path, exact twin: wire parse →
+    streaming dedup on (uid, day) → count per window.  Day-grain
+    truncation is sub-second-insensitive, so floored wire seconds still
+    match the oracle on raw timestamps."""
+    return _replay(
+        spark, sf_dir, lambda e: stream_exact_cardinality(e, "day"), "stream_day_exact"
+    )
+
+
+@query(
+    "q_stream_card_month_exact",
+    """
+    SELECT 'month_count' AS type,
+           CAST(epoch(date_trunc('month', ts)) AS BIGINT) AS timestamp,
+           count(DISTINCT user_id) AS value
+    FROM events
+    GROUP BY 2
+    """,
+)
+def q_stream_card_month_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[CORE C5] Calendar grain on a stream — ``date_trunc`` group key
+    (Spark's window() can't express months; SURVEY.md §7.3), complete
+    output mode, state = one row per month."""
+    return _replay(
+        spark,
+        sf_dir,
+        lambda e: stream_exact_cardinality(e, "month"),
+        "stream_month_exact",
+    )
+
+
+@query("q_stream_card_day_approx", oracle=None)  # approx: rows-only by design
+def q_stream_card_day_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[CORE C5-C7] The reference's actual computation on the stream:
+    HLL++ (rsd 0.008 ≈ precision-14, processor.go:80) per day window via
+    ``window()``, partial sketches merged map-side."""
+    return _replay(
+        spark, sf_dir, lambda e: stream_cardinality(e, "day"), "stream_day_approx"
+    )
+
+
+# Session gap in seconds; '30 minutes' on the Spark side.
+_SESSION_GAP_S = 1800
+
+
+@query(
+    "q_stream_session",
+    f"""
+    WITH e AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid,
+               CAST(floor(epoch(ts)) AS BIGINT) AS t
+        FROM events
+    ),
+    marked AS (
+        SELECT uid, t,
+               CASE WHEN t - lag(t) OVER (PARTITION BY uid ORDER BY t)
+                         >= {_SESSION_GAP_S}
+                    OR lag(t) OVER (PARTITION BY uid ORDER BY t) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+    ),
+    sessions AS (
+        SELECT uid, t,
+               sum(new_session) OVER (
+                   PARTITION BY uid ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM marked
+    )
+    SELECT uid,
+           min(t) AS session_start,
+           max(t) + {_SESSION_GAP_S} AS session_end,
+           count(*) AS events
+    FROM sessions
+    GROUP BY uid, sid
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT E18] Gap-based session windows per uid on the stream, checked
+    against a gaps-and-islands SQL oracle.  Events are pre-deduped to one
+    per (uid, second) on BOTH sides so the oracle's count(*) is
+    order-independent (the wire floors ts to seconds, collapsing events the
+    raw-timestamp oracle would count separately)."""
+
+    def build(parsed: DataFrame) -> DataFrame:
+        return session_activity(parsed.dropDuplicates(["uid", "ts"]), gap="30 minutes")
+
+    return _replay(spark, sf_dir, build, "stream_session")
+
+
+@query("q_stream_sliding", oracle=None)  # approx HLL values: rows-only
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT E18] Sliding windows (10 min length / 5 min slide): each event
+    feeds length/slide overlapping windows; approx distinct per window."""
+    return _replay(
+        spark,
+        sf_dir,
+        lambda e: sliding_cardinality(e, "10 minutes", "5 minutes"),
+        "stream_sliding",
+    )

@@ -1,0 +1,338 @@
+"""[CORE] Structured Streaming pipeline — the reference's native mode.
+
+The reference is a 3-stage streaming program (receive → process → send,
+``/root/reference/main.go:22-27``).  This module re-expresses each stage as
+Structured Streaming:
+
+- C1  Kafka source scan (kafkaio.go:59-86)        → ``kafka_user_source``
+- C2  JSON deserialize + projection (kafkaio.go:76-81) → ``parse_user_events``
+- C3  malformed-record skip (kafkaio.go:77-81)    → ``parse_user_events``
+- C4  1→5 grain fan-out (processor.go:60-75)      → one query per grain over
+      a shared source (Spark multiplexes at the source, not per message)
+- C5-C7 window assignment + HLL + flush (processor.go:36-53, 79-102)
+      → ``stream_cardinality`` (watermark-driven emission replaces the
+      reference's data-driven flush; divergences documented in SURVEY.md §2.4)
+- C8  StatMsg projection (processor.go:90-94)     → ``stream_cardinality``
+- C9  JSON serialize + Kafka sink (kafkaio.go:88-105) → ``to_stat_json`` +
+      ``kafka_stats_sink``
+- C10 env config resolution (kafkaio.go:13-39)    → ``kafka_config``
+- C11 graceful shutdown (main.go:14, kafkaio.go:41-57) → ``stop_gracefully``
+- C12 synthetic benchmark generator (processor_test.go:31-41)
+      → ``synthetic_wire_frame`` (deterministic port, fixture not engine)
+
+Broker-free replay: ``file_user_source`` reads JSONL files with the *same*
+wire schema as the Kafka ``value`` column, so every downstream stage is
+identical whether fed by Kafka or by files.  ``Trigger.AvailableNow`` over a
+retained topic/file dump is exactly the reference's restart story
+("stateless; re-run over the topic", README.md:5).
+
+Scale notes (100 TB / 1000 executors):
+
+- Kafka partitions map 1:1 to source tasks; unlike the reference (which
+  pins to partition 0, kafkaio.go:29-32) consumption parallelizes.
+- The only shuffle per grain is the windowed aggregation; partial HLL
+  sketches merge map-side, so the exchange carries ≤16 KiB per
+  (window) group — not uids.
+- Streaming state is one HLL buffer per open window per grain — bounded by
+  watermark retention, not by input size.  The exact-twin path
+  (``stream_exact_cardinality``) instead keeps one state row per
+  (uid, window): correct, oracle-checkable, and intentionally NOT the
+  scale path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from kafka_go_cardinality_spark.operators.cardinality import (
+    GRAINS,
+    REFERENCE_RSD,
+)
+
+# Wire schema of one Kafka message value (processor.go:13-16): unknown JSON
+# fields are dropped by the schema itself, matching jsoniter's behavior.
+USER_MSG_SCHEMA = StructType(
+    [StructField("uid", StringType()), StructField("ts", LongType())]
+)
+
+# Grains expressible as fixed-duration stream windows; calendar month/year
+# need date_trunc keys (Spark's window() rejects month durations) and are
+# emitted in update/complete mode — see stream_cardinality docstring.
+FIXED_DURATION = {"minute": "1 minute", "day": "1 day", "week": "1 week"}
+
+
+def kafka_config() -> dict[str, str]:
+    """[CORE C10] Env-var config with the reference's defaults
+    (kafkaio.go:13-39, README.md:19-22)."""
+    return {
+        "broker": os.environ.get("KAFKA_BROKER", "localhost:9092"),
+        "users_topic": os.environ.get("USERS_TOPIC", "users"),
+        "stats_topic": os.environ.get("STATS_TOPIC", "stats"),
+    }
+
+
+def kafka_user_source(
+    spark: SparkSession,
+    broker: str | None = None,
+    topic: str | None = None,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """[CORE C1] Kafka source (kafkaio.go:59-86).  Yields the raw frame with
+    a binary ``value`` column; one source task per Kafka partition (the
+    reference reads partition 0 only — any partitioned topic is already a
+    scale-out win, SURVEY.md §7.4)."""
+    cfg = kafka_config()
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", broker or cfg["broker"])
+        .option("subscribe", topic or cfg["users_topic"])
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def file_user_source(spark: SparkSession, path: str) -> DataFrame:
+    """Broker-free replay source: JSONL files, one wire message per line.
+    Produces the same single ``value`` column as the Kafka frame so the
+    parse stage is source-agnostic (mirrors the reference's
+    console-producer replay, README.md:24-36)."""
+    return spark.readStream.text(path)
+
+
+def parse_user_events(raw: DataFrame) -> DataFrame:
+    """[CORE C2+C3] Wire bytes → typed events.
+
+    ``from_json`` in PERMISSIVE mode yields NULL on malformed input; the
+    filter is the reference's log-and-continue skip (kafkaio.go:77-81).
+    ``ts`` is Unix *seconds* (processor.go:45) → proper TimestampType at
+    the source boundary, never downstream (SURVEY.md §7.3).
+    """
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), USER_MSG_SCHEMA).alias("msg")
+    )
+    return parsed.filter(
+        F.col("msg").isNotNull()
+        & F.col("msg.uid").isNotNull()
+        & F.col("msg.ts").isNotNull()
+    ).select(
+        F.col("msg.uid").alias("uid"),
+        F.timestamp_seconds(F.col("msg.ts")).alias("ts"),
+    )
+
+
+def _stat_projection(window_start: Column, grain: str, value: Column) -> list[Column]:
+    """[CORE C8] StatMsg envelope {type, timestamp=window start epoch-seconds,
+    value} (processor.go:18-22, 90-94)."""
+    return [
+        F.lit(f"{grain}_count").alias("type"),
+        window_start.cast("long").alias("timestamp"),
+        value.alias("value"),
+    ]
+
+
+def stream_cardinality(
+    events: DataFrame,
+    grain: str,
+    rsd: float = REFERENCE_RSD,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """[CORE C5-C8] Per-grain approximate distinct-uid count over event-time
+    windows — the reference's whole computation (processor.go:79-102), with
+    watermark-driven emission instead of its data-driven flush.
+
+    minute/day/week use ``window()`` → append-mode capable (a window emits
+    once, when the watermark passes its end — the well-defined version of
+    the reference's flush-on-first-late-event).  month/year use calendar
+    ``date_trunc`` keys, which Spark cannot treat as event-time windows →
+    run those in update/complete mode (their output cardinality is tiny, so
+    complete-mode state is a handful of rows even at 100 TB).
+    """
+    if grain not in GRAINS:
+        raise ValueError(f"unknown grain {grain!r}; expected one of {GRAINS}")
+    agg = F.approx_count_distinct("uid", rsd).alias("value")
+    wm = events.withWatermark("ts", watermark)
+    if grain in FIXED_DURATION:
+        grouped = wm.groupBy(F.window("ts", FIXED_DURATION[grain])).agg(agg)
+        return grouped.select(
+            *_stat_projection(F.unix_timestamp("window.start"), grain, F.col("value"))
+        )
+    grouped = wm.groupBy(F.date_trunc(grain, "ts").alias("wstart")).agg(agg)
+    return grouped.select(
+        *_stat_projection(F.unix_timestamp("wstart"), grain, F.col("value"))
+    )
+
+
+def stream_exact_cardinality(
+    events: DataFrame, grain: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Exact streaming twin: distinct aggregations are unsupported on
+    streams, so exactness comes from streaming dedup — ``dropDuplicates``
+    on (uid, window start) keeps one state row per pair, then a plain
+    ``count(*)`` per window is exactly ``count(distinct uid)``.
+
+    Oracle-checkable (unlike any sketch), at the price of state linear in
+    distinct pairs — the approx twin remains the 100 TB path.
+    """
+    if grain not in GRAINS:
+        raise ValueError(f"unknown grain {grain!r}; expected one of {GRAINS}")
+    keyed = (
+        events.withWatermark("ts", watermark)
+        .select("uid", "ts", F.date_trunc(grain, "ts").alias("wstart"))
+        .dropDuplicates(["uid", "wstart"])
+    )
+    return (
+        keyed.groupBy("wstart")
+        .agg(F.count("*").alias("value"))
+        .select(*_stat_projection(F.unix_timestamp("wstart"), grain, F.col("value")))
+    )
+
+
+def sliding_cardinality(
+    events: DataFrame,
+    length: str = "10 minutes",
+    slide: str = "5 minutes",
+    rsd: float = REFERENCE_RSD,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """[EXT E18] Sliding-window distinct counts — absent from the reference
+    (tumbling-ish only, SURVEY.md §2.4); each event lands in
+    length/slide overlapping windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", length, slide))
+        .agg(F.approx_count_distinct("uid", rsd).alias("value"))
+        .select(
+            F.unix_timestamp("window.start").alias("window_start"),
+            F.unix_timestamp("window.end").alias("window_end"),
+            F.col("value"),
+        )
+    )
+
+
+def session_activity(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """[EXT E18] Per-uid session windows (gap-based, data-driven close) —
+    the idiomatic version of what the reference's drifting data-driven
+    windows (processor.go:89-96) were groping toward."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("uid"))
+        .agg(F.count("*").alias("events"))
+        .select(
+            "uid",
+            F.unix_timestamp("session_window.start").alias("session_start"),
+            F.unix_timestamp("session_window.end").alias("session_end"),
+            F.col("events"),
+        )
+    )
+
+
+def to_stat_json(stats: DataFrame) -> DataFrame:
+    """[CORE C9] StatMsg → one JSON document per record, keyless
+    (kafkaio.go:92-100; keyless → round-robin partitioning).  Field names
+    are snake-case by design — SURVEY.md §7.4's documented interface change
+    from Go's capitalized defaults."""
+    return stats.select(
+        F.to_json(F.struct("type", "timestamp", "value")).alias("value")
+    )
+
+
+def kafka_stats_sink(
+    stats: DataFrame,
+    checkpoint_dir: str,
+    broker: str | None = None,
+    topic: str | None = None,
+    output_mode: str = "append",
+) -> DataStreamWriter:
+    """[CORE C9] Serialize + Kafka sink (kafkaio.go:88-105).  Returns the
+    configured writer; caller ``.start()``s it."""
+    cfg = kafka_config()
+    return (
+        to_stat_json(stats)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", broker or cfg["broker"])
+        .option("topic", topic or cfg["stats_topic"])
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+    )
+
+
+def replay_to_memory(
+    stats: DataFrame,
+    table_name: str,
+    output_mode: str = "complete",
+    timeout_s: float = 300.0,
+) -> StreamingQuery:
+    """Run a streaming result to an in-memory table with
+    ``Trigger.AvailableNow`` — the reference's historical-replay mode
+    (README.md:5) and the broker-free test harness.  Blocks until all
+    available input is processed."""
+    query = (
+        stats.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return query
+
+
+def stop_gracefully(query: StreamingQuery, timeout_s: float = 30.0) -> None:
+    """[CORE C11] SIGINT-style graceful stop (main.go:14, kafkaio.go:41-57):
+    let in-flight work drain, then stop the query."""
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(timeout_s)
+
+
+def synthetic_wire_frame(
+    spark: SparkSession,
+    n: int,
+    n_users: int = 100,
+    seed: int = 7,
+    start_ts: int = 1_600_000_000,
+    malformed_every: int | None = None,
+) -> DataFrame:
+    """[CORE C12] Deterministic port of the reference's benchmark generator
+    (processor_test.go:31-41): uid uniform over ``user0..user{n_users-1}``,
+    event time advancing by U[0, 3600) seconds per message.  Returns a
+    batch frame with a single wire-format ``value`` column, ready to be
+    written as JSONL replay input.  ``malformed_every`` corrupts every k-th
+    line to exercise the C3 skip path.
+    """
+    from pyspark.sql import Window
+
+    base = spark.range(n).select(
+        F.col("id"),
+        F.concat(
+            F.lit("user"), (F.rand(seed) * n_users).cast("int").cast("string")
+        ).alias("uid"),
+        (F.rand(seed + 1) * 3600).cast("long").alias("step"),
+    )
+    # Cumulative timestamp like the reference's running `ts += rand`.  The
+    # unpartitioned running sum is single-task — acceptable for a test
+    # fixture (the reference's generator is likewise sequential).
+    ts = (
+        F.lit(start_ts)
+        + F.sum("step").over(Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0))
+    ).alias("ts")
+    wire = base.select(
+        F.col("id"),
+        F.to_json(F.struct(F.col("uid"), ts.cast("long").alias("ts"))).alias("value"),
+    )
+    if malformed_every:
+        wire = wire.select(
+            F.col("id"),
+            F.when(
+                F.col("id") % malformed_every == 0, F.substring("value", 1, 4)
+            )
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+    return wire.select("value")
