@@ -1,0 +1,83 @@
+"""[EXT E17] The Python UDF surface: scalar pandas UDF, grouped-map
+``applyInPandas``, and grouped-agg pandas UDF.
+
+The reference hard-wires its one transform as a Go closure
+(``/root/reference/processor/processor.go:79``) — there is no user-function
+extension point at all.  This module is the mandated extension surface
+(SURVEY.md §2.3 E17), built on Arrow-batched pandas UDFs (the 10-100×
+faster path vs row-at-a-time Python UDFs; still 10-100× slower than staying
+JVM-side, which is why every *other* operator in this engine uses built-in
+``pyspark.sql.functions`` — UDFs are demonstrations of the extension
+mechanism, not the hot path).
+
+Determinism rules for oracle-checkable UDFs (conftest/driver hash values):
+
+- float math must be bit-identical to the DuckDB oracle → IEEE ops in the
+  same order, ``floor``-based truncation (never ``round``: numpy uses
+  half-even, DuckDB half-away-from-zero);
+- per-group selections must totally order their input (explicit tie-break
+  keys), because Arrow batch order is not deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
+
+# Return types as DataType instances, not DDL strings: string types are
+# parsed eagerly at decoration time and would require an active
+# SparkSession just to import this module.
+
+
+@pandas_udf(DoubleType())
+def discounted_price(ep: pd.Series, disc: pd.Series) -> pd.Series:
+    """Scalar pandas UDF: TPC-H revenue expression, truncated to cents.
+    Arrow-vectorized; numpy ops keep IEEE-double bit-parity with the
+    DuckDB oracle ``floor(l_extendedprice*(1-l_discount)*100)/100``."""
+    return np.floor(ep * (1.0 - disc) * 100.0) / 100.0
+
+
+@pandas_udf(LongType())
+def int_total_qty(qty: pd.Series) -> int:  # Series -> scalar = GROUPED_AGG
+    """Grouped-agg pandas UDF: integer sum of (integral-valued) quantities.
+    Integer accumulation is order-insensitive, so the result hash-matches
+    any engine."""
+    return int(qty.astype("int64").sum())
+
+
+def top_order_per_customer(orders: DataFrame) -> DataFrame:
+    """Grouped-map ``applyInPandas``: each customer's single largest order.
+
+    Total order inside each group — (o_totalprice DESC, o_orderkey ASC) —
+    makes the selection deterministic regardless of Arrow batch order.
+    Equivalent SQL: QUALIFY row_number() OVER (...) = 1; expressed as a
+    grouped-map UDF deliberately, to exercise the per-group pandas path.
+
+    Scale note: ``applyInPandas`` shuffles each group to one task; groups
+    here are per-customer (millions of small groups at 100 TB) — the safe
+    shape.  The anti-pattern is few huge groups; for those, pre-aggregate
+    JVM-side first.
+    """
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        # numpy lexsort beats pandas sort_values ~5x on tiny groups — with
+        # ~1 group per customer the per-call constant IS the runtime.
+        i = np.lexsort((pdf["o_orderkey"].to_numpy(), -pdf["o_totalprice"].to_numpy()))[0]
+        return pdf.iloc[i : i + 1]
+
+    # Project BEFORE the grouped-map: applyInPandas ships every input
+    # column through Arrow; pruning to the 3 needed columns shrinks the
+    # shuffle and the Python-side transfer alike.
+    pruned = orders.select("o_custkey", "o_orderkey", "o_totalprice")
+    # Explicit repartition by the group key: AQE coalesces shuffles by
+    # BYTES, which is the wrong target for a Python-CPU-bound stage — it
+    # would serialize tens of thousands of per-group calls onto a couple
+    # of workers.  An explicit partition count is exempt from coalescing
+    # and keeps one Python worker per core busy.
+    n = orders.sparkSession.sparkContext.defaultParallelism
+    return pruned.repartition(n, "o_custkey").groupBy("o_custkey").applyInPandas(
+        pick, schema="o_custkey long, o_orderkey long, o_totalprice double"
+    )

@@ -63,10 +63,12 @@ def _wire_dir(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def _replay(spark: SparkSession, sf_dir: str, build, prefix: str) -> DataFrame:
+def _replay(
+    spark: SparkSession, sf_dir: str, build, prefix: str, output_mode: str = "complete"
+) -> DataFrame:
     parsed = parse_user_events(file_user_source(spark, _wire_dir(spark, sf_dir)))
     table = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    replay_to_memory(build(parsed), table, output_mode="complete")
+    replay_to_memory(build(parsed), table, output_mode=output_mode)
     return spark.table(table)
 
 
@@ -169,6 +171,21 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         return session_activity(parsed.dropDuplicates(["uid", "ts"]), gap="30 minutes")
 
     return _replay(spark, sf_dir, build, "stream_session")
+
+
+@query("q_stream_ref_emulation", oracle=None)  # custom stateful op: not SQL-expressible
+def q_stream_ref_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[CORE §2.4] Bit-faithful emulation of the reference's data-driven
+    flush (processor.go:79-102) as an applyInPandasWithState operator —
+    drifting windows, insert-before-check, startup artifact and all.  The
+    semantics are inherently sequential per grain (no SQL oracle exists);
+    the driver records a rows-only check, and tests/test_ref_emulation.py
+    pins the quirks against hand-computed streams."""
+    from kafka_go_cardinality_spark.streaming.ref_emulation import (
+        reference_flush_emulation,
+    )
+
+    return _replay(spark, sf_dir, reference_flush_emulation, "stream_ref_emu", "append")
 
 
 @query("q_stream_sliding", oracle=None)  # approx HLL values: rows-only

@@ -1,0 +1,135 @@
+"""Bit-faithful emulation of the reference's data-driven flush — the
+documented escape hatch of SURVEY.md §2.4/§7.4, built as a custom stateful
+operator on ``applyInPandasWithState``.
+
+The engine's first-class cardinality queries use epoch-aligned windows (a
+deliberate divergence).  This module exists to prove the quirky original
+semantics (``/root/reference/processor/processor.go:79-102``) ARE
+expressible in Spark when bit-parity with the Go binary matters:
+
+1. insert-before-check — the event that triggers a flush is counted in the
+   flushed window (processor.go:87 runs before the check at :89);
+2. data-driven alignment — a window starts at the event that closed the
+   previous one (``lastFlush = msg.Ts``, :96); never :00-aligned;
+3. startup artifact — ``lastFlush=0`` (:81) makes the first realistic
+   event flush all grains immediately with ``Timestamp=0, Value=1``;
+4. uint64 underflow of ``msg.Ts - interval`` (:89) for near-epoch events;
+5. no late-data handling — order matters; the final partial window is
+   never emitted.
+
+Divergences (documented, unavoidable or deliberate):
+
+- processing order: the reference trusts Kafka topic order; here events
+  are totally ordered by (ts, uid) per grain so replay is deterministic;
+- exact distinct set instead of the axiomhq HLL sketch: estimator
+  internals are library-specific (SURVEY.md §7.3), so we emulate the flush
+  *mechanics* exactly and the *estimate* with the true count.  A
+  production variant would serialize a sketch into the same state column;
+- calendar arithmetic fixed to UTC (``time.Unix`` in the reference is
+  local-TZ-dependent; the published deployment runs UTC).
+
+Scale note: keyed by grain → exactly 5 groups, which is the reference's
+own parallelism ceiling (5 sketches, processor.go:60-64).  This operator
+is a semantics-parity tool, not the 100 TB path — that is
+``stream_cardinality``'s watermarked windows with map-side-merged HLL.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kafka_go_cardinality_spark.operators.cardinality import GRAINS
+
+_UINT64 = 1 << 64
+
+OUTPUT_SCHEMA = "type string, timestamp long, value long"
+STATE_SCHEMA = "last_flush long, uids array<string>"
+
+_FIXED_S = {"minute": 60, "day": 86_400, "week": 604_800}
+
+
+def _go_add_date(ts: int, years: int, months: int) -> int:
+    """``time.Time.AddDate`` in UTC: bump year/month fields, normalize day
+    overflow by rolling into the next month (Jan 31 + 1 month = Mar 2/3)."""
+    dt = datetime.fromtimestamp(ts, tz=timezone.utc)
+    total_m = dt.year * 12 + (dt.month - 1) + years * 12 + months
+    y, m = divmod(total_m, 12)
+    first = dt.replace(year=y, month=m + 1, day=1)
+    return int((first + timedelta(days=dt.day - 1)).timestamp())
+
+
+def interval_from(grain: str, ts: int) -> int:
+    """Seconds to the next grain boundary *measured from ts* — the
+    reference's per-flush recomputed interval (processor.go:36-53)."""
+    if grain in _FIXED_S:
+        return _FIXED_S[grain]
+    if grain == "month":
+        return _go_add_date(ts, 0, 1) - ts
+    if grain == "year":
+        return _go_add_date(ts, 1, 0) - ts
+    raise ValueError(f"unknown grain {grain!r}")
+
+
+def _process_grain(
+    grain: str,
+    events: Iterable[tuple[int, str]],
+    last_flush: int,
+    uids: set[str],
+) -> tuple[list[tuple[str, int, int]], int, set[str]]:
+    """The flush loop for one grain: pure Python, one pass, emitting
+    (type, timestamp, value) triples.  Mirrors quirks 1-5 exactly,
+    including uint64 wraparound of the guard expression."""
+    out: list[tuple[str, int, int]] = []
+    interval = interval_from(grain, last_flush)
+    for ts, uid in events:
+        uids.add(uid)  # quirk 1: insert before the flush check
+        if (ts - interval) % _UINT64 > last_flush:  # quirk 4: u64 wrap
+            out.append((f"{grain}_count", last_flush, len(uids)))
+            uids = set()  # the triggering event is NOT re-inserted
+            last_flush = ts  # quirk 2: data-driven window start
+            interval = interval_from(grain, ts)
+    return out, last_flush, uids
+
+
+def _emulate(
+    key: tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    grain = key[0]
+    if state.exists:
+        last_flush, uid_list = state.get
+        uids = set(uid_list)
+    else:
+        last_flush, uids = 0, set()
+    rows: list[tuple[int, str]] = []
+    for pdf in pdfs:
+        rows.extend(zip(pdf["ts_s"].astype("int64"), pdf["uid"]))
+    rows.sort()  # deterministic replay order: (ts, uid)
+    out, last_flush, uids = _process_grain(grain, rows, last_flush, uids)
+    state.update((last_flush, sorted(uids)))
+    if out:
+        yield pd.DataFrame(out, columns=["type", "timestamp", "value"])
+
+
+def reference_flush_emulation(events: DataFrame) -> DataFrame:
+    """Apply the emulated flush to a streaming (uid, ts) frame: fan out to
+    the five grains (the reference's per-message 5-way multiplex,
+    processor.go:66-75) and run one keyed state machine per grain."""
+    keyed = events.select(
+        F.explode(F.array(*[F.lit(g) for g in GRAINS])).alias("grain"),
+        F.col("uid"),
+        F.col("ts").cast("long").alias("ts_s"),
+    )
+    return keyed.groupBy("grain").applyInPandasWithState(
+        _emulate,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
