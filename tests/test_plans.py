@@ -1,0 +1,122 @@
+"""Physical-plan regression tests: the scale properties every operator
+depends on at 100 TB, pinned against Spark's explain output.
+
+Correctness tests say the answer is right; these say the PLAN is right —
+filters reach the parquet scan, projections prune the read schema, small
+dimensions broadcast, aggregations combine map-side, top-k never sorts
+globally, and the LSH self-join shuffles only (band, hash, doc_id)."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entry_mod
+from kafka_go_cardinality_spark.plans.inspect import (
+    assert_broadcast_join,
+    assert_partial_aggregation,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    assert_sort_free_topk,
+    assert_whole_stage_codegen,
+    count_exchanges,
+    exchange_blocks,
+    plan_string,
+)
+
+QUERIES = entry_mod.queries()
+
+
+def q(name, spark, sf_dir):
+    return QUERIES[name](spark, sf_dir)
+
+
+def test_filter_pushdown(spark, sf_dir):
+    assert_pushed_filter(q("q_filter_pred", spark, sf_dir), "o_totalprice")
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    # 16-column lineitem, 5-column query: the scan must read only those 5.
+    assert_read_schema_only(
+        q("q_project_expr", spark, sf_dir),
+        {"l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"},
+    )
+
+
+def test_broadcast_join_hint(spark, sf_dir):
+    assert_broadcast_join(q("q_join_broadcast", spark, sf_dir))
+
+
+def test_three_way_join_broadcasts_dims(spark, sf_dir):
+    # customer/orders join lineitem: dims are broadcast at any sf where
+    # they fit; the fact table must never be the build side of a shuffle.
+    assert_broadcast_join(q("q_join3_agg", spark, sf_dir))
+
+
+def test_hll_partial_merge(spark, sf_dir):
+    """The core scale win (SURVEY.md §4): approx_count_distinct must
+    partial-aggregate map-side so the exchange carries sketches, not
+    uids."""
+    assert_partial_aggregation(
+        q("q_card_day_approx", spark, sf_dir), "approx_count_distinct"
+    )
+
+
+def test_exact_cardinality_partial(spark, sf_dir):
+    assert_partial_aggregation(q("q_agg_q1", spark, sf_dir), "sum")
+
+
+def test_cardinality_single_shuffle(spark, sf_dir):
+    """One grain = exactly one exchange (group-by window key). More means
+    an accidental repartition crept in."""
+    assert count_exchanges(q("q_card_day_approx", spark, sf_dir)) == 1
+
+
+def test_grain_fanout_shuffles(spark, sf_dir):
+    """The 5-grain fan-out reads the input ONCE (explode before grouping,
+    processor.go:60-75 re-expressed), not five passes.  The approx variant
+    is a single sketch-carrying shuffle; the exact variant pays exactly one
+    extra exchange for the distinct expansion — never 5x either way."""
+    from kafka_go_cardinality_spark.operators.cardinality import grain_fanout
+    from kafka_go_cardinality_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    assert count_exchanges(grain_fanout(events, exact=False)) == 1
+    assert count_exchanges(grain_fanout(events, exact=True)) == 2
+
+
+def test_topk_never_global_sorts(spark, sf_dir):
+    assert_sort_free_topk(q("q_topk", spark, sf_dir))
+
+
+def test_scan_stays_in_codegen(spark, sf_dir):
+    # AQE's pre-execution explain hides codegen annotation; plan the same
+    # query non-adaptively to see the fused stages.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert_whole_stage_codegen(q("q_agg_q1", spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_minhash_lsh_join_sheds_payload(spark, sf_dir):
+    """Candidate pairs must travel as bare (doc_a, doc_b) ids — shingle
+    sets (the documents themselves) are re-attached only after the
+    candidate dedup.  If any set column rides the pair shuffle, the
+    payload-shedding optimization regressed.  (At tiny SF the band join
+    itself broadcasts, so the pair-dedup exchange is the stable thing to
+    pin.)"""
+    blocks = [
+        b
+        for b in exchange_blocks(q("q_dedup_minhash", spark, sf_dir))
+        if "hashpartitioning(doc_a" in b
+    ]
+    assert blocks, "no (doc_a, doc_b) exchange found — LSH join shape changed"
+    for b in blocks:
+        assert not re.search(r"shingle_set|set_a|set_b", b), (
+            f"shingle sets ride the candidate shuffle:\n{b}"
+        )
+
+
+def test_entry_plan_is_aggregating(spark):
+    plan = plan_string(entry_mod.entry(spark), mode="simple")
+    assert "approx_count_distinct" in plan and "count" in plan
