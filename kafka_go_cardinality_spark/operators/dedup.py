@@ -38,6 +38,17 @@ NUM_PERMS = 16
 BAND_SIZE = 2
 NUM_BANDS = NUM_PERMS // BAND_SIZE
 
+# Permutations are affine maps h -> (a*h + b) mod P over ONE md5-derived
+# base hash per shingle — md5 runs once per shingle, not once per
+# (shingle, permutation): 16x less hashing, the dominant signature cost.
+# P = 2^31-1 keeps a*(h%P)+b < 2^62: no BIGINT overflow in either engine
+# (both run ANSI semantics and would throw, not wrap).  Constants are
+# Knuth multiplicative-hash multiples, fixed so the DuckDB oracle can
+# replicate the exact signatures.
+MINHASH_P = 2_147_483_647
+PERM_A = tuple((2_654_435_761 * (i + 1)) % MINHASH_P for i in range(NUM_PERMS))
+PERM_B = tuple((40_503 * (i + 1) * 2_654_435_761) % MINHASH_P for i in range(NUM_PERMS))
+
 # SimHash: 48 bits (stays clear of BIGINT sign), 4 bands of 12 →
 # guaranteed recall for Hamming distance ≤ 3.
 SIMHASH_BITS = 48
@@ -110,16 +121,29 @@ def _signature(corpus: DataFrame) -> DataFrame:
     split inlined into ``element_at`` costs O(tokens) per shingle —
     measured 20× slower), and CollapseProject keeps multi-referenced
     non-trivial aliases materialized.
+
+    The input is spread across all cores first: signature computation is
+    CPU-bound (one md5 per shingle) and must not inherit a narrow file
+    layout.
     """
-    sig = [
-        F.array_min(
-            F.transform(F.col("shingle_set"), lambda s, i=i: hash64(s, str(i)))
+    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    def perm_min(i: int):
+        # NB: the transform lambda must stay single-arg — a second arg
+        # would be bound to the element INDEX column by Spark.
+        a, b = F.lit(PERM_A[i]), F.lit(PERM_B[i])
+        return F.array_min(
+            F.transform(F.col("hs"), lambda h: (a * (h % MINHASH_P) + b) % MINHASH_P)
         ).alias(f"mh{i}")
-        for i in range(NUM_PERMS)
-    ]
+
+    sig = [perm_min(i) for i in range(NUM_PERMS)]
     return (
         corpus.select("doc_id", tokens(F.col("text")).alias("t"))
         .select("doc_id", shingles(F.col("t")).alias("shingle_set"))
+        .select(
+            "doc_id",
+            "shingle_set",
+            F.transform(F.col("shingle_set"), lambda s: hash64(s)).alias("hs"),
+        )
         .select("doc_id", "shingle_set", *sig)
     )
 
@@ -180,7 +204,12 @@ def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
 
 def simhash(corpus: DataFrame) -> DataFrame:
     """48-bit SimHash fingerprint per doc: per-bit ±1 votes over token
-    hashes, assembled via explode + conditional sums (pure JVM exprs)."""
+    hashes, assembled via explode + conditional sums (pure JVM exprs).
+
+    The corpus is spread across all cores first: the tokenize → explode →
+    hash → 48-way partial-vote stage is the CPU hot spot and must not
+    inherit a narrow scan layout (a couple of parquet files)."""
+    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     tok = corpus.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     hashed = tok.select("doc_id", hash64(F.col("tok"), "simhash").alias("h"))
     votes = [
@@ -245,6 +274,11 @@ def ngram_jaccard_pairs(
     """EXACT n-gram Jaccard pairs within a blocking key — no LSH, no
     approximation: explode distinct shingles, self-join on (block,
     shingle), count shared, Jaccard from distinct-set sizes."""
+    # Spread the CPU-heavy tokenize/shingle/md5 map stage across all
+    # cores — a couple of parquet files would otherwise pin it to a
+    # couple of tasks (the shuffle moves raw text once; the stage it
+    # feeds does ~1000x that work).
+    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     sh = (
         corpus.select(
             "doc_id",
@@ -254,24 +288,39 @@ def ngram_jaccard_pairs(
         .select("doc_id", "block", shingles(F.col("t")).alias("shingle_set"))
         .withColumn("set_size", F.size("shingle_set"))
     )
+    # Bucket plan instead of a self-join: group postings by (block,
+    # shingle-hash) and emit ordered pairs from each bucket array-side.
+    # One shuffle of 8-byte hashed postings (vs two exchanges of both join
+    # sides), and singleton buckets — the vast majority of shingles —
+    # are dropped before any pair exists.  Joining on the 60-bit hash
+    # rather than the trigram text also shrinks the posting payload; the
+    # oracle applies the identical hash (collision odds at 2^60 ignorable).
     flat = sh.select(
         "doc_id", "block", "set_size", F.explode("shingle_set").alias("shingle")
+    ).select("doc_id", "block", "set_size", hash64(F.col("shingle")).alias("sh_h"))
+    buckets = (
+        flat.groupBy("block", "sh_h")
+        .agg(F.collect_list(F.struct("doc_id", "set_size")).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.array_sort("ds").alias("ds"))  # doc_a < doc_b by construction
     )
-    a = flat.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("set_size").alias("size_a"),
-        "block",
-        "shingle",
-    )
-    b = flat.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("set_size").alias("size_b"),
-        "block",
-        "shingle",
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    x["set_size"].alias("size_a"),
+                    y["doc_id"].alias("doc_b"),
+                    y["set_size"].alias("size_b"),
+                ),
+            ),
+        )
     )
     shared = (
-        a.join(b, ["block", "shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        buckets.select(F.explode(pair_arrays).alias("p"))
+        .select("p.*")
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )

@@ -52,8 +52,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_oracle() -> str:
     """Generate the DuckDB twin of operators/dedup.minhash_lsh_pairs from
     the same (NUM_PERMS, BAND_SIZE) parameters."""
+    # One md5 base hash per shingle, then affine integer permutations —
+    # mirrors _signature exactly (same PERM_A/PERM_B/MINHASH_P constants).
     mh_cols = ",\n           ".join(
-        f"list_min(list_transform(s, x -> {hash64_sql('x', str(i))})) AS mh{i}"
+        f"list_min(list_transform(hs, h -> "
+        f"({dd.PERM_A[i]} * (h % {dd.MINHASH_P}) + {dd.PERM_B[i]}) % {dd.MINHASH_P}"
+        f")) AS mh{i}"
         for i in range(dd.NUM_PERMS)
     )
     band_rows = "\n      UNION ALL\n      ".join(
@@ -70,9 +74,11 @@ def _minhash_oracle() -> str:
     WITH corpus AS ({dd.WITH_NEAR_DUPES_SQL}),
     toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM corpus),
     sh AS (SELECT doc_id, {shingles_sql('t')} AS s FROM toks),
+    hashed AS (SELECT doc_id, s, list_transform(s, x -> {hash64_sql('x')}) AS hs
+    FROM sh),
     sig AS (SELECT doc_id, s,
            {mh_cols}
-    FROM sh),
+    FROM hashed),
     bands AS (
       {band_rows}
     ),
@@ -154,13 +160,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS ({dd.WITH_NEAR_DUPES_SQL}),
     toks AS (SELECT doc_id, source, {tokens_sql('text')} AS t FROM corpus),
     sh AS (SELECT doc_id, source AS block, {shingles_sql('t')} AS s FROM toks),
-    flat AS (SELECT doc_id, block, len(s) AS set_size, unnest(s) AS shingle FROM sh),
+    flat AS (SELECT doc_id, block, len(s) AS set_size,
+                    unnest(list_transform(s, x -> {hash64_sql('x')})) AS sh_h
+             FROM sh),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.set_size AS size_a, b.set_size AS size_b,
              count(*) AS shared
       FROM flat a JOIN flat b
-        ON a.block = b.block AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ON a.block = b.block AND a.sh_h = b.sh_h AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4
     )
     SELECT doc_a, doc_b, jaccard FROM (
