@@ -31,7 +31,9 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from kafka_go_cardinality_spark.functions import as_double, cosine, dot, hash64
 
-ANN_PLANES = 12  # 2^12 buckets
+ANN_PLANES = 12  # 12-bit sign sketch
+ANN_BANDS = 3  # banded at 3x4 bits: candidates share ANY band
+ANN_BAND_BITS = ANN_PLANES // ANN_BANDS
 
 
 def cosine_topk(
@@ -99,16 +101,40 @@ def ann_sketch(vec_col, dim: int = 64):
 def ann_lsh_topk(
     embeddings: DataFrame, n_queries: int = 10, k: int = 5
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket; exact
-    cosine re-rank within bucket.  Rows-only (recall is probabilistic)."""
+    """Approximate top-k: candidates share ANY 4-bit band of the query's
+    12-bit sign sketch (banding trades precision for recall exactly as in
+    MinHash LSH — a full-sketch match is vanishingly rare for genuinely
+    near vectors at 12 planes); exact cosine re-rank over the banded
+    candidate union.  Rows-only (recall is probabilistic; floor asserted
+    vs the exact twin in tests).
+
+    Scale shape: candidate generation is an equi-join on (band, band
+    bits) — buckets shuffle ids + vectors once, no cross product
+    anywhere."""
     base = embeddings.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
-    ).withColumn("bucket", ann_sketch(F.col("v")))
-    queries = base.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    ).withColumn("sketch", ann_sketch(F.col("v")))
+    mask = (1 << ANN_BAND_BITS) - 1
+    banded = base.select(
+        "vec_id",
+        "v",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sketch", b * ANN_BAND_BITS).bitwiseAND(F.lit(mask))
+                    for b in range(ANN_BANDS)
+                ]
+            )
+        ).alias("band", "band_bits"),
     )
-    cands = queries.join(base, "bucket").filter(
-        F.col("query_id") != F.col("vec_id")
+    queries = banded.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "band", "band_bits"
+    )
+    cands = (
+        queries.join(banded, ["band", "band_bits"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "qv", "vec_id", "v")
+        .dropDuplicates(["query_id", "vec_id"])
     )
     scored = cands.select(
         "query_id",

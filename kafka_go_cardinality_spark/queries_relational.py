@@ -51,6 +51,27 @@ def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCAN_ROUNDTRIP_ORACLE = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+def _register_scan_format(fmt: str) -> None:
+    @query(f"q_scan_{fmt}", _SCAN_ROUNDTRIP_ORACLE)
+    def _scan(spark: SparkSession, sf_dir: str, fmt: str = fmt) -> DataFrame:
+        """[E1] Round-trip scan through a non-parquet format with an
+        EXPLICIT schema (inference costs a full extra pass at scale and
+        can flip types).  JSON/CSV are row formats — no pruning/pushdown;
+        ORC keeps the columnar properties."""
+        from kafka_go_cardinality_spark.sources.formats import scan_format
+
+        return scan_format(spark, sf_dir, fmt)
+
+
+for _fmt in ("json", "csv", "orc"):
+    _register_scan_format(_fmt)
+
+
 # --- E2: filter predicates ---------------------------------------------------
 
 

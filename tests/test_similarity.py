@@ -1,0 +1,53 @@
+"""ANN quality: the banded sign-LSH path must actually find near
+neighbors.  Everything is deterministic (md5-seeded hyperplanes, fixed
+fixtures), so the assertions are exact, not statistical."""
+
+from __future__ import annotations
+
+from kafka_go_cardinality_spark.operators import similarity as sim
+from kafka_go_cardinality_spark.sources import load_table
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+
+
+def test_ann_finds_planted_neighbors(spark, sf_dir):
+    """Vectors with a genuinely-near planted twin (cos ≈ 0.99) must
+    retrieve it through the banded LSH — this is the recall property that
+    matters for near-dup detection; recall on random near-orthogonal
+    vectors is meaningless by comparison."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = sim.with_planted_neighbors(emb).select("vec_id", "embedding")
+    res = sim.ann_lsh_topk(corpus, n_queries=56, k=5)
+    got = {(r.query_id, r.neighbor_id) for r in res.collect()}
+    planted = [i for i in range(56) if i % 11 == 0]
+    assert all((q, q + 1_000_000) in got for q in planted)
+
+
+def test_ann_overlaps_exact_topk(spark, sf_dir):
+    """On the raw corpus the banded candidates still overlap the exact
+    top-k meaningfully (single-bucket LSH at 12 planes returned ~nothing
+    — recall floor pins the banding)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["q_sim_cosine_topk"](spark, sf_dir).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["q_sim_ann_lsh"](spark, sf_dir).collect()
+    }
+    assert len(ann) == len(exact)  # k rows per query either way
+    assert len(exact & ann) / len(exact) >= 0.10
+
+
+def test_ann_scores_match_exact_for_shared_pairs(spark, sf_dir):
+    """Re-ranking is exact: any (query, neighbor) the ANN shares with the
+    brute-force twin carries the identical rounded cosine."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in QUERIES["q_sim_cosine_topk"](spark, sf_dir).collect()
+    }
+    for r in QUERIES["q_sim_ann_lsh"](spark, sf_dir).collect():
+        if (r.query_id, r.neighbor_id) in exact:
+            assert r.cos == exact[(r.query_id, r.neighbor_id)]
