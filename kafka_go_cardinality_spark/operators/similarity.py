@@ -151,6 +151,87 @@ def ann_lsh_topk(
     )
 
 
+IVF_CENTROIDS = 16
+IVF_PROBES = 4
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize every vector to its
+    nearest centroid, then each query searches only its ``n_probe``
+    closest centroid cells with exact cosine re-ranking.
+
+    Centroid 'training' here is deterministic seeding (the first
+    ``n_centroids`` vectors by id) — a production build trains them
+    offline (k-means on a sample) and ships them exactly the same way:
+    as a broadcast-sized literal.  Everything downstream is the real IVF
+    plan shape:
+
+    - cell assignment is a map-side argmax over a tiny literal array —
+      no shuffle, no UDF;
+    - the corpus shuffles ONCE keyed by cell id (the inverted file);
+    - a query touches n_probe/n_centroids of the corpus instead of all
+      of it — the recall/cost dial IVF exists for.
+
+    Rows-only (recall < 1 by construction); planted-recall floor pinned
+    in tests like the LSH variant.
+    """
+    base = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    seeds = base.filter(F.col("vec_id") < n_centroids).collect()
+    cents = [
+        F.array(*[F.lit(float(x)) for x in row["v"]])
+        for row in sorted(seeds, key=lambda r: r["vec_id"])
+    ]
+    # cos(v, c_i) for every centroid, as one array column; cells are
+    # argmax (ties broken toward the lower centroid id by array_position
+    # returning the first match).
+    cos_arr = F.array(*[cosine(F.col("v"), c) for c in cents])
+    with_cell = base.withColumn(
+        "cell", (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
+    )
+    # Queries keep their n_probe best cells: sort (cos, idx) structs desc.
+    ranked = F.reverse(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(c.alias("cos"), F.lit(i).cast("int").alias("cell"))
+                    for i, c in enumerate(
+                        [cosine(F.col("v"), c) for c in cents]
+                    )
+                ]
+            )
+        )
+    )
+    probes = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    cands = probes.join(with_cell, "cell").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 def with_planted_neighbors(embeddings: DataFrame) -> DataFrame:
     """Corpus ∪ perturbed copies of every 11th vector (id+1_000_000,
     +0.25 on the first component, double space) — guarantees non-trivial

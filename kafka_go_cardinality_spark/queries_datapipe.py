@@ -239,6 +239,14 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(_emb(spark, sf_dir))
 
 
+@query("q_sim_ann_ivf", oracle=None)  # probabilistic recall: rows-only
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E21] IVF ANN: deterministic coarse centroids, map-side cell
+    assignment, n_probe-of-n_centroids search with exact re-rank — the
+    partition-the-corpus scale path next to the LSH-bucketed one."""
+    return sim.ivf_topk(_emb(spark, sf_dir))
+
+
 @query("q_sim_ann_lsh", oracle=None)  # probabilistic recall: rows-only
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E21] Sign-random-projection LSH ANN: 12 deterministic hyperplanes

@@ -25,6 +25,32 @@ def test_ann_finds_planted_neighbors(spark, sf_dir):
     assert all((q, q + 1_000_000) in got for q in planted)
 
 
+def test_ivf_finds_planted_neighbors(spark, sf_dir):
+    """The IVF path must also retrieve genuinely-near planted twins: a
+    near-identical vector lands in the same (or a probed) centroid
+    cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = sim.with_planted_neighbors(emb).select("vec_id", "embedding")
+    res = sim.ivf_topk(corpus, n_queries=56, k=5)
+    got = {(r.query_id, r.neighbor_id) for r in res.collect()}
+    planted = [i for i in range(56) if i % 11 == 0]
+    assert all((q, q + 1_000_000) in got for q in planted)
+
+
+def test_ivf_overlaps_exact_topk(spark, sf_dir):
+    """Probing 4/16 cells must still capture a meaningful share of the
+    exact top-k on the raw corpus."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["q_sim_cosine_topk"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["q_sim_ann_ivf"](spark, sf_dir).collect()
+    }
+    assert len(exact & ivf) / len(exact) >= 0.25
+
+
 def test_ann_overlaps_exact_topk(spark, sf_dir):
     """On the raw corpus the banded candidates still overlap the exact
     top-k meaningfully (single-bucket LSH at 12 planes returned ~nothing
