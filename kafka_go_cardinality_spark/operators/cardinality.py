@@ -38,10 +38,14 @@ from pyspark.sql import Column, DataFrame, functions as F
 # "_count" suffix which we keep in the output `type` column.
 GRAINS = ("minute", "day", "week", "month", "year")
 
-# rsd 0.008 ≈ the reference's HLL precision-14 theoretical rsd of 0.81%
-# (1.04 / sqrt(2^14)); Spark's default rsd=0.05 would be far looser than the
-# README's "<1%" claim (/root/reference/README.md:4).
-REFERENCE_RSD = 0.008
+# The reference sketch is HLL precision 14 — 16,384 registers, theoretical
+# rsd 1.04/sqrt(2^14) ≈ 0.81% (processor.go:80 via axiomhq's New();
+# /root/reference/README.md:4 claims "<1%").  Spark derives precision from
+# rsd as p = ceil(2·log2(1.106/rsd)): rsd=0.01 → p=14, the exact same
+# register count.  (0.008 would round UP to p=15 — double the sketch bytes
+# shuffled per group for precision the reference never had; Spark's default
+# rsd=0.05 → p=9 would be far looser than the README's claim.)
+REFERENCE_RSD = 0.01
 
 
 def _window_start(ts: Column, grain: str) -> Column:

@@ -63,12 +63,39 @@ def _wire_dir(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+# ~32 MiB of wire input per state-store partition.  A streaming query's
+# state partition count is frozen at the first checkpoint and every
+# micro-batch pays a per-partition state commit, so it must be sized to
+# the job like shuffle.partitions on a batch job: 32 partitions over a
+# 3 MiB replay spends 5× longer committing empty state files than
+# computing; the same formula puts a 100 TB topic at ~3M partitions'
+# worth of work spread over maxFilesPerTrigger-sized batches.
+_WIRE_BYTES_PER_STATE_PARTITION = 32 << 20
+
+
+def _state_partitions(wire_path: str, ceiling: int) -> int:
+    total = sum(
+        e.stat().st_size
+        for e in os.scandir(wire_path)
+        if e.name.startswith("part-")
+    )
+    return max(1, min(ceiling, -(-total // _WIRE_BYTES_PER_STATE_PARTITION)))
+
+
 def _replay(
     spark: SparkSession, sf_dir: str, build, prefix: str, output_mode: str = "complete"
 ) -> DataFrame:
-    parsed = parse_user_events(file_user_source(spark, _wire_dir(spark, sf_dir)))
-    table = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    replay_to_memory(build(parsed), table, output_mode=output_mode)
+    wire = _wire_dir(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # Read at query start (stream planning has no AQE to coalesce later);
+    # restored after the blocking replay finishes.
+    spark.conf.set("spark.sql.shuffle.partitions", str(_state_partitions(wire, int(prev))))
+    try:
+        parsed = parse_user_events(file_user_source(spark, wire))
+        table = f"{prefix}_{uuid.uuid4().hex[:8]}"
+        replay_to_memory(build(parsed), table, output_mode=output_mode)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(table)
 
 
