@@ -120,6 +120,38 @@ def grain_fanout(events: DataFrame, exact: bool = True) -> DataFrame:
     )
 
 
+def sketch_rollup(events: DataFrame, lg_k: int = 14) -> DataFrame:
+    """Re-mergeable sketch tables — the 100 TB pattern the reference's
+    in-memory sketches (processor.go:80-82) cannot do: persist one
+    DataSketches HLL per fine window, then answer ANY coarser window by
+    merging sketches, never re-reading raw uids.
+
+    ``hll_sketch_agg`` (Spark 3.5+, Apache DataSketches) differs from
+    ``approx_count_distinct``'s HLL++ in one crucial way: its binary
+    sketches are first-class column values that ``hll_union_agg`` can
+    re-merge later.  A daily job at 100 TB materializes ~16 KiB per
+    (day) group; month/quarter/year rollups then cost a scan of KiB-sized
+    sketches instead of the raw table.  ``lg_k=14`` matches the
+    reference's 2^14 registers (processor.go:80 via axiomhq New()).
+
+    Output: month-grain StatMsg rows computed by merging day sketches.
+    """
+    daily = (
+        events.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.col("user_id").cast("string").alias("uid"),
+        )
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("uid", lg_k).alias("sk"))
+    )
+    return (
+        daily.select(F.date_trunc("month", "day").cast("long").alias("timestamp"), "sk")
+        .groupBy("timestamp")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("value"))
+        .select(F.lit("month_count").alias("type"), "timestamp", "value")
+    )
+
+
 def stats_shape(events: DataFrame) -> DataFrame:
     """[CORE C8] Output-projection shape check: day-grain exact counts
     projected into the StatMsg envelope {type, timestamp, value}

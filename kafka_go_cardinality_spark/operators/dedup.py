@@ -210,7 +210,12 @@ def simhash(corpus: DataFrame) -> DataFrame:
     hash → 48-way partial-vote stage is the CPU hot spot and must not
     inherit a narrow scan layout (a couple of parquet files)."""
     corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-    tok = corpus.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    # explode_outer: stops InferFiltersFromGenerate pushing a
+    # size(split(...))>0 re-tokenization below the repartition (see
+    # ngram_jaccard_pairs for the measured cost of that pattern).
+    tok = corpus.select(
+        "doc_id", F.explode_outer(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isNotNull())
     hashed = tok.select("doc_id", hash64(F.col("tok"), "simhash").alias("h"))
     votes = [
         F.sum(
@@ -295,9 +300,19 @@ def ngram_jaccard_pairs(
     # are dropped before any pair exists.  Joining on the 60-bit hash
     # rather than the trigram text also shrinks the posting payload; the
     # oracle applies the identical hash (collision odds at 2^60 ignorable).
-    flat = sh.select(
-        "doc_id", "block", "set_size", F.explode("shingle_set").alias("shingle")
-    ).select("doc_id", "block", "set_size", hash64(F.col("shingle")).alias("sh_h"))
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # `size(shingle_set) > 0` filter (InferFiltersFromGenerate) that gets
+    # pushed below the repartition to the scan, re-running the whole
+    # tokenize→shingle expression per row at scan parallelism — measured
+    # 2× the entire stage.  outer + null-filter is semantically identical
+    # here and cannot be pushed below the Generate.
+    flat = (
+        sh.select(
+            "doc_id", "block", "set_size", F.explode_outer("shingle_set").alias("shingle")
+        )
+        .filter(F.col("shingle").isNotNull())
+        .select("doc_id", "block", "set_size", hash64(F.col("shingle")).alias("sh_h"))
+    )
     buckets = (
         flat.groupBy("block", "sh_h")
         .agg(F.collect_list(F.struct("doc_id", "set_size")).alias("ds"))
@@ -318,8 +333,11 @@ def ngram_jaccard_pairs(
             ),
         )
     )
+    # explode_outer for the same reason as `flat` above: the inferred
+    # size()>0 filter would re-enumerate every bucket's pair array twice.
     shared = (
-        buckets.select(F.explode(pair_arrays).alias("p"))
+        buckets.select(F.explode_outer(pair_arrays).alias("p"))
+        .filter(F.col("p").isNotNull())
         .select("p.*")
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("shared"))

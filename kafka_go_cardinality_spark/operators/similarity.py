@@ -207,13 +207,15 @@ def ivf_topk(
             )
         )
     )
+    # explode_outer: plain explode lets Catalyst infer a size()>0 filter
+    # that duplicates the full 16-struct centroid ranking per row.
     probes = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
-        F.explode(
+        F.explode_outer(
             F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])
         ).alias("cell"),
-    )
+    ).filter(F.col("cell").isNotNull())
     cands = probes.join(with_cell, "cell").filter(
         F.col("query_id") != F.col("vec_id")
     )

@@ -13,6 +13,7 @@ from kafka_go_cardinality_spark.operators.cardinality import (
     GRAINS,
     cardinality,
     grain_fanout,
+    sketch_rollup,
     stats_shape,
 )
 from kafka_go_cardinality_spark.queries import query
@@ -42,8 +43,8 @@ def _register_grain(grain: str) -> None:
 
     @query(f"q_card_{grain}_approx", oracle=None)  # approx: rows-only by design
     def _approx(spark: SparkSession, sf_dir: str, grain: str = grain) -> DataFrame:
-        """HLL++ estimate at rsd=0.008 ≈ the reference's precision-14 sketch
-        (/root/reference/processor/processor.go:80)."""
+        """HLL++ estimate at rsd=0.01 → precision 14, the reference's exact
+        sketch size (/root/reference/processor/processor.go:80)."""
         return cardinality(_events(spark, sf_dir), grain, exact=False)
 
 
@@ -66,6 +67,16 @@ def q_grain_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[CORE C4] 1→5 grain multiplex as ONE shuffle via explode
     (/root/reference/processor/processor.go:60-75)."""
     return grain_fanout(_events(spark, sf_dir), exact=True)
+
+
+@query("q_card_sketch_rollup", oracle=None)  # sketch estimates: rows-only
+def q_card_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[CORE C6 scale path] Month counts by MERGING persisted day sketches
+    (hll_sketch_agg → hll_union_agg) — re-aggregable sketch tables, the
+    capability the reference's closure-held sketches lack
+    (/root/reference/processor/processor.go:80-82).  Accuracy vs the exact
+    month counts is pinned in tests/test_accuracy.py."""
+    return sketch_rollup(_events(spark, sf_dir))
 
 
 @query(

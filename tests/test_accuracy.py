@@ -20,3 +20,24 @@ def test_approx_within_two_percent_of_exact(spark, sf_dir, grain):
     err = cardinality_error_bound(load_table(spark, sf_dir, "events"), grain)
     worst = err.agg(F.max("rel_err").alias("m")).collect()[0]["m"]
     assert worst is not None and worst <= 0.02, f"{grain}: worst rel_err {worst}"
+
+
+def test_sketch_rollup_matches_exact_months(spark, sf_dir):
+    """Merging day sketches (hll_union_agg) must estimate month
+    cardinality within 2% of the exact count — the re-aggregability
+    guarantee the persisted-sketch path is built on."""
+    from kafka_go_cardinality_spark.operators.cardinality import (
+        cardinality,
+        sketch_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    exact = cardinality(events, "month", exact=True).select(
+        "timestamp", F.col("value").alias("exact")
+    )
+    rolled = sketch_rollup(events).select("timestamp", F.col("value").alias("est"))
+    err = exact.join(rolled, "timestamp", "full").select(
+        (F.abs(F.col("est") - F.col("exact")) / F.col("exact")).alias("rel_err")
+    )
+    worst = err.agg(F.max("rel_err")).collect()[0][0]
+    assert worst is not None and worst <= 0.02, f"worst rel_err {worst}"
