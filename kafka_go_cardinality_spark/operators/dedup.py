@@ -150,8 +150,16 @@ def _signature(corpus: DataFrame) -> DataFrame:
 
 def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Near-dup pairs via MinHash LSH: band-bucket candidates, then exact
-    Jaccard verification.  Output: (doc_a, doc_b, jaccard) with a < b."""
-    sig = _signature(corpus)
+    Jaccard verification.  Output: (doc_a, doc_b, jaccard) with a < b.
+
+    The signature frame is persisted before use: it feeds FOUR plan
+    branches (both sides of the band self-join, both re-attachment joins),
+    and without a cache boundary Spark recomputes the md5-per-shingle
+    signature stage — the dominant cost — once per branch and compiles its
+    codegen unit once per branch.  One materialization of (doc_id,
+    shingles, 16 longs) is strictly smaller than the corpus and is the
+    standard shape for persisted LSH signature tables at scale."""
+    sig = _signature(corpus).persist()
     sets = sig.select("doc_id", "shingle_set")
     # Candidate generation shuffles (band, band_hash, doc_id) ONLY — at
     # 100 TB the shingle sets (i.e. the documents) must never ride the
@@ -238,8 +246,14 @@ def simhash(corpus: DataFrame) -> DataFrame:
 def simhash_pairs(corpus: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
     Banded equi-join (4×12-bit keys) keeps recall exact for ≤3 by
-    pigeonhole while avoiding the all-pairs cross product."""
-    fp = simhash(corpus)
+    pigeonhole while avoiding the all-pairs cross product.
+
+    The fingerprint frame (doc_id + one long — tiny at any scale) is
+    persisted first: both sides of the band self-join consume it, and
+    without the cache boundary the 48-sum vote aggregate runs twice AND
+    its very large generated-code unit JIT-compiles twice (measured: the
+    double compile alone costs more than the whole warm query)."""
+    fp = simhash(corpus).persist()
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = fp.select(
         "doc_id",

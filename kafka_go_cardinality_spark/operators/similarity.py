@@ -111,9 +111,14 @@ def ann_lsh_topk(
     Scale shape: candidate generation is an equi-join on (band, band
     bits) — buckets shuffle ids + vectors once, no cross product
     anywhere."""
-    base = embeddings.select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    ).withColumn("sketch", ann_sketch(F.col("v")))
+    base = (
+        embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .withColumn("sketch", ann_sketch(F.col("v")))
+        # Persisted: the banded frame below feeds both sides of the
+        # candidate self-join; without the cache boundary the 12-plane
+        # projection runs (and its codegen compiles) once per side.
+        .persist()
+    )
     mask = (1 << ANN_BAND_BITS) - 1
     banded = base.select(
         "vec_id",
@@ -187,36 +192,42 @@ def ivf_topk(
         F.array(*[F.lit(float(x)) for x in row["v"]])
         for row in sorted(seeds, key=lambda r: r["vec_id"])
     ]
-    # cos(v, c_i) for every centroid, as one array column; cells are
-    # argmax (ties broken toward the lower centroid id by array_position
-    # returning the first match).
+    # cos(v, c_i) for every centroid, computed ONCE into a materialized
+    # array column that cell assignment AND probe ranking both read.  The
+    # 16×64 literal-centroid expression tree is the largest codegen unit
+    # in the module; persisting `scored_cells` keeps it to one compile +
+    # one pass (it previously appeared in three plan branches), while the
+    # assignment itself stays a map-side argmax — no shuffle, no 16×
+    # corpus blowup from a centroid cross-join.
     cos_arr = F.array(*[cosine(F.col("v"), c) for c in cents])
-    with_cell = base.withColumn(
-        "cell", (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
+    scored_cells = base.select("vec_id", "v", cos_arr.alias("ca")).persist()
+    with_cell = scored_cells.select(
+        "vec_id",
+        "v",
+        (F.array_position(F.col("ca"), F.array_max("ca")) - 1).cast("int").alias("cell"),
     )
-    # Queries keep their n_probe best cells: sort (cos, idx) structs desc.
+    # Queries keep their n_probe best cells: sort (cos, idx) structs desc
+    # (two-arg transform binds (element, index) — rebuilds nothing).
     ranked = F.reverse(
         F.array_sort(
-            F.array(
-                *[
-                    F.struct(c.alias("cos"), F.lit(i).cast("int").alias("cell"))
-                    for i, c in enumerate(
-                        [cosine(F.col("v"), c) for c in cents]
-                    )
-                ]
+            F.transform(
+                F.col("ca"),
+                lambda c, i: F.struct(c.alias("cos"), i.cast("int").alias("cell")),
             )
         )
     )
     # explode_outer: plain explode lets Catalyst infer a size()>0 filter
     # that duplicates the full 16-struct centroid ranking per row.
-    probes = base.filter(F.col("vec_id") < n_queries).select(
+    probes = scored_cells.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.explode_outer(
             F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])
         ).alias("cell"),
     ).filter(F.col("cell").isNotNull())
-    cands = probes.join(with_cell, "cell").filter(
+    # Probe rows number n_queries×n_probe — broadcast them so the
+    # corpus-sized inverted file never shuffles for the candidate join.
+    cands = F.broadcast(probes).join(with_cell, "cell").filter(
         F.col("query_id") != F.col("vec_id")
     )
     scored = cands.select(
@@ -272,8 +283,10 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked on ``label`` —
     exact within blocks.  Blocking is the scale lever: the self-join
-    shuffles on label, never cross-block."""
-    aug = with_planted_neighbors(embeddings)
+    shuffles on label, never cross-block.  The augmented corpus is
+    persisted so both join sides read one materialization instead of
+    re-running the plant-mutants union per side."""
+    aug = with_planted_neighbors(embeddings).persist()
     a = aug.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "label"
     )
