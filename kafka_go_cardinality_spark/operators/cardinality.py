@@ -120,6 +120,38 @@ def grain_fanout(events: DataFrame, exact: bool = True) -> DataFrame:
     )
 
 
+def salted_exact_cardinality(
+    events: DataFrame, grain: str, buckets: int = 16
+) -> DataFrame:
+    """Skew-proof EXACT distinct count: salt on ``hash(user_id) % buckets``.
+
+    A plain ``count(distinct)`` shuffles every distinct key of a group to
+    one reducer — a single hot window (one day holding half of 100 TB's
+    events) serializes on one task.  Salting by a hash OF THE COUNTED
+    COLUMN keeps the count decomposable: each distinct uid lands in
+    exactly one salt bucket, so per-(window, salt) distinct counts sum to
+    the true distinct count, and the hot window's work spreads over
+    ``buckets`` reducers.  Identical semantics to ``cardinality(exact=True)``
+    — same DuckDB oracle — with a plan that survives skew the reference
+    (single process, processor.go:80) could never see.
+    """
+    if grain not in GRAINS:
+        raise ValueError(f"unknown grain {grain!r}; expected one of {GRAINS}")
+    salted = events.select(
+        _window_start(F.col("ts"), grain).alias("timestamp"),
+        "user_id",
+        F.pmod(F.xxhash64("user_id"), F.lit(buckets)).alias("salt"),
+    )
+    partial = salted.groupBy("timestamp", "salt").agg(
+        F.count_distinct("user_id").alias("partial_value")
+    )
+    return (
+        partial.groupBy("timestamp")
+        .agg(F.sum("partial_value").alias("value"))
+        .select(F.lit(f"{grain}_count").alias("type"), "timestamp", "value")
+    )
+
+
 def sketch_rollup(events: DataFrame, lg_k: int = 14) -> DataFrame:
     """Re-mergeable sketch tables — the 100 TB pattern the reference's
     in-memory sketches (processor.go:80-82) cannot do: persist one

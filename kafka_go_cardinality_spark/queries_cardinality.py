@@ -13,6 +13,7 @@ from kafka_go_cardinality_spark.operators.cardinality import (
     GRAINS,
     cardinality,
     grain_fanout,
+    salted_exact_cardinality,
     sketch_rollup,
     stats_shape,
 )
@@ -67,6 +68,15 @@ def q_grain_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[CORE C4] 1→5 grain multiplex as ONE shuffle via explode
     (/root/reference/processor/processor.go:60-75)."""
     return grain_fanout(_events(spark, sf_dir), exact=True)
+
+
+@query("q_card_day_exact_salted", _card_oracle("day"))
+def q_card_day_exact_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[CORE C6 skew path] Exact day-grain distinct counts via two-phase
+    salted aggregation — hash-of-uid salt keeps count(distinct)
+    decomposable, spreading a hot window over 16 reducers.  Same oracle as
+    q_card_day_exact: the salt changes the plan, never the answer."""
+    return salted_exact_cardinality(_events(spark, sf_dir), "day")
 
 
 @query("q_card_sketch_rollup", oracle=None)  # sketch estimates: rows-only
