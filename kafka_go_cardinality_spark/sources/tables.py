@@ -51,3 +51,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table keyed by name."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int,
+    path: str | None = None,
+) -> None:
+    """Materialize a table bucketed (and sorted) on a join key.
+
+    Bucketing is the pre-shuffle trade: pay one hash-partitioned write, and
+    every later equi-join or aggregation on ``bucket_col`` between tables
+    bucketed to the same ``num_buckets`` runs with ZERO exchanges — Spark's
+    scan reports the bucket spec as its output partitioning, so
+    ``EnsureRequirements`` inserts no shuffle (sortBy additionally enables
+    in-scan sort order for engines/flags that consume it; vanilla Spark
+    keeps cheap in-partition sorts — SPARK-28632).  At 100 TB this converts the
+    nightly fact⋈dim join from two full-table shuffles into a co-located
+    map-side merge.  (The reference has no storage at all —
+    /root/reference/README.md:5 — so this entire axis is extension
+    surface.)  Shuffle-free-ness is pinned in tests/test_plans.py.
+    """
+    # One file per bucket: Spark only trusts bucket-sort metadata (and can
+    # drop the SMJ's sorts) when a bucket is a single file; repartitioning
+    # on the bucket column puts each bucket's rows in exactly one task.
+    writer = (
+        df.repartition(num_buckets, F.col(bucket_col))
+        .write.mode("overwrite")
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)

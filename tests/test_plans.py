@@ -120,3 +120,39 @@ def test_minhash_lsh_join_sheds_payload(spark, sf_dir):
 def test_entry_plan_is_aggregating(spark):
     plan = plan_string(entry_mod.entry(spark), mode="simple")
     assert "approx_count_distinct" in plan and "count" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Bucketing both join sides on the key to the same bucket count must
+    yield a join with ZERO exchanges — the pre-shuffled co-located join
+    that turns the nightly fact join at 100 TB into a map-side merge.
+    (In-partition Sorts remain: since SPARK-28632 the scan does not
+    propagate bucket-sort order unless the legacy flag is set; the
+    exchange elimination is the scale-relevant property.)"""
+    from pyspark.sql import functions as F
+
+    from kafka_go_cardinality_spark.plans.inspect import plan_string
+    from kafka_go_cardinality_spark.sources import load_table, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    write_bucketed(orders, "orders_by_cust", "o_custkey", 8, path=str(tmp_path / "o"))
+    write_bucketed(cust, "customer_by_key", "c_custkey", 8, path=str(tmp_path / "c"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        joined = spark.table("orders_by_cust").join(
+            spark.table("customer_by_key"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        assert count_exchanges(joined) == 0, plan_string(joined, mode="simple")
+        plan = plan_string(joined, mode="simple")
+        assert "SortMergeJoin" in plan, plan
+        # same answer as the plain (shuffled) join
+        assert joined.count() == orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_by_cust")
+        spark.sql("DROP TABLE IF EXISTS customer_by_key")
