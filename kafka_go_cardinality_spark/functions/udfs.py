@@ -56,28 +56,43 @@ def top_order_per_customer(orders: DataFrame) -> DataFrame:
     Equivalent SQL: QUALIFY row_number() OVER (...) = 1; expressed as a
     grouped-map UDF deliberately, to exercise the per-group pandas path.
 
-    Scale note: ``applyInPandas`` shuffles each group to one task; groups
-    here are per-customer (millions of small groups at 100 TB) — the safe
-    shape.  The anti-pattern is few huge groups; for those, pre-aggregate
-    JVM-side first.
+    Scale note: grouping ``applyInPandas`` directly by customer would make
+    one Python call per customer — per-call overhead (Arrow slice, pandas
+    construction, function dispatch) dominates when groups are tiny, and at
+    100 TB that is millions of wasted round-trips.  Instead we group by a
+    COARSE hash chunk of the customer key (customers are disjoint across
+    chunks, so per-customer results stay exact) and resolve all customers in
+    a chunk with one vectorized pandas pass.  Same trick works for any
+    per-key Python operator over high-cardinality keys.
     """
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
-        # numpy lexsort beats pandas sort_values ~5x on tiny groups — with
-        # ~1 group per customer the per-call constant IS the runtime.
-        i = np.lexsort((pdf["o_orderkey"].to_numpy(), -pdf["o_totalprice"].to_numpy()))[0]
-        return pdf.iloc[i : i + 1]
+        # One vectorized pass for every customer in the chunk: total order
+        # (custkey, price DESC, orderkey ASC), then first row per customer.
+        i = np.lexsort(
+            (
+                pdf["o_orderkey"].to_numpy(),
+                -pdf["o_totalprice"].to_numpy(),
+                pdf["o_custkey"].to_numpy(),
+            )
+        )
+        ordered = pdf.iloc[i]
+        return ordered[~ordered["o_custkey"].duplicated().to_numpy()]
 
     # Project BEFORE the grouped-map: applyInPandas ships every input
     # column through Arrow; pruning to the 3 needed columns shrinks the
     # shuffle and the Python-side transfer alike.
     pruned = orders.select("o_custkey", "o_orderkey", "o_totalprice")
-    # Explicit repartition by the group key: AQE coalesces shuffles by
-    # BYTES, which is the wrong target for a Python-CPU-bound stage — it
-    # would serialize tens of thousands of per-group calls onto a couple
-    # of workers.  An explicit partition count is exempt from coalescing
-    # and keeps one Python worker per core busy.
-    n = orders.sparkSession.sparkContext.defaultParallelism
-    return pruned.repartition(n, "o_custkey").groupBy("o_custkey").applyInPandas(
-        pick, schema="o_custkey long, o_orderkey long, o_totalprice double"
+    # Chunk count = a few groups per core: enough for parallelism and AQE
+    # skew handling, few enough that each Python call amortizes its
+    # constant over thousands of customers.
+    n = orders.sparkSession.sparkContext.defaultParallelism * 4
+    chunked = pruned.withColumn("chunk", F.pmod(F.xxhash64("o_custkey"), F.lit(n)))
+    return (
+        chunked.groupBy("chunk")
+        .applyInPandas(
+            pick,
+            schema="o_custkey long, o_orderkey long, o_totalprice double, chunk long",
+        )
+        .drop("chunk")
     )
