@@ -84,3 +84,18 @@ def dot(a: Column, b: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def norm(a: Column) -> Column:
+    """sqrt(a . a) — precompute per VECTOR so an N^2 pair join folds one
+    dot per pair instead of three; ``dot(a,b) / (norm_a * norm_b)`` is
+    the same IEEE ops in the same order as ``cosine``, so oracle
+    bit-equality is preserved."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine_pre(dot_ab: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from a pair dot and two precomputed norms — bit-identical
+    to ``cosine`` (hoisting sqrt(dot(a,a)) out of the pair expression
+    changes evaluation site, not arithmetic)."""
+    return dot_ab / (norm_a * norm_b)

@@ -27,9 +27,18 @@ bit-identical to DuckDB's ``list_cosine_similarity`` on DOUBLE[].
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
-from kafka_go_cardinality_spark.functions import as_double, cosine, dot, hash64
+from kafka_go_cardinality_spark.functions import (
+    as_double,
+    cosine,
+    cosine_pre,
+    dot,
+    hash64,
+    norm,
+)
 
 ANN_PLANES = 12  # 12-bit sign sketch
 ANN_BANDS = 3  # banded at 3x4 bits: candidates share ANY band
@@ -41,19 +50,26 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k: the first ``n_queries`` vectors by
     id each retrieve their k nearest neighbors (self excluded)."""
+    # Norms are computed per VECTOR below the join (the project stays
+    # under the join operator, so each side folds its own norm once);
+    # the per-pair expression is then a single dot + divide instead of
+    # three folds — same IEEE ops in the same order, so the DuckDB
+    # oracle still matches bit-for-bit.
     queries = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
-    )
+    ).select("query_id", "qv", norm(F.col("qv")).alias("qn"))
     corpus = embeddings.select(
         F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("cv")
-    )
+    ).select("neighbor_id", "cv", norm(F.col("cv")).alias("cn"))
     pairs = F.broadcast(queries).crossJoin(corpus).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        cosine_pre(
+            dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -114,15 +130,18 @@ def ann_lsh_topk(
     base = (
         embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
         .withColumn("sketch", ann_sketch(F.col("v")))
+        .withColumn("nrm", norm(F.col("v")))
         # Persisted: the banded frame below feeds both sides of the
         # candidate self-join; without the cache boundary the 12-plane
         # projection runs (and its codegen compiles) once per side.
+        # The norm rides along so the re-rank folds one dot per pair.
         .persist()
     )
     mask = (1 << ANN_BAND_BITS) - 1
     banded = base.select(
         "vec_id",
         "v",
+        "nrm",
         F.posexplode(
             F.array(
                 *[
@@ -133,18 +152,24 @@ def ann_lsh_topk(
         ).alias("band", "band_bits"),
     )
     queries = banded.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "band", "band_bits"
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "band",
+        "band_bits",
     )
     cands = (
         queries.join(banded, ["band", "band_bits"])
         .filter(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", "qv", "vec_id", "v")
+        .select("query_id", "qv", "qn", "vec_id", "v", "nrm")
         .dropDuplicates(["query_id", "vec_id"])
     )
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine(F.col("qv"), F.col("v")).alias("cos"),
+        cosine_pre(
+            dot(F.col("qv"), F.col("v")), F.col("qn"), F.col("nrm")
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -188,10 +213,19 @@ def ivf_topk(
     """
     base = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
     seeds = base.filter(F.col("vec_id") < n_centroids).collect()
-    cents = [
-        F.array(*[F.lit(float(x)) for x in row["v"]])
-        for row in sorted(seeds, key=lambda r: r["vec_id"])
-    ]
+    seed_vecs = [row["v"] for row in sorted(seeds, key=lambda r: r["vec_id"])]
+    cents = [F.array(*[F.lit(float(x)) for x in vec]) for vec in seed_vecs]
+    # Centroid norms are driver-side constants (same sequential
+    # fold-then-sqrt as functions.norm, so identical doubles); the row
+    # norm folds once instead of once per centroid — 16 dots per row for
+    # cell scoring, not 48 folds.
+    def _seq_norm(vec):
+        acc = 0.0
+        for x in vec:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    cent_norms = [_seq_norm(vec) for vec in seed_vecs]
     # cos(v, c_i) for every centroid, computed ONCE into a materialized
     # array column that cell assignment AND probe ranking both read.  The
     # 16×64 literal-centroid expression tree is the largest codegen unit
@@ -199,11 +233,22 @@ def ivf_topk(
     # one pass (it previously appeared in three plan branches), while the
     # assignment itself stays a map-side argmax — no shuffle, no 16×
     # corpus blowup from a centroid cross-join.
-    cos_arr = F.array(*[cosine(F.col("v"), c) for c in cents])
-    scored_cells = base.select("vec_id", "v", cos_arr.alias("ca")).persist()
+    nrm_col = norm(F.col("v"))
+    cos_arr = F.array(
+        *[
+            cosine_pre(dot(F.col("v"), c), F.col("nrm"), F.lit(cn))
+            for c, cn in zip(cents, cent_norms)
+        ]
+    )
+    scored_cells = (
+        base.select("vec_id", "v", nrm_col.alias("nrm"))
+        .select("vec_id", "v", "nrm", cos_arr.alias("ca"))
+        .persist()
+    )
     with_cell = scored_cells.select(
         "vec_id",
         "v",
+        "nrm",
         (F.array_position(F.col("ca"), F.array_max("ca")) - 1).cast("int").alias("cell"),
     )
     # Queries keep their n_probe best cells: sort (cos, idx) structs desc
@@ -221,6 +266,7 @@ def ivf_topk(
     probes = scored_cells.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
         F.explode_outer(
             F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])
         ).alias("cell"),
@@ -233,7 +279,9 @@ def ivf_topk(
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine(F.col("qv"), F.col("v")).alias("cos"),
+        cosine_pre(
+            dot(F.col("qv"), F.col("v")), F.col("qn"), F.col("nrm")
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -286,12 +334,26 @@ def embedding_neardup_pairs(
     shuffles on label, never cross-block.  The augmented corpus is
     persisted so both join sides read one materialization instead of
     re-running the plant-mutants union per side."""
-    aug = with_planted_neighbors(embeddings).persist()
+    # Norm lands INSIDE the persisted frame: one fold per vector at
+    # materialization, so the O(N^2/blocks) pair projection is a single
+    # dot + divide — 3x less fold work on the quadratic path, identical
+    # doubles (see functions.cosine_pre).
+    aug = (
+        with_planted_neighbors(embeddings)
+        .withColumn("nrm", norm(F.col("embedding")))
+        .persist()
+    )
     a = aug.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "label"
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+        "label",
     )
     b = aug.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "label"
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "label",
     )
     pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
     return (
@@ -299,7 +361,10 @@ def embedding_neardup_pairs(
             "vec_a",
             "vec_b",
             "label",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+            F.round(
+                cosine_pre(dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
