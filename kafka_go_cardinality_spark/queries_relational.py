@@ -427,6 +427,130 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E11] Explicit grouping sets — the general form rollup/cube are
+    sugar for.  Like those, Spark plans ONE Expand + one aggregate pass
+    over the input (no per-set rescan), so cost at 100 TB is one scan +
+    one shuffle regardless of how many sets are listed."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_pivot",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E11] Pivot (long → wide) with an EXPLICIT value list — omitting
+    it makes Spark run an extra distinct-scan job to discover the
+    columns, a full pass wasted at scale.  Pivoted count yields NULL for
+    empty cells; coalesce to 0 to match SQL's FILTER count."""
+    pivoted = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c.lower()}")
+            for c in ["F", "O", "P"]
+        ],
+    )
+
+
+@query(
+    "q_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS val
+    FROM lineitem
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E11] Unpivot (wide → long): one Expand node, one scan — vs the
+    naive k-way UNION ALL the oracle spells out, which scans the table
+    once per measure column."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice"],
+            "measure",
+            "val",
+        )
+    )
+
+
+@query(
+    "q_percentile",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.95), 6) AS p95,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E9] Exact linear-interpolation percentiles per group (both
+    engines interpolate identically; verified hash-equal unrounded too —
+    rounding is belt-and-braces).  Exact percentile buffers every value
+    per group; at 100 TB swap in ``approx_percentile`` (t-digest,
+    bounded state) exactly as approx twins pair with exact ones
+    elsewhere in this engine."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("l_quantity", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias(
+                "price_p25"
+            ),
+        )
+    )
+
+
+@query("q_percentile_approx", oracle=None)  # sketch values: rows-only by design
+def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E9] The 100 TB twin of q_percentile: ``approx_percentile``
+    (KLL-style sketch, constant state per group, mergeable map-side) —
+    never oracle-declared, same policy as the HLL twins (SURVEY.md §7.3)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50"),
+            F.percentile_approx("l_quantity", F.lit(0.95), F.lit(10000)).alias("p95"),
+        )
+    )
+
+
 # --- E12: window functions -----------------------------------------------------
 
 
