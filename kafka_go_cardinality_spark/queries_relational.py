@@ -72,6 +72,37 @@ for _fmt in ("json", "csv", "orc"):
     _register_scan_format(_fmt)
 
 
+@query(
+    "q_scan_partition_pruned",
+    """
+    SELECT CAST(ts AS DATE) AS event_date,
+           count(*) AS n, count(DISTINCT user_id) AS users
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY 1
+    """,
+)
+def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E1] Partition-pruned scan over a date-partitioned events layout:
+    the filter binds to the hive partition column, so planning selects
+    exactly one day's directory and the other 29 days' files are never
+    opened (``.explain`` shows it as PartitionFilters with a 1-of-30
+    partition count; pinned in tests/test_plans.py).  At 100 TB this is
+    the difference between reading ~3 TB and reading everything."""
+    from kafka_go_cardinality_spark.sources.tables import partitioned_events_path
+
+    path = partitioned_events_path(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("event_date") == F.lit("2024-01-15").cast("date"))
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
 # --- E2: filter predicates ---------------------------------------------------
 
 

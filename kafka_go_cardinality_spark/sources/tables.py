@@ -53,6 +53,45 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+# One partitioned copy per (process, sf_dir) — several queries/tests can
+# share the layout without re-writing it.
+_PARTITIONED_EVENTS: dict[str, str] = {}
+
+
+def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize ``events`` hive-partitioned by ``event_date`` (one
+    directory per day) and return the path.
+
+    This is THE layout lever for a 100 TB event store: a date-partitioned
+    table turns any time-bounded query into a scan of the matching
+    directories only — the files of every other day are never opened
+    (partition pruning happens at planning time, before any I/O).  The
+    reference has no storage at all (/root/reference/README.md:5); a
+    retained-topic replay re-reads everything every time.
+
+    ``repartition(event_date)`` before the write keeps it to ONE file per
+    partition instead of one per (task × partition) — the small-files
+    failure mode of naive partitioned writes.
+    """
+    existing = _PARTITIONED_EVENTS.get(sf_dir)
+    if existing:
+        return existing
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="kgc_events_by_date_")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    (
+        events.repartition(F.col("event_date"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+    _PARTITIONED_EVENTS[sf_dir] = path
+    return path
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -122,6 +122,22 @@ def test_entry_plan_is_aggregating(spark):
     assert "approx_count_distinct" in plan and "count" in plan
 
 
+def test_partition_pruned_scan(spark, sf_dir):
+    """The date filter must bind to the hive partition column at planning
+    time: exactly ONE of the 30 day-directories is selected, and the
+    pushed data filter list stays empty (nothing left to filter inside
+    the files).  If the filter ever lands in PushedFilters instead, the
+    layout lever is broken and all 30 days get opened."""
+    df = q("q_scan_partition_pruned", spark, sf_dir)
+    plan = plan_string(df, mode="formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan
+    # Spark's formatted scan node reports the selected partition count.
+    pc = re.search(r"partition count[^0-9]*(\d+)", plan, re.IGNORECASE)
+    if pc:
+        assert int(pc.group(1)) == 1, plan
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     """Bucketing both join sides on the key to the same bucket count must
     yield a join with ZERO exchanges — the pre-shuffled co-located join
