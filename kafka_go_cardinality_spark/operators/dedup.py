@@ -287,6 +287,62 @@ def simhash_pairs(corpus: DataFrame, max_hamming: int = 3) -> DataFrame:
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Near-dup cluster assignment: connected components over a pair list
+    via iterative min-label propagation — ``(doc_id, cluster_id)`` where
+    ``cluster_id`` is the smallest doc_id reachable through pairs.
+
+    This is the step every dedup pipeline needs after pair generation
+    (keep one doc per CLUSTER, not per pair — pairs alone over-delete on
+    chains a-b, b-c).  The loop is the standard large-graph CC iteration
+    (GraphX/connected-components shape): each round every vertex takes the
+    min label among itself and its neighbors; rounds needed = component
+    diameter, and near-dup components are shallow (mutants of a common
+    original), so it converges in 2-3 rounds in practice with
+    ``max_iter`` as the safety bound.
+
+    Scale notes: the edge list is localCheckpoint-ed once (the loop body
+    re-reads it every round; at 100 TB re-deriving pairs per round would
+    dominate), every round is one equi-join + one groupBy on doc_id, and
+    lineage is cut per round so the plan doesn't grow with iterations.
+    Convergence is detected with a count of decreased labels — a driver
+    scalar, not a collect of data rows.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        neighbor_labels = edges.join(
+            labels, edges["dst"] == labels["doc_id"]
+        ).select(F.col("src").alias("doc_id"), "cluster_id")
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("cluster_id", "old"), "doc_id"
+            )
+            .filter(F.col("cluster_id") < F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def ngram_jaccard_pairs(
     corpus: DataFrame, threshold: float = 0.6, block_col: str = "source"
 ) -> DataFrame:

@@ -92,6 +92,49 @@ def asof_join(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    order_tiebreak: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Gap-based batch sessionization: consecutive events of one key whose
+    gaps are ≤ ``gap_seconds`` form a session.  The batch twin of the
+    streaming ``session_window`` (queries_streaming.q_stream_session) —
+    this is how you sessionize the *historical* 100 TB store, where a
+    stateful stream replay would be absurd.
+
+    Plan shape: ONE shuffle on the key (both window passes and the final
+    aggregation share the ``partitionBy(key)`` exchange), then per-group
+    sort — lag → flag → running-sum session id → groupBy.  No self-join,
+    no cross product; skew bounded by max events per key.
+
+    Gap comparison is integer microseconds (``unix_micros``) so the DuckDB
+    oracle (``epoch_us``) computes bit-identical flags.  ``order_tiebreak``
+    must make the per-key ordering total or session numbering is
+    non-deterministic under equal timestamps.
+    """
+    w = Window.partitionBy(key).orderBy(ts, order_tiebreak)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_us = F.lag(F.unix_micros(F.col(ts))).over(w)
+    new_sess = F.when(
+        prev_us.isNull()
+        | (F.unix_micros(F.col(ts)) - prev_us > gap_seconds * 1_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        df.withColumn("__new", new_sess)
+        .withColumn("session_id", F.sum("__new").over(run).cast("long"))
+        .groupBy(key, "session_id")
+        .agg(
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,

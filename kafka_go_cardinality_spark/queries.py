@@ -39,5 +39,6 @@ def query(name: str, oracle: str | None = None):
 from kafka_go_cardinality_spark import queries_cardinality  # noqa: E402,F401
 from kafka_go_cardinality_spark import queries_relational  # noqa: E402,F401
 from kafka_go_cardinality_spark import queries_datapipe  # noqa: E402,F401
+from kafka_go_cardinality_spark import queries_analytics  # noqa: E402,F401
 from kafka_go_cardinality_spark import queries_streaming  # noqa: E402,F401
 from kafka_go_cardinality_spark import queries_udf  # noqa: E402,F401

@@ -154,10 +154,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(dd.with_near_dupes(_docs(spark, sf_dir)))
 
 
-@query(
-    "q_dedup_ngram",
-    f"""
-    WITH corpus AS ({dd.WITH_NEAR_DUPES_SQL}),
+# Shared CTE chain producing the exact n-gram Jaccard pair list — used by
+# q_dedup_ngram directly and by q_dedup_cluster's transitive closure.
+_NGRAM_PAIRS_CTES = f"""
+    corpus AS ({dd.WITH_NEAR_DUPES_SQL}),
     toks AS (SELECT doc_id, source, {tokens_sql('text')} AS t FROM corpus),
     sh AS (SELECT doc_id, source AS block, {shingles_sql('t')} AS s FROM toks),
     flat AS (SELECT doc_id, block, len(s) AS set_size,
@@ -170,18 +170,56 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM flat a JOIN flat b
         ON a.block = b.block AND a.sh_h = b.sh_h AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4
+    ),
+    ngram_pairs AS (
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT doc_a, doc_b,
+               round(CAST(shared AS DOUBLE) / (size_a + size_b - shared), 6) AS jaccard
+        FROM shared
+      ) WHERE jaccard >= 0.6
     )
-    SELECT doc_a, doc_b, jaccard FROM (
-      SELECT doc_a, doc_b,
-             round(CAST(shared AS DOUBLE) / (size_a + size_b - shared), 6) AS jaccard
-      FROM shared
-    ) WHERE jaccard >= 0.6
+"""
+
+
+@query(
+    "q_dedup_ngram",
+    f"""
+    WITH {_NGRAM_PAIRS_CTES}
+    SELECT doc_a, doc_b, jaccard FROM ngram_pairs
     """,
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E20] EXACT n-gram Jaccard near-dup pairs, blocked on source —
     the no-sketch ground-truth dedup (explode + self-join + count)."""
     return dd.ngram_jaccard_pairs(dd.with_near_dupes(_docs(spark, sf_dir)))
+
+
+@query(
+    "q_dedup_cluster",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ngram_pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM ngram_pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E20] Near-dup CLUSTER assignment: connected components over the
+    exact n-gram pair list (iterative min-label propagation,
+    operators/dedup.connected_components).  Pairs alone over-delete on
+    chains; dedup keeps one doc per component.  Oracle: DuckDB recursive
+    transitive closure over the identical pair list."""
+    pairs = dd.ngram_jaccard_pairs(dd.with_near_dupes(_docs(spark, sf_dir)))
+    return dd.connected_components(pairs)
 
 
 def _cos_sql(a: str, b: str) -> str:
