@@ -138,6 +138,26 @@ def test_partition_pruned_scan(spark, sf_dir):
         assert int(pc.group(1)) == 1, plan
 
 
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Batch sessionization must run end-to-end on ONE exchange: both
+    window passes (lag + running sum) and the final per-session aggregate
+    all require hashpartitioning(user_id), so EnsureRequirements must
+    reuse a single shuffle.  A second exchange means the session-id
+    projection broke the partitioning contract."""
+    df = q("q_sessionize_batch", spark, sf_dir)
+    assert count_exchanges(df) == 1, plan_string(df, mode="simple")
+
+
+def test_exists_subquery_becomes_semi_join(spark, sf_dir):
+    """Catalyst must rewrite the correlated EXISTS into a (broadcast)
+    left-semi hash join with the l_quantity predicate pushed to the
+    lineitem scan — the SQL surface converging on the same physical plan
+    as the hand-written DataFrame semi join."""
+    plan = plan_string(q("q_exists_subquery", spark, sf_dir), mode="simple")
+    assert "LeftSemi" in plan, plan
+    assert_pushed_filter(q("q_exists_subquery", spark, sf_dir), "l_quantity")
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     """Bucketing both join sides on the key to the same bucket count must
     yield a join with ZERO exchanges — the pre-shuffled co-located join
