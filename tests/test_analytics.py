@@ -1,0 +1,107 @@
+"""Direct semantic tests for the second-wave analytics operators —
+hand-built inputs with hand-computed answers, complementing the DuckDB
+parity tests (which check engine agreement, not intent)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from kafka_go_cardinality_spark.operators.dedup import connected_components
+from kafka_go_cardinality_spark.operators.relational import sessionize
+
+QUERIES = entry_mod.queries()
+
+
+def test_connected_components_chain(spark):
+    """Chains must collapse into one cluster (the over-delete case pair
+    lists get wrong): a-b, b-c, c-d is ONE component even though (a, d)
+    was never a pair; disconnected pairs stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_converges_on_star(spark):
+    """A star (all pairs share one hub) converges in one round regardless
+    of size; labels equal the hub (the min id)."""
+    pairs = spark.createDataFrame([(1, k) for k in range(2, 12)], ["doc_a", "doc_b"])
+    rows = connected_components(pairs, max_iter=3).collect()
+    assert {r["cluster_id"] for r in rows} == {1}
+    assert len(rows) == 11
+
+
+def _ts(minute: int, second: int = 0, micro: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 12, minute, second, micro)
+
+
+def test_sessionize_gap_boundary(spark):
+    """A gap of exactly gap_seconds stays in-session (strict > splits);
+    one microsecond beyond starts a new session."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, _ts(0)),
+            (1, 2, _ts(1)),            # exactly 60 s later: same session
+            (1, 3, _ts(2, 0, 1)),      # 60.000001 s later: new session
+            (2, 4, _ts(0)),            # other key: independent numbering
+        ],
+        ["user_id", "event_id", "ts"],
+    )
+    out = sessionize(df, "user_id", "ts", "event_id", gap_seconds=60)
+    rows = {
+        (r["user_id"], r["session_id"]): r["n_events"] for r in out.collect()
+    }
+    assert rows == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_sessionize_tiebreak_is_deterministic(spark):
+    """Equal timestamps order by the tiebreak column, so session spans
+    are reproducible run to run."""
+    df = spark.createDataFrame(
+        [(1, 2, _ts(0)), (1, 1, _ts(0)), (1, 3, _ts(1))],
+        ["user_id", "event_id", "ts"],
+    )
+    out = sessionize(df, "user_id", "ts", "event_id", gap_seconds=60).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 3
+
+
+def test_hash_sample_is_partitioning_invariant(spark, sf_dir):
+    """Hash-split membership is a pure row function: the selected id set
+    must not change under repartitioning (the property seeded Bernoulli
+    sampling lacks, and the reason hash splits are the reproducible
+    train/test primitive)."""
+    from kafka_go_cardinality_spark.functions import hash64
+    from kafka_go_cardinality_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = hash64(F.col("doc_id").cast("string"), "sample") % 100 < 30
+    base = {r["doc_id"] for r in docs.filter(pred).select("doc_id").collect()}
+    shuffled = {
+        r["doc_id"]
+        for r in docs.repartition(13).filter(pred).select("doc_id").collect()
+    }
+    assert base == shuffled and 0 < len(base) < docs.count()
+
+
+def test_stratified_sample_respects_fractions(spark, sf_dir):
+    """fraction=1.0 strata pass through exactly; the 0.5 stratum lands
+    near half (Bernoulli, wide tolerance)."""
+    from kafka_go_cardinality_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sampled = {
+        r["lang"]: r["n_sampled"]
+        for r in QUERIES["q_sample_stratified"](spark, sf_dir).collect()
+    }
+    for lang, n in full.items():
+        if lang == "en":
+            assert 0.2 * n <= sampled.get(lang, 0) <= 0.8 * n
+        else:
+            assert sampled.get(lang, 0) == n
