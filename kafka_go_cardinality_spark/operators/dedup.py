@@ -308,12 +308,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     Convergence is detected with a count of decreased labels — a driver
     scalar, not a collect of data rows.
     """
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .localCheckpoint()
+    # Materialize the pair list BEFORE the symmetrizing union: both union
+    # branches read `pairs`, and without a boundary the whole upstream
+    # pair-generation pipeline is computed once per branch (no
+    # common-subplan reuse in Spark).  The checkpointed (doc_a, doc_b)
+    # list is tiny relative to pair generation at any scale.
+    pair_ids = pairs.select("doc_a", "doc_b").localCheckpoint()
+    edges = pair_ids.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pair_ids.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
