@@ -111,3 +111,24 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         F.md5(normalized).alias("fingerprint"),
         F.length(normalized).alias("norm_len"),
     )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signal: fraction of tokens that are
+    repeats of an earlier token in the same document.  High
+    dup_token_ratio flags boilerplate / spam for corpus filtering.
+
+    Pure narrow map (split + array_distinct per row): no shuffle, runs
+    inside whole-stage codegen at scan parallelism — at 100 TB this adds
+    nothing beyond the scan itself."""
+    tok = tokens(F.col("text"))
+    n_tok = F.size(tok)
+    n_distinct = F.size(F.array_distinct(tok))
+    return documents.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.lit(1.0) - n_distinct.cast("double") / n_tok, 6
+        ).alias("dup_token_ratio"),
+    )

@@ -450,3 +450,20 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic STUB (operators/multimodal._fake_decode) — the batch
     plumbing, schema, and partitioning are the real article."""
     return mm.decode_media(mm.as_media(_docs(spark, sf_dir)))
+
+
+@query(
+    "q_text_repetition",
+    f"""
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+           round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+             AS dup_token_ratio
+    FROM (SELECT doc_id, {tokens_sql('text')} AS t FROM documents)
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22] Repetition-based quality signal (Gopher-style duplicate-token
+    fraction) — shuffle-free narrow map over the corpus."""
+    return tx.repetition_stats(_docs(spark, sf_dir))

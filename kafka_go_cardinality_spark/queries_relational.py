@@ -855,3 +855,65 @@ def q_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", F.posexplode("embedding").alias("pos", "val")
     ).select("vec_id", "pos", F.round(F.col("val").cast("double"), 6).alias("val"))
+
+
+@query(
+    "q_agg_stats",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS std_qty,
+           round(var_samp(l_discount), 6) AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E9] Statistical aggregates (stddev/variance/correlation/covariance)
+    — the descriptive-stats pass of a data-quality report.  All are
+    declarative aggregates with partial merge (sum/sum-of-squares/cross
+    moments), so the shuffle carries one moment tuple per group per
+    partition, never rows.  The reference's only statistic is an HLL
+    estimate (/root/reference/processor/processor.go:93)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_window_ntile",
+    """
+    SELECT c_custkey, c_nationkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E12] Distribution window functions (ntile / percent_rank /
+    cume_dist) — the bucketing primitives behind stratified reporting.
+    One hash shuffle on the partition key, in-partition sort, no join.
+    The c_custkey tiebreaker makes the order total so every engine
+    assigns identical buckets."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
