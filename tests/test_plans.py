@@ -192,3 +192,26 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_by_cust")
         spark.sql("DROP TABLE IF EXISTS customer_by_key")
+
+
+def test_repetition_is_shuffle_free(spark, sf_dir):
+    """q_text_repetition is a pure narrow map: any exchange means the
+    per-document scoring accidentally became a distributed job."""
+    assert count_exchanges(q("q_text_repetition", spark, sf_dir)) == 0
+
+
+def test_agg_stats_partial(spark, sf_dir):
+    """Moment aggregates (stddev/corr/covar) must combine map-side so the
+    exchange carries per-partition moment tuples, not rows."""
+    df = q("q_agg_stats", spark, sf_dir)
+    assert_partial_aggregation(df, "stddev_samp")
+    assert count_exchanges(df) == 1
+
+
+def test_window_ntile_single_shuffle(spark, sf_dir):
+    """Distribution window functions need exactly one hash exchange on the
+    partition key; the in-partition sort must not become a global one."""
+    df = q("q_window_ntile", spark, sf_dir)
+    assert count_exchanges(df) == 1
+    plan = plan_string(df)
+    assert "rangepartitioning" not in plan.lower()
