@@ -53,6 +53,11 @@ def main() -> int:
     from kafka_go_cardinality_spark.queries_streaming import _wire_dir
 
     _wire_dir(spark, SF_DIR)
+    # Likewise the date-partitioned events layout: table materialization
+    # is storage prep (at 100 TB it's the ingest job), not the scan.
+    from kafka_go_cardinality_spark.sources.tables import partitioned_events_path
+
+    partitioned_events_path(spark, SF_DIR)
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
