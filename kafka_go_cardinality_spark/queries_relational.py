@@ -917,3 +917,82 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "q_join_full",
+    """
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_name,
+           o.n_big_orders
+    FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 1000) c
+    FULL JOIN (
+      SELECT o_custkey, count(*) AS n_big_orders
+      FROM orders WHERE o_totalprice > 150000
+      GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E7] Full outer join with unmatched rows on BOTH sides (filtered
+    customers vs big-order counts).  Full outer can never broadcast —
+    both sides must shuffle on the key — so at 100 TB this is the one
+    join shape where pre-bucketing both tables on custkey is the lever."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 1000)
+        .select("c_custkey", "c_name")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big_orders"))
+    )
+    joined = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        "n_big_orders",
+    )
+
+
+@query(
+    "q_agg_collect",
+    """
+    SELECT c_nationkey,
+           string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey)
+             AS top_custkeys,
+           count(*) AS n
+    FROM (
+      SELECT c_nationkey, c_custkey,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 5
+    GROUP BY c_nationkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E9/E16] Ordered list aggregation: top-5 customers per nation
+    collapsed to one CSV string per group.  sort_array(collect_list)
+    makes the aggregation order-insensitive — partial collects arrive in
+    partition order, the sort canonicalizes — so the result is
+    deterministic under any degree of parallelism."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    top = (
+        _t(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_custkey", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
+    return top.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("c_custkey"))).cast(
+                "array<string>"
+            ),
+            ",",
+        ).alias("top_custkeys"),
+        F.count(F.lit(1)).alias("n"),
+    )
