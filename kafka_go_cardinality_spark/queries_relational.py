@@ -928,7 +928,7 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 1000) c
     FULL JOIN (
       SELECT o_custkey, count(*) AS n_big_orders
-      FROM orders WHERE o_totalprice > 150000
+      FROM orders WHERE o_totalprice > 300000
       GROUP BY o_custkey
     ) o ON c.c_custkey = o.o_custkey
     """,
@@ -945,7 +945,7 @@ def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = (
         _t(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > 150000)
+        .filter(F.col("o_totalprice") > 300000)
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_big_orders"))
     )

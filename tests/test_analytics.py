@@ -105,3 +105,48 @@ def test_stratified_sample_respects_fractions(spark, sf_dir):
             assert 0.2 * n <= sampled.get(lang, 0) <= 0.8 * n
         else:
             assert sampled.get(lang, 0) == n
+
+
+def test_repetition_stats_hand_computed(spark):
+    """dup_token_ratio = 1 - distinct/total on the lowercased whitespace
+    tokenization; all-unique docs score 0, a fully repeated token scores
+    (n-1)/n."""
+    from kafka_go_cardinality_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),          # all unique -> 0
+            (2, "spam spam spam spam"),       # 4 tokens, 1 distinct -> 0.75
+            (3, "The the THE tail"),          # case-folds: 4 tokens, 2 distinct
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_distinct_tokens"], r["dup_token_ratio"]
+        )
+        for r in repetition_stats(docs).collect()
+    }
+    assert got[1] == (3, 3, 0.0)
+    assert got[2] == (4, 1, 0.75)
+    assert got[3] == (4, 2, 0.5)
+
+
+def test_full_outer_join_keeps_both_unmatched(spark):
+    """q_join_full must surface customers with no big orders (null count)
+    AND order groups whose customer fell to the balance filter (null
+    name) — the two sides a left join would drop."""
+    df = QUERIES["q_join_full"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert any(r["n_big_orders"] is None for r in rows)
+    assert any(r["c_name"] is None for r in rows)
+    assert all(r["custkey"] is not None for r in rows)
+
+
+def test_agg_collect_is_sorted_csv(spark):
+    """Collected keys arrive ascending regardless of partition order."""
+    df = QUERIES["q_agg_collect"](spark, "/root/testdata/sf0.001")
+    for r in df.collect():
+        keys = [int(k) for k in r["top_custkeys"].split(",")]
+        assert keys == sorted(keys)
+        assert r["n"] == len(keys) <= 5
