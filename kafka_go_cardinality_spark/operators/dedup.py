@@ -306,7 +306,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     dominate), every round is one equi-join + one groupBy on doc_id, and
     lineage is cut per round so the plan doesn't grow with iterations.
     Convergence is detected with a count of decreased labels — a driver
-    scalar, not a collect of data rows.
+    scalar, not a collect of data rows.  The previous label rides the
+    union as an extra column (min over exactly one non-null), so change
+    detection is a filter over the already-materialized round output —
+    no second join per round.
     """
     # Materialize the pair list BEFORE the symmetrizing union: both union
     # branches read `pairs`, and without a boundary the whole upstream
@@ -324,24 +327,31 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
+    label_type = dict(labels.dtypes)["cluster_id"]
     for _ in range(max_iter):
         neighbor_labels = edges.join(
             labels, edges["dst"] == labels["doc_id"]
-        ).select(F.col("src").alias("doc_id"), "cluster_id")
+        ).select(
+            F.col("src").alias("doc_id"),
+            "cluster_id",
+            F.lit(None).cast(label_type).alias("old"),
+        )
+        # Each doc_id contributes exactly one non-null `old` (its own row),
+        # so min(old) recovers the previous label without a second join.
         new_labels = (
-            labels.unionByName(neighbor_labels)
+            labels.select(
+                "doc_id", "cluster_id", F.col("cluster_id").alias("old")
+            )
+            .unionByName(neighbor_labels)
             .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.min("old").alias("old"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("cluster_id", "old"), "doc_id"
-            )
-            .filter(F.col("cluster_id") < F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("cluster_id") < F.col("old")).count()
+        labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             break
     return labels
