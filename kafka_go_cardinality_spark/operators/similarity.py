@@ -368,3 +368,50 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# Fixed-point scale for oracle-exact centroid aggregation: micro-units.
+CENTROID_Q = 1_000_000
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid — the k-means E-step / IVF coarse-quantizer
+    training primitive — computed in ORDER-INDEPENDENT fixed-point
+    arithmetic so a float aggregate becomes oracle-checkable.
+
+    Floating-point sums depend on accumulation order, and Spark's partial
+    aggregation order is nondeterministic across partitions, so a naive
+    avg(double) can never hash-match another engine.  Quantizing each
+    coordinate to integer micro-units first (float→double is exact, one
+    deterministic round per value) makes the sum exact integer math —
+    associative, commutative, identical on any engine at any parallelism.
+    The emitted centroid is comma-joined micro-unit coordinates
+    (``round(sum_q / n)``), precise to 1e-6.
+
+    Scale shape: posexplode → partial-aggregated (label, dim) integer
+    sums — the shuffle carries 16 bytes per (label, dim) group, never
+    vectors; dims per label is fixed (64), so state is bounded by
+    #labels × dims regardless of corpus size.
+    """
+    q = embeddings.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("v").cast("double") * CENTROID_Q).cast("long").alias("qv"),
+    )
+    sums = q.groupBy("label", "pos").agg(
+        F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    parts = F.array_sort(F.collect_list(F.struct("pos", "sq")))
+    rebuilt = sums.groupBy("label").agg(
+        F.max("n").alias("n_vectors"), parts.alias("parts")
+    )
+    coord = lambda p: F.round(  # noqa: E731 — one-expression lambda
+        p["sq"].cast("double") / F.col("n_vectors")
+    ).cast("long").cast("string")
+    return rebuilt.select(
+        "label",
+        "n_vectors",
+        F.array_join(F.transform(F.col("parts"), coord), ",").alias("centroid_q6"),
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from kafka_go_cardinality_spark.functions import tokens
+from kafka_go_cardinality_spark.functions import hash64, shingles, tokens
 
 # A BPE-ish token regex: letter runs, digit runs, single non-alnum marks.
 BPE_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
@@ -99,6 +99,121 @@ def quality_score(documents: DataFrame) -> DataFrame:
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(score, 6).alias("quality"),
+    )
+
+
+def with_dirty_text(documents: DataFrame) -> DataFrame:
+    """Corpus with deterministically 'dirtied' text — the raw-crawl
+    formatting noise a normalization pass exists to remove.  Every 3rd
+    doc: padded, upper-cased, bang-suffixed; every remaining 5th doc:
+    single spaces tripled.  The rule is part of the query definition and
+    is replicated verbatim in the oracle SQL."""
+    dirty = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("  "), F.upper(F.col("text")), F.lit(" !!!")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.replace(F.col("text"), F.lit(" "), F.lit("   ")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return documents.withColumn("text", dirty)
+
+
+WITH_DIRTY_TEXT_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN '  ' || upper(text) || ' !!!'
+                WHEN doc_id % 5 = 0 THEN replace(text, ' ', '   ')
+                ELSE text END AS text,
+           lang, source, n_chars
+    FROM documents
+"""
+
+
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """Text normalization — the first stage of every training-data
+    pipeline (case folding, punctuation strip, whitespace collapse) and
+    the reason the `fingerprint` canonical key is stable across
+    formatting variants.
+
+    Pure narrow map over built-in JVM regex expressions: no shuffle, no
+    Python, runs inside whole-stage codegen at scan parallelism — at
+    100 TB this costs nothing beyond the scan."""
+    lowered = F.lower(F.col("text"))
+    stripped = F.regexp_replace(lowered, "[^a-z0-9\\s]", " ")
+    collapsed = F.trim(F.regexp_replace(stripped, "\\s+", " "))
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        collapsed.alias("norm_text"),
+    ).withColumn("n_chars_norm", F.length("norm_text"))
+
+
+def with_planted_contamination(documents: DataFrame, bench_mod: int = 23) -> DataFrame:
+    """Corpus ∪ training docs that quote a benchmark doc verbatim behind
+    filler (id+2_000_000; 2_000_000 % 23 = 12, so planted ids are never
+    benchmark ids).  Stand-in for real test-set leakage."""
+    quotes = documents.filter(F.col("doc_id") % bench_mod == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta filler "), F.col("text")).alias(
+            "text"
+        ),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return documents.unionByName(quotes)
+
+
+WITH_PLANTED_CONTAMINATION_SQL = """
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           'alpha beta gamma delta filler ' || text AS text,
+           lang, source, n_chars
+    FROM documents WHERE doc_id % 23 = 0
+"""
+
+
+def contamination(
+    corpus: DataFrame,
+    bench_mod: int = 23,
+    n: int = 5,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: (train doc, benchmark doc) pairs sharing
+    ≥ ``min_shared`` distinct ``n``-token shingles — the GPT-3-style
+    n-gram overlap check run before any training corpus ships.  The
+    benchmark membership rule here is ``doc_id % bench_mod == 0`` (a
+    fixture stand-in for a real benchmark suite).
+
+    Scale plan: both sides reduce to (doc_id, shingle-hash) postings
+    map-side — 8-byte hashes, never text.  The benchmark side is small by
+    nature (a benchmark suite is MB-scale against a 100 TB corpus), so it
+    is broadcast: the train corpus postings never shuffle; only matched
+    postings reach the pair aggregation."""
+    sh = corpus.select("doc_id", shingles(tokens(F.col("text")), n).alias("s"))
+    # explode_outer: plain explode makes Catalyst infer size(s) > 0 and
+    # push the whole tokenize→shingle expression down to the scan (see
+    # dedup.ngram_jaccard_pairs for the measured cost).
+    flat = (
+        sh.select("doc_id", F.explode_outer("s").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", hash64(F.col("g")).alias("gh"))
+    )
+    bench = flat.filter(F.col("doc_id") % bench_mod == 0).select(
+        F.col("doc_id").alias("bench_id"), "gh"
+    )
+    train = flat.filter(F.col("doc_id") % bench_mod != 0).select(
+        F.col("doc_id").alias("train_id"), "gh"
+    )
+    return (
+        train.join(F.broadcast(bench), "gh")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 

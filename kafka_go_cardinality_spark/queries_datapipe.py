@@ -467,3 +467,74 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E22] Repetition-based quality signal (Gopher-style duplicate-token
     fraction) — shuffle-free narrow map over the corpus."""
     return tx.repetition_stats(_docs(spark, sf_dir))
+
+
+@query(
+    "q_text_normalize",
+    f"""
+    WITH dirty AS ({tx.WITH_DIRTY_TEXT_SQL})
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars_raw,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS INT)
+             AS n_chars_norm
+    FROM dirty
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22] Text normalization pass (case fold, punctuation strip,
+    whitespace collapse) over a deterministically dirtied corpus — the
+    stage that makes downstream fingerprint/dedup keys stable.  Narrow
+    JVM-regex map, no shuffle (operators/text.normalize_text)."""
+    return tx.normalize_text(tx.with_dirty_text(_docs(spark, sf_dir)))
+
+
+@query(
+    "q_text_contamination",
+    f"""
+    WITH corpus AS ({tx.WITH_PLANTED_CONTAMINATION_SQL}),
+    toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM corpus),
+    sh AS (SELECT doc_id, {shingles_sql('t', 5)} AS s FROM toks),
+    flat AS (SELECT doc_id, unnest(s) AS g FROM sh)
+    SELECT a.doc_id AS train_id, b.doc_id AS bench_id,
+           count(*) AS n_shared
+    FROM flat a JOIN flat b ON a.g = b.g
+    WHERE a.doc_id % 23 <> 0 AND b.doc_id % 23 = 0
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22] Benchmark decontamination: train docs sharing ≥2 distinct
+    5-token shingles with a benchmark doc (membership rule doc_id%23==0;
+    verbatim-quote leaks planted at id+2_000_000).  The engine joins
+    8-byte shingle hashes with the benchmark side broadcast; the oracle
+    joins raw shingles — identical modulo md5 collisions
+    (operators/text.contamination)."""
+    return tx.contamination(tx.with_planted_contamination(_docs(spark, sf_dir)))
+
+
+@query(
+    "q_emb_centroids",
+    """
+    WITH q AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+               AS qv
+      FROM embeddings),
+    s AS (SELECT label, pos, sum(qv) AS sq, count(*) AS n
+          FROM q GROUP BY 1, 2)
+    SELECT label, max(n) AS n_vectors,
+           string_agg(CAST(CAST(round(CAST(sq AS DOUBLE) / n) AS BIGINT)
+                           AS VARCHAR), ',' ORDER BY pos) AS centroid_q6
+    FROM s GROUP BY label
+    """,
+)
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E21] Per-label embedding centroids (the k-means / IVF training
+    primitive) in order-independent fixed-point micro-units — exact
+    integer sums make a float aggregate oracle-checkable at any
+    parallelism (operators/similarity.label_centroids)."""
+    return sim.label_centroids(_emb(spark, sf_dir))

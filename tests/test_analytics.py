@@ -150,3 +150,58 @@ def test_agg_collect_is_sorted_csv(spark):
         keys = [int(k) for k in r["top_custkeys"].split(",")]
         assert keys == sorted(keys)
         assert r["n"] == len(keys) <= 5
+
+
+def test_normalize_text_hand_computed(spark):
+    """Case fold, punctuation→space, whitespace collapse, trim — the
+    canonicalization chain, on a hand-built dirty string."""
+    from kafka_go_cardinality_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! 42 "), (2, "clean text")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert got[1]["norm_text"] == "hello world 42"
+    assert got[1]["n_chars_raw"] == 22
+    assert got[1]["n_chars_norm"] == 14
+    assert got[2]["norm_text"] == "clean text"
+
+
+def test_contamination_threshold_and_sides(spark):
+    """Pairs need ≥ min_shared shared 5-gram shingles; benchmark docs
+    (id%23==0) appear only on the bench side, train docs only on the
+    train side."""
+    from kafka_go_cardinality_spark.operators.text import contamination
+
+    bench = "a b c d e f g h"            # doc 0: benchmark member
+    leak = "x y a b c d e f"             # shares 'a b c d e' + 'b c d e f'
+    brush = "q r s t u a b c d e"        # shares only 'a b c d e'
+    clean = "p q r s t u v w"
+    df = spark.createDataFrame(
+        [(0, bench), (1, leak), (2, brush), (3, clean)], ["doc_id", "text"]
+    )
+    rows = contamination(df, bench_mod=23, n=5, min_shared=2).collect()
+    assert [(r["train_id"], r["bench_id"], r["n_shared"]) for r in rows] == [
+        (1, 0, 2)
+    ]
+
+
+def test_label_centroids_exact_fixed_point(spark):
+    """Centroid of [1,2] and [2,4] is [1.5, 3.0] → micro-units
+    '1500000,3000000'; integer sums make the result independent of
+    partitioning/order."""
+    from kafka_go_cardinality_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 7), (2, [2.0, 4.0], 7), (3, [0.5, -0.5], 8)],
+        ["vec_id", "embedding", "label"],
+    )
+    got = {r["label"]: r for r in label_centroids(df).collect()}
+    assert got[7]["centroid_q6"] == "1500000,3000000"
+    assert got[7]["n_vectors"] == 2
+    assert got[8]["centroid_q6"] == "500000,-500000"
+    repart = {
+        r["label"]: r["centroid_q6"]
+        for r in label_centroids(df.repartition(5)).collect()
+    }
+    assert repart == {k: v["centroid_q6"] for k, v in got.items()}

@@ -215,3 +215,23 @@ def test_window_ntile_single_shuffle(spark, sf_dir):
     assert count_exchanges(df) == 1
     plan = plan_string(df)
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_normalize_is_shuffle_free(spark, sf_dir):
+    """Text normalization is a narrow JVM-regex map: any exchange means
+    the per-document pass accidentally became a distributed job."""
+    assert count_exchanges(q("q_text_normalize", spark, sf_dir)) == 0
+
+
+def test_contamination_broadcasts_bench_side(spark, sf_dir):
+    """The benchmark shingle postings must broadcast — the 100 TB train
+    corpus postings never shuffle for the overlap join."""
+    assert_broadcast_join(q("q_text_contamination", spark, sf_dir))
+
+
+def test_centroid_shuffles_integer_sums(spark, sf_dir):
+    """Centroid aggregation must combine map-side (partial integer sums
+    per (label, dim)); two exchanges total: (label, dim) then label."""
+    df = q("q_emb_centroids", spark, sf_dir)
+    assert_partial_aggregation(df, "sum")
+    assert count_exchanges(df) == 2
