@@ -63,14 +63,19 @@ def _wire_dir(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-# ~32 MiB of wire input per state-store partition.  A streaming query's
-# state partition count is frozen at the first checkpoint and every
-# micro-batch pays a per-partition state commit, so it must be sized to
-# the job like shuffle.partitions on a batch job: 32 partitions over a
-# 3 MiB replay spends 5× longer committing empty state files than
-# computing; the same formula puts a 100 TB topic at ~3M partitions'
-# worth of work spread over maxFilesPerTrigger-sized batches.
-_WIRE_BYTES_PER_STATE_PARTITION = 32 << 20
+# ~512 KiB of wire input per state-store partition, capped at the
+# session's shuffle.partitions.  A streaming query's state partition
+# count is frozen at the first checkpoint and every micro-batch pays a
+# per-partition state commit (~40 ms of file I/O even when empty), so it
+# must be sized to the job like shuffle.partitions on a batch job — both
+# failure modes are measured: 32 partitions over a 30 KiB replay spends
+# 5× longer committing empty state files than computing, while ONE
+# partition over a 5 MiB replay serializes the whole aggregation behind
+# a single state task (2× wall).  At 100 TB the byte-derived count is
+# astronomically high and the configured shuffle.partitions ceiling is
+# what governs — the divisor exists to stop tiny replays from paying
+# per-partition commit overhead for parallelism they can't use.
+_WIRE_BYTES_PER_STATE_PARTITION = 512 << 10
 
 
 def _state_partitions(wire_path: str, ceiling: int) -> int:
