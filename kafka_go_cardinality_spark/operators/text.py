@@ -194,6 +194,10 @@ def contamination(
     nature (a benchmark suite is MB-scale against a 100 TB corpus), so it
     is broadcast: the train corpus postings never shuffle; only matched
     postings reach the pair aggregation."""
+    # Spread the CPU-heavy tokenize/shingle/md5 map across all cores —
+    # a couple of parquet files would otherwise pin it to a couple of
+    # tasks (see dedup.ngram_jaccard_pairs; measured 11× on this query).
+    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     sh = corpus.select("doc_id", shingles(tokens(F.col("text")), n).alias("s"))
     # explode_outer: plain explode makes Catalyst infer size(s) > 0 and
     # push the whole tokenize→shingle expression down to the scan (see
