@@ -71,6 +71,18 @@ def test_cardinality_single_shuffle(spark, sf_dir):
     assert count_exchanges(q("q_card_day_approx", spark, sf_dir)) == 1
 
 
+def test_minute_approx_shuffles_rows_not_sketches(spark, sf_dir):
+    """Fine-grained windows invert map-side-combine economics: far more
+    groups than rows-per-group means partial aggregation would ship a
+    ~21 KB HLL++ buffer per (window, partition) through the exchange.
+    The minute grain must instead shuffle raw ~20-byte rows by window key
+    (one REPARTITION_BY_COL exchange, which the group-by then reuses —
+    no second exchange, no sketch bytes on the wire)."""
+    df = q("q_card_minute_approx", spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert "REPARTITION_BY_COL" in plan_string(df)
+
+
 def test_grain_fanout_shuffles(spark, sf_dir):
     """The 5-grain fan-out reads the input ONCE (explode before grouping,
     processor.go:60-75 re-expressed), not five passes.  The approx variant
