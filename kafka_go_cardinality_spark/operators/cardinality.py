@@ -88,7 +88,15 @@ def cardinality(events: DataFrame, grain: str, exact: bool) -> DataFrame:
         # 1.8× here; the ratio grows with executor count, since per-group
         # partial buffers multiply per partition).  Coarse grains keep the
         # default plan — few groups, and map-side combine is the win.
-        keyed = keyed.repartition(F.col("timestamp"))
+        # The partition count is explicit: AQE coalesces an implicit
+        # repartition by the tiny raw-row shuffle-write size (~2 MB here →
+        # one partition), serializing the fat sketch aggregation behind a
+        # single task — the write size it can't see is the ~21 KB/group
+        # aggregation state built AFTER the exchange (measured 2×).
+        keyed = keyed.repartition(
+            events.sparkSession.sparkContext.defaultParallelism,
+            F.col("timestamp"),
+        )
     return (
         keyed.groupBy("timestamp")
         .agg(agg.alias("value"))

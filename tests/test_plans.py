@@ -76,11 +76,12 @@ def test_minute_approx_shuffles_rows_not_sketches(spark, sf_dir):
     groups than rows-per-group means partial aggregation would ship a
     ~21 KB HLL++ buffer per (window, partition) through the exchange.
     The minute grain must instead shuffle raw ~20-byte rows by window key
-    (one REPARTITION_BY_COL exchange, which the group-by then reuses —
-    no second exchange, no sketch bytes on the wire)."""
+    (one explicit-count repartition exchange, which the group-by then
+    reuses — no second exchange, no sketch bytes on the wire, and a count
+    AQE cannot coalesce away from the post-exchange aggregation)."""
     df = q("q_card_minute_approx", spark, sf_dir)
     assert count_exchanges(df) == 1
-    assert "REPARTITION_BY_COL" in plan_string(df)
+    assert "REPARTITION_BY_NUM" in plan_string(df)
 
 
 def test_grain_fanout_shuffles(spark, sf_dir):
