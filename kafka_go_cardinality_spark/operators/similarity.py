@@ -403,12 +403,15 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     sums = q.groupBy("label", "pos").agg(
         F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("n")
     )
-    parts = F.array_sort(F.collect_list(F.struct("pos", "sq")))
+    # Carry each position's own count in the struct: ragged or null-holed
+    # embeddings give different n per position, and each coordinate must be
+    # divided by ITS count (max(n) is only the reported vector count).
+    parts = F.array_sort(F.collect_list(F.struct("pos", "sq", "n")))
     rebuilt = sums.groupBy("label").agg(
         F.max("n").alias("n_vectors"), parts.alias("parts")
     )
     coord = lambda p: F.round(  # noqa: E731 — one-expression lambda
-        p["sq"].cast("double") / F.col("n_vectors")
+        p["sq"].cast("double") / p["n"]
     ).cast("long").cast("string")
     return rebuilt.select(
         "label",

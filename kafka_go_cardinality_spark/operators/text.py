@@ -153,8 +153,14 @@ def normalize_text(documents: DataFrame) -> DataFrame:
 
 def with_planted_contamination(documents: DataFrame, bench_mod: int = 23) -> DataFrame:
     """Corpus ∪ training docs that quote a benchmark doc verbatim behind
-    filler (id+2_000_000; 2_000_000 % 23 = 12, so planted ids are never
-    benchmark ids).  Stand-in for real test-set leakage."""
+    filler (id+2_000_000, which must not be ≡ 0 mod bench_mod, or planted
+    leaks would be classified as benchmark docs).  Stand-in for real
+    test-set leakage."""
+    if 2_000_000 % bench_mod == 0:
+        raise ValueError(
+            f"bench_mod={bench_mod} divides the planted-id offset 2_000_000; "
+            "planted docs would land on the benchmark side"
+        )
     quotes = documents.filter(F.col("doc_id") % bench_mod == 0).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"),
         F.concat(F.lit("alpha beta gamma delta filler "), F.col("text")).alias(

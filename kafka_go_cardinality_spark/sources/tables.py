@@ -9,7 +9,7 @@ scanning a table and scanning a projection of it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 TABLE_NAMES = (
     "region",
@@ -34,17 +34,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; path layout per /root/repo/TESTDATA.md.
 
     Timestamp normalization happens HERE, at the source boundary, never
-    downstream (SURVEY.md §7.3): ``events.ts`` is parquet TIMESTAMP(NANOS),
-    which Spark 4 refuses by default — we read it as raw nanos
-    (``nanosAsLong``) and truncate to microseconds with *integer* division
-    (double division would lose precision above 2^53 ns ≈ 104 days).
+    downstream (SURVEY.md §7.3).  The fixture's ``events.ts`` column has
+    shipped as parquet TIMESTAMP(NANOS) in some builds and TIMESTAMP(MICROS)
+    in others, so we branch on the *loaded* dtype rather than assuming:
+
+    - TIMESTAMP(NANOS) + ``nanosAsLong`` → LongType raw nanos; truncate to
+      microseconds with *integer* division (double division would lose
+      precision above 2^53 ns ≈ 104 days).
+    - TIMESTAMP(MICROS) → Spark 4 loads it as TIMESTAMP_NTZ; cast to the
+      session-zoned TIMESTAMP (session tz is pinned to UTC in session.py, so
+      the cast is wall-clock-preserving and matches the DuckDB oracle).
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
