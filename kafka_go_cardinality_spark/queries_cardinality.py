@@ -44,8 +44,9 @@ def _register_grain(grain: str) -> None:
 
     @query(f"q_card_{grain}_approx", oracle=None)  # approx: rows-only by design
     def _approx(spark: SparkSession, sf_dir: str, grain: str = grain) -> DataFrame:
-        """HLL++ estimate at rsd=0.01 → precision 14, the reference's exact
-        sketch size (/root/reference/processor/processor.go:80)."""
+        """DataSketches HLL estimate at lg_k=14, the reference's exact
+        sketch size (/root/reference/processor/processor.go:80); sparse
+        below promotion, so fine grains don't pay dense-buffer state."""
         return cardinality(_events(spark, sf_dir), grain, exact=False)
 
 
