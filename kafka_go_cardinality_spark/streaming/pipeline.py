@@ -31,9 +31,9 @@ Scale notes (100 TB / 1000 executors):
 - Kafka partitions map 1:1 to source tasks; unlike the reference (which
   pins to partition 0, kafkaio.go:29-32) consumption parallelizes.
 - The only shuffle per grain is the windowed aggregation; partial HLL
-  sketches merge map-side, so the exchange carries ≤16 KiB per
-  (window) group — not uids.
-- Streaming state is one HLL buffer per open window per grain — bounded by
+  sketches (DataSketches, sparse below promotion) merge map-side, so the
+  exchange carries at most ~16 KiB per (window) group — not uids.
+- Streaming state is one HLL sketch per open window per grain — bounded by
   watermark retention, not by input size.  The exact-twin path
   (``stream_exact_cardinality``) instead keeps one state row per
   (uid, window): correct, oracle-checkable, and intentionally NOT the
@@ -50,8 +50,19 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from kafka_go_cardinality_spark.operators.cardinality import (
     GRAINS,
-    REFERENCE_RSD,
+    REFERENCE_LG_K,
 )
+
+
+def _hll_value(col: str = "uid") -> Column:
+    """DataSketches HLL estimate at the reference's register count
+    (lg_k=14, processor.go:80).  Works on streaming frames: the sketch is
+    the aggregation state the state store carries per open window, sparse
+    until register promotion — a near-empty window costs tens of bytes,
+    not HLL++'s ~21 KiB dense buffer."""
+    return F.hll_sketch_estimate(
+        F.hll_sketch_agg(F.col(col), F.lit(REFERENCE_LG_K))
+    ).alias("value")
 
 # Wire schema of one Kafka message value (processor.go:13-16): unknown JSON
 # fields are dropped by the schema itself, matching jsoniter's behavior.
@@ -137,7 +148,6 @@ def _stat_projection(window_start: Column, grain: str, value: Column) -> list[Co
 def stream_cardinality(
     events: DataFrame,
     grain: str,
-    rsd: float = REFERENCE_RSD,
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """[CORE C5-C8] Per-grain approximate distinct-uid count over event-time
@@ -153,7 +163,7 @@ def stream_cardinality(
     """
     if grain not in GRAINS:
         raise ValueError(f"unknown grain {grain!r}; expected one of {GRAINS}")
-    agg = F.approx_count_distinct("uid", rsd).alias("value")
+    agg = _hll_value("uid")
     wm = events.withWatermark("ts", watermark)
     if grain in FIXED_DURATION:
         grouped = wm.groupBy(F.window("ts", FIXED_DURATION[grain])).agg(agg)
@@ -195,7 +205,6 @@ def sliding_cardinality(
     events: DataFrame,
     length: str = "10 minutes",
     slide: str = "5 minutes",
-    rsd: float = REFERENCE_RSD,
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """[EXT E18] Sliding-window distinct counts — absent from the reference
@@ -204,7 +213,7 @@ def sliding_cardinality(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", length, slide))
-        .agg(F.approx_count_distinct("uid", rsd).alias("value"))
+        .agg(_hll_value("uid"))
         .select(
             F.unix_timestamp("window.start").alias("window_start"),
             F.unix_timestamp("window.end").alias("window_end"),

@@ -58,7 +58,7 @@ def test_stream_parse_skips_malformed(spark, wire_dir):
 
 
 def test_stream_matches_batch_on_same_wire(spark, wire_dir):
-    """The streaming day-grain HLL++ over the file replay must equal the
+    """The streaming day-grain HLL over the file replay must equal the
     identical batch aggregation over the identical parsed rows — HLL merge
     is order- and partitioning-insensitive."""
     streamed = _replay(
@@ -77,7 +77,11 @@ def test_stream_matches_batch_on_same_wire(spark, wire_dir):
         .filter(F.col("msg").isNotNull() & F.col("msg.uid").isNotNull())
         .select("msg.uid", F.timestamp_seconds("msg.ts").alias("ts"))
         .groupBy(F.window("ts", "1 day"))
-        .agg(F.approx_count_distinct("uid", 0.008).alias("value"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg(F.col("uid"), F.lit(14))).alias(
+                "value"
+            )
+        )
         .select(
             F.lit("day_count").alias("type"),
             F.unix_timestamp("window.start").alias("timestamp"),
