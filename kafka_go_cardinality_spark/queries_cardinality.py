@@ -161,9 +161,11 @@ def q_malformed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("raw"))
         .alias("raw")
     )
+    # Extract fields BEFORE filtering: a predicate on the struct column
+    # gets pushed below the projection and re-evaluates from_json per
+    # reference (measured 1.5× slower).  Malformed input parses to a null
+    # struct, so null-uid is exactly the parse-failure signal.
     parsed = corrupted.select(
         F.from_json(F.col("raw"), USER_MSG_SCHEMA).alias("msg")
-    )
-    return parsed.filter(
-        F.col("msg").isNotNull() & F.col("msg.uid").isNotNull()
-    ).select("msg.uid", "msg.ts")
+    ).select(F.col("msg.uid").alias("uid"), F.col("msg.ts").alias("ts"))
+    return parsed.filter(F.col("uid").isNotNull())
