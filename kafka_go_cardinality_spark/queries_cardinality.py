@@ -11,6 +11,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from kafka_go_cardinality_spark.operators.cardinality import (
     GRAINS,
+    bitmap_exact_cardinality,
     cardinality,
     grain_fanout,
     salted_exact_cardinality,
@@ -78,6 +79,18 @@ def q_card_day_exact_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposable, spreading a hot window over 16 reducers.  Same oracle as
     q_card_day_exact: the salt changes the plan, never the answer."""
     return salted_exact_cardinality(_events(spark, sf_dir), "day")
+
+
+@query("q_card_day_exact_bitmap", _card_oracle("day"))
+def q_card_day_exact_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[CORE C6 / E27 integer-key path] Exact day-grain distinct counts via
+    two-level bitmap aggregation: (window, bucket-of-32768-ids) bitmaps
+    OR-merged map-side, then per-window sum of bitmap_counts.  Exact like
+    count(distinct) — same oracle — but the exchange carries 4 KB bitmaps
+    instead of raw uids, and per-bucket bitmap tables are re-aggregable
+    (OR) into coarser windows, the exact-count analogue of the sketch
+    rollup."""
+    return bitmap_exact_cardinality(_events(spark, sf_dir), "day")
 
 
 @query("q_card_sketch_rollup", oracle=None)  # sketch estimates: rows-only

@@ -538,3 +538,31 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums make a float aggregate oracle-checkable at any
     parallelism (operators/similarity.label_centroids)."""
     return sim.label_centroids(_emb(spark, sf_dir))
+
+
+@query(
+    "q_seq_pack",
+    f"""
+    WITH sized AS (
+      SELECT doc_id,
+             doc_id % 8 AS stream,
+             CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens
+      FROM documents),
+    off AS (
+      SELECT doc_id, stream, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY stream ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM sized)
+    SELECT doc_id, stream, n_tokens,
+           CAST(floor(CAST(s AS DOUBLE) / 2048) AS BIGINT) AS seq_id,
+           s % 2048 AS seq_offset
+    FROM off
+    """,
+)
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22] LLM-pretraining sequence packing: concat-and-split layout of
+    the corpus into 2048-token sequences over 8 deterministic packing
+    streams (doc_id-keyed, so the layout is a pure function of the corpus
+    and identical at any parallelism — operators/text.pack_sequences)."""
+    return tx.pack_sequences(_docs(spark, sf_dir))
