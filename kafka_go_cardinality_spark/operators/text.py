@@ -301,3 +301,92 @@ def pack_sequences(
         F.floor(start / capacity).alias("seq_id"),
         (start % capacity).alias("seq_offset"),
     )
+
+
+# PII patterns kept deliberately simple and RE2/Java-portable: the oracle
+# must compile the identical pattern.
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def with_planted_pii(documents: DataFrame) -> DataFrame:
+    """Deterministically plant PII into the fixture corpus (which has
+    none): every 7th doc gets an email, every 11th a phone fragment, both
+    derived from doc_id so the oracle can plant the identical strings."""
+    email = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+    )
+    phone = F.concat(
+        F.lit(" call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    text = F.col("text")
+    text = F.when(F.col("doc_id") % 7 == 0, F.concat(text, email)).otherwise(text)
+    text = F.when(F.col("doc_id") % 11 == 0, F.concat(text, phone)).otherwise(text)
+    return documents.withColumn("text", text)
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """[EXT] PII redaction pass: count and mask emails/phones.  Pure
+    regex map — JVM-side, no shuffle, embarrassingly parallel at 100 TB.
+    Emails are masked before phones so digit runs inside a masked email
+    can never double-match.  Returns counts + md5 of the scrubbed text
+    (the text itself stays in the pipeline; the hash makes the full
+    output oracle-checkable without shipping megabytes per row)."""
+    n_emails = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL_RE), F.lit(0))
+    )
+    n_phones = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(PII_PHONE_RE), F.lit(0))
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return documents.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+def tfidf_topk(documents: DataFrame, k: int = 5) -> DataFrame:
+    """[EXT] Top-k TF-IDF terms per document.
+
+    Determinism contract: idf is quantized to integer micro-units
+    (``round(ln(N/df)·1e6)``) before scoring, so scores are exact integer
+    products — rankable and hash-comparable across engines regardless of
+    float accumulation or libm ulp differences.  Ties break on the term.
+
+    Scale shape: tf is one shuffle on (doc_id, term) with map-side
+    combine; df is vocabulary-sized (broadcast side of the score join);
+    N comes from a 1-row aggregate cross join.  The per-doc top-k is a
+    window over doc_id — the same single-shuffle top-k pattern as
+    grouped_topk."""
+    from pyspark.sql import Window
+
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(F.broadcast(df_), "term").crossJoin(F.broadcast(n))
+    idf_micro = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")) * 1e6
+    ).cast("long")
+    scored = scored.select(
+        "doc_id", "term", "tf", (F.col("tf") * idf_micro).alias("score_micro")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "tf", "score_micro", F.col("rn").cast("long").alias("rn"))
+    )

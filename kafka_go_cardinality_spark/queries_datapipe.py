@@ -566,3 +566,107 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams (doc_id-keyed, so the layout is a pure function of the corpus
     and identical at any parallelism — operators/text.pack_sequences)."""
     return tx.pack_sequences(_docs(spark, sf_dir))
+
+
+_PII_CORPUS_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0
+                THEN t1 || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE t1 END AS text
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  ELSE text END AS t1
+      FROM documents)
+"""
+
+
+@query(
+    "q_text_pii_scrub",
+    f"""
+    WITH corpus AS ({_PII_CORPUS_SQL})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{tx.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{tx.PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{tx.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{tx.PII_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM corpus
+    """,
+)
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22] PII redaction over a corpus with deterministically planted
+    emails/phones: per-doc counts + md5 of the masked text
+    (operators/text.pii_scrub).  Email masking runs before phone masking
+    so digits inside a masked email can't double-match."""
+    return tx.pii_scrub(tx.with_planted_pii(_docs(spark, sf_dir)))
+
+
+@query(
+    "q_domain_mix",
+    f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+                  THEN 90 ELSE 30 END AS rate
+      FROM documents)
+    SELECT source, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM rated
+    WHERE {hash64_sql("CAST(doc_id AS VARCHAR) || ':' || source", "mix")} % 100 < rate
+    GROUP BY source
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E26] Training-mixture resampling: per-source keep rates (90% for
+    even-indexed sources, 30% for odd — the up/down-weighting move of
+    pretraining data mixes), membership a pure md5 function of
+    (doc_id, source) so the mix is reproducible across runs, engines,
+    and repartitioning.  Map-side filter → tiny grouped count; no
+    shuffle touches dropped rows."""
+    from kafka_go_cardinality_spark.functions import hash64
+
+    docs = _docs(spark, sf_dir)
+    src_idx = F.substring(F.col("source"), 4, 10).cast("int")
+    rate = F.when(src_idx % 2 == 0, F.lit(90)).otherwise(F.lit(30))
+    keep = (
+        hash64(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source")),
+            "mix",
+        )
+        % 100
+        < rate
+    )
+    return (
+        docs.filter(keep)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.sum("doc_id").alias("id_sum"))
+    )
+
+
+@query(
+    "q_text_tfidf",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * CAST(round(ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1e6) AS BIGINT)
+               AS score_micro
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tf, score_micro,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_micro DESC, term) AS rn
+      FROM scored)
+    SELECT doc_id, term, tf, score_micro, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22] Top-5 TF-IDF terms per document with integer micro-unit idf
+    quantization — scores are exact integer products, so ranking and
+    values hash-match across engines (operators/text.tfidf_topk)."""
+    return tx.tfidf_topk(_docs(spark, sf_dir))
