@@ -205,3 +205,112 @@ def test_label_centroids_exact_fixed_point(spark):
         for r in label_centroids(df.repartition(5)).collect()
     }
     assert repart == {k: v["centroid_q6"] for k, v in got.items()}
+
+
+def test_pack_sequences_boundary_semantics(spark):
+    """Concat-and-split packing: offsets accumulate in doc_id order per
+    stream, a document starting mid-sequence keeps its offset, and a
+    document whose start crosses a capacity boundary lands in the next
+    sequence — hand-computed layout."""
+    from kafka_go_cardinality_spark.operators.text import pack_sequences
+
+    # One stream (n_streams=1): docs of 1000, 600, 600, 100 tokens.
+    # Starts: 0, 1000, 1600, 2200 → seq_ids at capacity 2048: 0, 0, 0, 1.
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([1000, 600, 600, 100])],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(docs, capacity=2048, n_streams=1).collect()
+    }
+    assert rows == {0: (0, 0), 1: (0, 1000), 2: (0, 1600), 3: (1, 2200 - 2048)}
+
+
+def test_pack_sequences_parallelism_invariant(spark):
+    """The layout must be a pure function of the corpus: repartitioning
+    the input arbitrarily cannot change a single assignment."""
+    from kafka_go_cardinality_spark.operators.text import pack_sequences
+    from kafka_go_cardinality_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {tuple(r) for r in pack_sequences(docs).collect()}
+    b = {tuple(r) for r in pack_sequences(docs.repartition(17)).collect()}
+    assert a == b
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    """Planted PII is counted pre-mask and fully removed post-mask; docs
+    divisible by 77 carry both an email and a phone."""
+    from kafka_go_cardinality_spark.operators.text import (
+        pii_scrub,
+        with_planted_pii,
+    )
+    from kafka_go_cardinality_spark.sources import load_table
+
+    docs = with_planted_pii(load_table(spark, "/root/testdata/sf0.001", "documents"))
+    out = pii_scrub(docs).collect()
+    for r in out:
+        did = r["doc_id"]
+        assert r["n_emails"] == (1 if did % 7 == 0 else 0), did
+        assert r["n_phones"] == (1 if did % 11 == 0 else 0), did
+    # Scrubbed text must contain no residual PII: re-scrubbing the masked
+    # text is a fixed point (hash unchanged).
+    import pyspark.sql.functions as F
+    from kafka_go_cardinality_spark.operators.text import PII_EMAIL_RE, PII_PHONE_RE
+
+    masked = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ).alias("text"),
+    )
+    assert pii_scrub(masked).filter(
+        (F.col("n_emails") > 0) | (F.col("n_phones") > 0)
+    ).count() == 0
+
+
+def test_bitmap_exact_matches_count_distinct(spark):
+    """Bitmap two-level aggregation is EXACT — identical to
+    count(distinct) per window on the same input, including windows whose
+    uids span multiple 32768-id buckets."""
+    from kafka_go_cardinality_spark.operators.cardinality import (
+        bitmap_exact_cardinality,
+        cardinality,
+    )
+    from kafka_go_cardinality_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    exact = {(r["timestamp"], r["value"]) for r in cardinality(ev, "day", True).collect()}
+    bitmap = {
+        (r["timestamp"], r["value"])
+        for r in bitmap_exact_cardinality(ev, "day").collect()
+    }
+    assert exact == bitmap
+
+
+def test_fuzzy_join_is_symmetric_free_and_banded(spark):
+    """Every emitted pair has key_a < key_b (no duplicates/mirrors), obeys
+    the length band, and distance <= 2."""
+    from kafka_go_cardinality_spark.sources import load_table
+
+    out = QUERIES["q_fuzzy_join"](spark, "/root/testdata/sf0.001").collect()
+    assert out, "expected some fuzzy matches"
+    for r in out:
+        assert r["key_a"] < r["key_b"]
+        assert abs(len(r["name_a"]) - len(r["name_b"])) <= 1
+        assert r["dist"] <= 2
+
+
+def test_gapfill_grid_is_dense(spark):
+    """Every (type, hour) combination in the global span appears exactly
+    once; filled hours carry 0."""
+    out = QUERIES["q_ts_gapfill"](spark, "/root/testdata/sf0.001").collect()
+    types = {r["event_type"] for r in out}
+    hours = {r["hour_ts"] for r in out}
+    assert len(out) == len(types) * len(hours)
+    assert min(r["events"] for r in out) == 0  # sf0.001 is sparse enough
+    span = sorted(hours)
+    assert span == list(range(span[0], span[-1] + 3600, 3600))
