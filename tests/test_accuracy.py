@@ -41,3 +41,71 @@ def test_sketch_rollup_matches_exact_months(spark, sf_dir):
     )
     worst = err.agg(F.max("rel_err")).collect()[0][0]
     assert worst is not None and worst <= 0.02, f"worst rel_err {worst}"
+
+
+def test_sketch_table_survives_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """The 100 TB sketch-table pattern made concrete: persist day-grain
+    HLL sketches as a parquet BINARY column, read them back, and merge
+    into month estimates — the estimate must be IDENTICAL to the
+    all-in-memory merge (sketch bytes are the aggregation state; storage
+    must not perturb them)."""
+    from kafka_go_cardinality_spark.operators.cardinality import sketch_rollup
+    from kafka_go_cardinality_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.col("user_id").cast("string").alias("uid"),
+        )
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("uid", F.lit(14)).alias("sk"))
+    )
+    path = str(tmp_path / "day_sketches")
+    daily.write.mode("overwrite").parquet(path)
+    merged = (
+        spark.read.parquet(path)
+        .select(F.date_trunc("month", "day").cast("long").alias("timestamp"), "sk")
+        .groupBy("timestamp")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("value"))
+    )
+    from_disk = {(r["timestamp"], r["value"]) for r in merged.collect()}
+    in_memory = {
+        (r["timestamp"], r["value"]) for r in sketch_rollup(events).collect()
+    }
+    assert from_disk == in_memory
+
+
+def test_bitmap_table_survives_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """Same persistence guarantee for the exact-count path: per-(day,
+    bucket) bitmaps written to parquet, read back, OR-merged into month
+    windows — must equal count(distinct) exactly."""
+    from kafka_go_cardinality_spark.operators.cardinality import cardinality
+    from kafka_go_cardinality_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        events.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .groupBy("day", F.bitmap_bucket_number(F.col("user_id")).alias("bucket"))
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position(F.col("user_id"))).alias(
+                "bm"
+            )
+        )
+    )
+    path = str(tmp_path / "day_bitmaps")
+    per_bucket.write.mode("overwrite").parquet(path)
+    merged = (
+        spark.read.parquet(path)
+        .select(F.date_trunc("month", "day").cast("long").alias("timestamp"), "bucket", "bm")
+        .groupBy("timestamp", "bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("timestamp")
+        .agg(F.sum(F.bitmap_count("bm")).alias("value"))
+    )
+    got = {(r["timestamp"], r["value"]) for r in merged.collect()}
+    exact = {
+        (r["timestamp"], r["value"])
+        for r in cardinality(events, "month", exact=True).collect()
+    }
+    assert got == exact
