@@ -49,18 +49,9 @@ GRAINS = ("minute", "day", "week", "month", "year")
 
 # The reference sketch is HLL precision 14 — 16,384 registers, theoretical
 # rsd 1.04/sqrt(2^14) ≈ 0.81% (processor.go:80 via axiomhq's New();
-# /root/reference/README.md:4 claims "<1%").  Spark derives precision from
-# rsd as p = ceil(2·log2(1.106/rsd)): rsd=0.01 → p=14, the exact same
-# register count.  (0.008 would round UP to p=15 — double the sketch bytes
-# shuffled per group for precision the reference never had; Spark's default
-# rsd=0.05 → p=9 would be far looser than the README's claim.)
-# Used by the streaming path, where DataSketches aggregates aren't yet
-# supported and approx_count_distinct's HLL++ carries the estimate.
-REFERENCE_RSD = 0.01
-
-# Batch approx path: DataSketches HLL at lg_k=14 — the same 2^14 registers
-# as the reference's sketch, with a sparse representation for small groups
-# (see module docstring).
+# /root/reference/README.md:4 claims "<1%").  DataSketches lg_k=14 is the
+# same register count, with a sparse representation below promotion (see
+# module docstring).  Both batch and streaming approx paths use it.
 REFERENCE_LG_K = 14
 
 

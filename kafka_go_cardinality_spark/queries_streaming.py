@@ -11,7 +11,7 @@ over a file dump is exactly the reference's restart/replay story
 Exactness in a stream: distinct aggregations are unsupported on streaming
 frames, so the exact twins use streaming dedup (``dropDuplicates`` on
 (uid, window)) + ``count(*)`` — oracle-checkable, unlike any sketch.  The
-approx twins (HLL++, bounded state) remain the 100 TB path.
+approx twins (DataSketches HLL, bounded state) remain the 100 TB path.
 """
 
 from __future__ import annotations
@@ -149,8 +149,9 @@ def q_stream_card_month_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_stream_card_day_approx", oracle=None)  # approx: rows-only by design
 def q_stream_card_day_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[CORE C5-C7] The reference's actual computation on the stream:
-    HLL++ (rsd 0.008 ≈ precision-14, processor.go:80) per day window via
-    ``window()``, partial sketches merged map-side."""
+    DataSketches HLL (lg_k=14 = the reference's 2^14 registers,
+    processor.go:80) per day window via ``window()``, partial sketches
+    merged map-side, sparse state for near-empty open windows."""
     return _replay(
         spark, sf_dir, lambda e: stream_cardinality(e, "day"), "stream_day_approx"
     )

@@ -1,7 +1,8 @@
 """Accuracy self-assertions for the approximate operators (SURVEY.md
-§5.2): the HLL++ estimate at rsd=0.008 must stay within 2% of the exact
-twin on every window — mirroring the reference README's "<1%" claim
-(/root/reference/README.md:4) with margin for a different estimator."""
+§5.2): the DataSketches HLL estimate at lg_k=14 must stay within 2% of
+the exact twin on every window — mirroring the reference README's "<1%"
+claim (/root/reference/README.md:4) with margin for a different
+estimator."""
 
 from __future__ import annotations
 
