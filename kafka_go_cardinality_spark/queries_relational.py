@@ -996,3 +996,57 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_custkeys"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_scan_schema_evolution",
+    """
+    SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS iso_code,
+           CAST(1 AS INT) AS gen
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, upper(substring(n_name, 1, 3)) AS iso_code,
+           CAST(2 AS INT) AS gen
+    FROM nation
+    """,
+)
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E1] Schema-evolution scan: a table whose later generation added an
+    ``iso_code`` column, read with ``mergeSchema`` — pre-evolution rows
+    surface the new column as NULL, no rewrite of old files.  The gen=N
+    layout is also a discovered partition column (sources/tables.
+    evolved_nation_path)."""
+    from kafka_go_cardinality_spark.sources.tables import evolved_nation_path
+
+    path = evolved_nation_path(spark, sf_dir)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("n_nationkey", "n_name", "iso_code", F.col("gen").cast("int").alias("gen"))
+    )
+
+
+@query(
+    "q_argmax",
+    """
+    SELECT event_type, user_id AS top_user, round(value, 6) AS top_value
+    FROM (
+      SELECT event_type, user_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E9] argmax aggregation: per event type, the user holding the max
+    value — ``max_by`` over a (value, event_id) struct, whose
+    lexicographic max makes ties break on the unique event_id (the same
+    total order the oracle's window spells out).  One aggregation with
+    map-side partials; no window, no self-join with max()."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct(F.col("value"), F.col("event_id"))
+    return ev.groupBy("event_type").agg(
+        F.max_by(F.col("user_id"), key).alias("top_user"),
+        F.round(F.max("value"), 6).alias("top_value"),
+    )

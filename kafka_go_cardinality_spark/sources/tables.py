@@ -136,3 +136,30 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+
+
+# One evolved-schema materialization per (process, sf_dir).
+_EVOLVED_NATION: dict[str, str] = {}
+
+
+def evolved_nation_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a two-generation `nation` table for the schema-evolution
+    scan: generation 1 is the original schema, generation 2 adds an
+    ``iso_code`` column.  This is the 100 TB reality of long-lived tables —
+    columns are added mid-history, and scans must reconcile footers with
+    different schemas (``mergeSchema``) instead of rewriting petabytes of
+    old files.  The ``gen=N`` layout doubles as a partition column, so the
+    read also exercises partition discovery alongside schema merge."""
+    existing = _EVOLVED_NATION.get(sf_dir)
+    if existing:
+        return existing
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="kgc_nation_evolved_")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").parquet(f"{path}/gen=1")
+    nation.withColumn(
+        "iso_code", F.upper(F.substring("n_name", 1, 3))
+    ).write.mode("overwrite").parquet(f"{path}/gen=2")
+    _EVOLVED_NATION[sf_dir] = path
+    return path
