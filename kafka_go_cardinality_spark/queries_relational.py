@@ -1050,3 +1050,68 @@ def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(F.col("user_id"), key).alias("top_user"),
         F.round(F.max("value"), 6).alias("top_value"),
     )
+
+
+@query(
+    "q_merge_upsert",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, round(o_totalprice + 1000, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N' AS o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 1000 = 0
+    )
+    SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           COALESCE(u.o_totalprice, round(t.o_totalprice, 2)) AS o_totalprice,
+           CASE WHEN u.o_orderkey IS NULL THEN 'kept'
+                WHEN t.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM orders t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E29] MERGE INTO semantics as a full-outer-join + coalesce — the
+    incremental-ingest upsert (update matched keys, insert new ones, keep
+    the rest) expressed declaratively.  The update set here is derived
+    deterministically from the target (10% restated, 0.1% new keys).  At
+    100 TB this is THE nightly pattern: one shuffle on the merge key for
+    both sides — or zero shuffles when target and updates are both
+    bucketed on the key (see sources/tables.write_bucketed) — and AQE
+    splits skewed keys.  Engines with storage-level MERGE (Delta/Iceberg)
+    compile to exactly this join."""
+    t = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        t.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") + 1000, 2).alias("o_totalprice"),
+        )
+        .unionByName(
+            t.filter(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            )
+        )
+    )
+    tt = t.alias("t")
+    u = updates.alias("u")
+    joined = tt.join(u, F.col("t.o_orderkey") == F.col("u.o_orderkey"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("u.o_orderkey"), F.col("t.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("u.o_orderstatus"), F.col("t.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.coalesce(F.col("u.o_totalprice"), F.round(F.col("t.o_totalprice"), 2)).alias(
+            "o_totalprice"
+        ),
+        F.when(F.col("u.o_orderkey").isNull(), F.lit("kept"))
+        .when(F.col("t.o_orderkey").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("merge_action"),
+    )
