@@ -69,6 +69,11 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
+        # Each query stands alone: drop cached frames persisted by the
+        # previous query (LSH signatures, fingerprints, ...) so storage
+        # memory doesn't accumulate across 100+ queries in one JVM and
+        # turn the tail of the run into GC churn.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -42,7 +42,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Local mode runs driver + executors in ONE JVM, so this is the
+        # entire heap.  Sized generously for the 128 GiB test box: the
+        # full query surface persists signature/fingerprint frames, and a
+        # small heap turns late-run queries into GC victims.  On a real
+        # cluster spark-submit supplies per-role memory instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
