@@ -1115,3 +1115,34 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("updated"))
         .alias("merge_action"),
     )
+
+
+@query(
+    "q_agg_filtered",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+             AS discounted_revenue,
+           round(avg(l_quantity) FILTER (WHERE l_tax < 0.04), 6) AS low_tax_avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E9] Conditional (FILTER-clause) aggregation: several differently-
+    predicated measures in ONE aggregation pass — the alternative (one
+    self-join or separate scan per predicate) multiplies reads.  Spark
+    expresses the filter as when()-conditioned inputs, which compiles to
+    the identical conditional-update aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    bulk = F.when(F.col("l_quantity") > 25, 1)
+    disc = F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))
+    lowtax = F.when(F.col("l_tax") < 0.04, F.col("l_quantity"))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(bulk).alias("n_bulk"),
+        F.round(F.sum(disc), 2).alias("discounted_revenue"),
+        F.round(F.avg(lowtax), 6).alias("low_tax_avg_qty"),
+    )
