@@ -1,0 +1,100 @@
+"""Property-based invariants (hypothesis) for the operators whose
+correctness is an algebraic identity, complementing the fixture-bound
+oracle suite with adversarial small inputs: skewed keys, empty groups,
+single rows, boundary timestamps.
+
+Examples are kept few (each runs Spark jobs); the point is shrunk
+counterexamples on structural edge cases, not volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # CI determinism: same corpus every run
+)
+
+# (user_id, seconds-offset) event lists with deliberate skew: tiny key
+# domain so duplicate users per window are common.
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=3 * 86_400),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+_T0 = dt.datetime(2024, 1, 1)
+
+
+def _events_df(spark, events):
+    rows = [
+        (i, _T0 + dt.timedelta(seconds=off), uid)
+        for i, (uid, off) in enumerate(events)
+    ]
+    return spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+
+
+@given(events=_events_strategy)
+@settings(**_SETTINGS)
+def test_salted_and_bitmap_equal_plain_exact(spark, events):
+    """All three exact-distinct plans — plain count(distinct), two-level
+    salted, two-level bitmap — are the same function."""
+    from kafka_go_cardinality_spark.operators.cardinality import (
+        bitmap_exact_cardinality,
+        cardinality,
+        salted_exact_cardinality,
+    )
+
+    df = _events_df(spark, events)
+    plain = {(r["timestamp"], r["value"]) for r in cardinality(df, "day", True).collect()}
+    salted = {
+        (r["timestamp"], r["value"])
+        for r in salted_exact_cardinality(df, "day").collect()
+    }
+    bitmap = {
+        (r["timestamp"], r["value"])
+        for r in bitmap_exact_cardinality(df, "day").collect()
+    }
+    assert plain == salted == bitmap
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=40),
+    capacity=st.sampled_from([64, 1024, 2048]),
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_offsets_are_gapless(spark, sizes, capacity):
+    """Within every stream, documents tile the token axis exactly:
+    sorted by doc_id, each doc starts where the previous ended
+    (seq_id*capacity + seq_offset is the running token sum), regardless
+    of doc sizes vs capacity."""
+    from kafka_go_cardinality_spark.operators.text import pack_sequences
+
+    docs = [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+    out = pack_sequences(
+        spark.createDataFrame(docs, ["doc_id", "text"]),
+        capacity=capacity,
+        n_streams=3,
+    ).collect()
+    by_stream: dict[int, list] = {}
+    for r in out:
+        by_stream.setdefault(r["stream"], []).append(r)
+    total = 0
+    for rows in by_stream.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        expect = 0
+        for r in rows:
+            assert r["seq_id"] * capacity + r["seq_offset"] == expect
+            assert 0 <= r["seq_offset"] < capacity
+            expect += r["n_tokens"]
+        total += len(rows)
+    assert total == len(sizes)
