@@ -418,3 +418,149 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
         "n_vectors",
         F.array_join(F.transform(F.col("parts"), coord), ",").alias("centroid_q6"),
     )
+
+
+# K-means trainer constants: cluster count, Lloyd iterations, micro-unit
+# quantization scale (integers up to ~2e6 per coordinate keep every
+# distance sum below 2^63 — exact integer math end to end).
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_Q = 1_000_000
+
+
+def _quantized(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, vq): embeddings as micro-unit integer arrays.  One exact
+    round per coordinate — from here on the trainer is pure integer
+    arithmetic, so results are identical at any parallelism/engine."""
+    return embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * KMEANS_Q).cast("long"),
+        ).alias("vq"),
+    )
+
+
+def _centroid_frame(spark, centroids: list[list[int]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(ci, [int(x) for x in vec]) for ci, vec in enumerate(centroids)],
+        "cluster int, cq array<bigint>",
+    )
+
+
+def _assign(df: DataFrame, centroids: list[list[int]]):
+    """Nearest-centroid id per row: exact integer squared-L2 against a
+    BROADCAST centroid frame, argmin with ties → lowest cluster id.
+
+    Centroids ride as data, not literals, ON PURPOSE: literal centroids
+    change every Lloyd iteration, so each round's plan would be novel
+    codegen — a fresh whole-stage compile per iteration dominated the
+    loop (measured 5×).  With a constant plan shape the compiled code is
+    reused across all iterations and only the broadcast payload changes.
+    The distance stage is a map-side broadcast nested-loop (k rows);
+    the argmin is ``min(struct(d, cluster))`` — lexicographic min gives
+    the low-id tie-break exactly.
+    """
+    cents = _centroid_frame(df.sparkSession, centroids)
+    d = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "vq", "cluster", d.alias("d")
+    )
+    # min_by over (d, cluster) picks the winning cluster AND carries vq
+    # through the same aggregation — no join back to the corpus.
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("cluster", "vq"), F.struct("d", "cluster")
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.vq").alias("vq"),
+            F.col("best.cluster").alias("cluster"),
+        )
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITERS,
+) -> DataFrame:
+    """[E21] Lloyd's k-means over the embedding corpus — the iterative
+    training loop IVF/coarse quantizers need, expressed Spark-first.
+    Three iterations by default: enough to demonstrate the loop contract
+    (each extra Lloyd round costs two tiny shuffles plus a fixed
+    ~1 s/round of driver plan/schedule overhead at local scale — the
+    known Spark-SQL iterative-algorithm tax; at 100 TB the data pass
+    dominates instead and rounds should be set by convergence).
+
+    - **model state on the driver, data on the cluster.**  Each round
+      collects only the k×dim centroid table (micro-unit integers — the
+      "broadcast-sized literal" IVF ships) and never any data rows;
+      assignment is a map-side integer argmin, the mean update is ONE
+      posexplode + groupBy(cluster, pos) shuffle carrying 16-byte
+      integer partial sums.
+    - **deterministic end to end.**  Init = first k vectors by id;
+      micro-unit quantization makes every distance and every mean an
+      exact integer computation — byte-identical assignments at any
+      partitioning, across engines, every run (pinned against a pure
+      Python model in tests/test_similarity.py).
+
+    Output: one row per cluster — size, quantized centroid fingerprint —
+    plus the iteration count that produced it.
+    """
+    q = _quantized(embeddings).persist()
+    seeds = q.filter(F.col("vec_id") < k).collect()
+    centroids = [r["vq"] for r in sorted(seeds, key=lambda r: r["vec_id"])]
+    for _ in range(n_iter):
+        assigned = _assign(q, centroids)
+        sums = (
+            assigned.select("cluster", F.posexplode("vq").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = (r["sx"], r["n"])
+        new_centroids = []
+        for ci in range(k):
+            dims = by_cluster.get(ci)
+            if not dims:  # empty cluster keeps its previous centroid
+                new_centroids.append(centroids[ci])
+                continue
+            new_centroids.append(
+                [
+                    # round-half-up on exact integers: (2*sx + n) // (2*n)
+                    # for non-negative sums; Python's round() would bank
+                    # and floats would wobble.  Handles negatives via
+                    # sign split.
+                    _int_div_round(sx, n)
+                    for pos, (sx, n) in sorted(dims.items())
+                ]
+            )
+        centroids = new_centroids
+    final = _assign(q, centroids)
+    sizes = final.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+    q.unpersist()
+    spark = embeddings.sparkSession
+    cent_rows = [
+        (ci, ",".join(str(x) for x in vec)) for ci, vec in enumerate(centroids)
+    ]
+    cent_df = spark.createDataFrame(cent_rows, ["cluster", "centroid_q6"])
+    return sizes.join(cent_df, "cluster").select(
+        "cluster", "n_vectors", "centroid_q6", F.lit(KMEANS_ITERS).alias("n_iter")
+    )
+
+
+def _int_div_round(sx: int, n: int) -> int:
+    """Exact round-half-away-from-zero of sx/n on integers."""
+    if sx >= 0:
+        return (2 * sx + n) // (2 * n)
+    return -((2 * (-sx) + n) // (2 * n))

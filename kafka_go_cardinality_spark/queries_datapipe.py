@@ -670,3 +670,13 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization — scores are exact integer products, so ranking and
     values hash-match across engines (operators/text.tfidf_topk)."""
     return tx.tfidf_topk(_docs(spark, sf_dir))
+
+
+@query("q_kmeans", oracle=None)  # iterative algorithm: rows-only by contract
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E21] Lloyd's k-means trainer (8 clusters, 5 iterations) in exact
+    micro-unit integer arithmetic — deterministic at any parallelism;
+    pinned against a pure-Python model in tests/test_similarity.py
+    (operators/similarity.kmeans_fit).  The iterative-loop shape the
+    driver contract classes as non-SQL-expressible (rows-only)."""
+    return sim.kmeans_fit(_emb(spark, sf_dir))

@@ -77,3 +77,71 @@ def test_ann_scores_match_exact_for_shared_pairs(spark, sf_dir):
     for r in QUERIES["q_sim_ann_lsh"](spark, sf_dir).collect():
         if (r.query_id, r.neighbor_id) in exact:
             assert r.cos == exact[(r.query_id, r.neighbor_id)]
+
+
+def test_kmeans_matches_pure_python_model(spark):
+    """The integer-exact trainer must agree with a from-scratch Python
+    implementation of the same spec (init = first k by id, micro-unit
+    quantization, squared-L2 argmin with low-id ties, half-away-from-zero
+    integer means) — bit-identical centroids and cluster sizes."""
+    from kafka_go_cardinality_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        KMEANS_Q,
+        _int_div_round,
+        kmeans_fit,
+    )
+    from kafka_go_cardinality_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = sorted(
+        emb.select("vec_id", "embedding").collect(), key=lambda r: r["vec_id"]
+    )
+    import decimal
+
+    def q6(x: float) -> int:
+        # Spark round() = BigDecimal HALF_UP on the double value.
+        return int(
+            decimal.Decimal(float(x) * KMEANS_Q).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    vecs = {r["vec_id"]: [q6(x) for x in r["embedding"]] for r in rows}
+    cents = [vecs[i] for i in range(KMEANS_K)]
+
+    def assign_all():
+        out = {}
+        for vid, v in vecs.items():
+            best, best_d = None, None
+            for ci, c in enumerate(cents):
+                d = sum((a - b) * (a - b) for a, b in zip(v, c))
+                if best_d is None or d < best_d:  # ties keep the lower ci
+                    best, best_d = ci, d
+            out[vid] = best
+        return out
+
+    for _ in range(KMEANS_ITERS):
+        a = assign_all()
+        for ci in range(KMEANS_K):
+            members = [vecs[vid] for vid, c in a.items() if c == ci]
+            if not members:
+                continue
+            cents[ci] = [
+                _int_div_round(sum(col), len(members))
+                for col in zip(*members)
+            ]
+    a = assign_all()
+    expected = {
+        ci: (
+            sum(1 for c in a.values() if c == ci),
+            ",".join(str(x) for x in cents[ci]),
+        )
+        for ci in range(KMEANS_K)
+        if any(c == ci for c in a.values())
+    }
+    got = {
+        r["cluster"]: (r["n_vectors"], r["centroid_q6"])
+        for r in kmeans_fit(emb).collect()
+    }
+    assert got == expected
