@@ -680,3 +680,66 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.kmeans_fit).  The iterative-loop shape the
     driver contract classes as non-SQL-expressible (rows-only)."""
     return sim.kmeans_fit(_emb(spark, sf_dir))
+
+
+@query(
+    "q_pipeline_curate",
+    f"""
+    WITH corpus AS ({dd.WITH_EXACT_DUPES_SQL}),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             round(0.4 * least(CAST(n_stop AS DOUBLE) / len(t) * 5, 1.0)
+                 + 0.3 * (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 10, 1.0))
+                 + 0.3 * (CASE WHEN CAST(n_chars AS DOUBLE) / len(t) >= 3
+                                AND CAST(n_chars AS DOUBLE) / len(t) <= 10
+                               THEN 1.0 ELSE 0.0 END), 6) AS quality
+      FROM (
+        SELECT doc_id,
+               {tokens_sql('text')} AS t,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+               len(list_filter({tokens_sql('text')},
+                   x -> list_contains({tx.STOPWORDS['en']!r}, x))) AS n_stop
+        FROM corpus)),
+    kept AS (
+      SELECT c.doc_id, c.lang, c.text, s.n_tokens
+      FROM corpus c JOIN scored s USING (doc_id)
+      WHERE s.quality >= 0.5),
+    canon AS (
+      SELECT lang, n_tokens, doc_id,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+      FROM kept)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM canon WHERE doc_id = canonical
+    GROUP BY lang
+    """,
+)
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E20/E22 composition] The curation pipeline end-to-end in ONE
+    declarative plan: corpus (with planted exact dupes) → quality filter
+    (C4-style score ≥ 0.5) → exact dedup keeping the lowest surviving id
+    per content hash → per-language doc/token accounting of the final
+    training set.  The point: stages compose as DataFrame transforms and
+    Catalyst plans the whole thing together (the quality filter prunes
+    BEFORE the dedup window ever shuffles) — no materialization between
+    stages, unlike a script-per-stage pipeline.  Quality formula is the
+    q_text_quality one, inlined in the oracle against the corpus CTE."""
+    from pyspark.sql import Window
+
+    corpus = dd.with_exact_dupes(_docs(spark, sf_dir))
+    scored = tx.quality_score(corpus)
+    kept = corpus.select("doc_id", "lang", "text").join(
+        scored.filter(F.col("quality") >= 0.5).select("doc_id", "n_tokens"),
+        "doc_id",
+    )
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    canon = kept.withColumn("canonical", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("canonical")
+    )
+    return canon.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
