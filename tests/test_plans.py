@@ -249,3 +249,14 @@ def test_centroid_shuffles_integer_sums(spark, sf_dir):
     df = q("q_emb_centroids", spark, sf_dir)
     assert_partial_aggregation(df, "sum")
     assert count_exchanges(df) == 2
+
+
+def test_pipeline_curate_filters_before_dedup_window(spark, sf_dir):
+    """The composed curation pipeline must stay ONE Catalyst plan with
+    exactly two hash exchanges (dedup window on the content hash + final
+    per-lang aggregate): the quality filter reaches the scans (pruned
+    before anything shuffles) and the doc_id join broadcasts."""
+    df = q("q_pipeline_curate", spark, sf_dir)
+    assert count_exchanges(df) == 2
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
