@@ -556,7 +556,7 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sized)
     SELECT doc_id, stream, n_tokens,
            CAST(floor(CAST(s AS DOUBLE) / 2048) AS BIGINT) AS seq_id,
-           s % 2048 AS seq_offset
+           CAST(s % 2048 AS BIGINT) AS seq_offset
     FROM off
     """,
 )

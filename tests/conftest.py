@@ -63,6 +63,15 @@ def assert_frames_match(
     assert len(a) == len(b), f"row count {len(a)} vs {len(b)}"
     for col in a.columns:
         av, bv = a[col], b[col]
+        # A float column on one side with an integer column on the other
+        # is a declared-type divergence even when values coincide — the
+        # driver stringifies/hashes what fetchdf returns, and "45.0" !=
+        # "45" (e.g. DuckDB windowed SUM yields HUGEINT → pandas float64;
+        # the oracle must CAST it back to BIGINT).
+        assert pd.api.types.is_float_dtype(av) == pd.api.types.is_float_dtype(bv), (
+            f"dtype kind mismatch in column {col!r}: "
+            f"spark={av.dtype} vs oracle={bv.dtype}"
+        )
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             pd.testing.assert_series_equal(
                 av.astype(float),
