@@ -87,3 +87,47 @@ def decode_media(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+FRAME_SAMPLES = 8  # uniform samples per video
+FRAME_MODULUS = 240  # synthetic frame-count derivation (documented fake)
+
+
+def frame_sample(media: DataFrame) -> DataFrame:
+    """Deterministic uniform frame sampling over the video rows — the
+    frame-selection half of a video ingestion pipeline, entirely JVM-side
+    (sequence + explode): pick ``FRAME_SAMPLES`` uniformly-spaced frame
+    indices per clip and the byte offset to seek each one.
+
+    Frame count is DERIVED from payload length (the codecs that would
+    read real container metadata aren't in this environment — same
+    documented-fake policy as ``_fake_decode``); the selection math
+    ``idx_i = floor(i·n/m)`` and the offset plumbing are the real
+    article, and a row explodes into at most ``min(n_frames, m)`` frame
+    rows with no shuffle anywhere.
+    """
+    v = media.filter(F.col("meta.media_type") == "video").select(
+        "doc_id",
+        F.col("meta.payload_len").alias("plen"),
+        (1 + F.col("meta.payload_len") % FRAME_MODULUS).alias("n_frames"),
+    )
+    v = v.withColumn(
+        "m", F.least(F.col("n_frames"), F.lit(FRAME_SAMPLES))
+    ).withColumn("stride", F.expr("plen div n_frames"))
+    rows = v.select(
+        "doc_id",
+        "n_frames",
+        "stride",
+        F.explode(F.sequence(F.lit(0), F.col("m") - 1)).alias("i"),
+        F.col("m"),
+    )
+    frame_idx = F.floor(
+        (F.col("i") * F.col("n_frames")).cast("double") / F.col("m")
+    ).cast("long")
+    return rows.select(
+        "doc_id",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("i").cast("long").alias("sample_i"),
+        frame_idx.alias("frame_idx"),
+        (frame_idx * F.col("stride")).cast("long").alias("byte_offset"),
+    )

@@ -743,3 +743,37 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@query(
+    "q_mm_frame_sample",
+    """
+    WITH v AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS plen,
+             1 + octet_length(encode(text)) % 240 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2),
+    sized AS (
+      SELECT doc_id, n_frames, plen // n_frames AS stride,
+             least(n_frames, 8) AS m
+      FROM v),
+    s AS (
+      SELECT doc_id, n_frames, stride, m,
+             unnest(generate_series(0, m - 1)) AS i
+      FROM sized)
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(i AS BIGINT) AS sample_i,
+           CAST(floor(CAST(i * n_frames AS DOUBLE) / m) AS BIGINT) AS frame_idx,
+           CAST(CAST(floor(CAST(i * n_frames AS DOUBLE) / m) AS BIGINT) * stride
+                AS BIGINT) AS byte_offset
+    FROM s
+    """,
+)
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E23] Uniform frame sampling over the video rows: m uniformly
+    spaced frame indices per clip (idx = floor(i·n/m)) plus seek byte
+    offsets — sequence+explode, no shuffle, no Python
+    (operators/multimodal.frame_sample; frame counts derived
+    deterministically, same documented-fake policy as the decode stub)."""
+    return mm.frame_sample(mm.as_media(_docs(spark, sf_dir)))
