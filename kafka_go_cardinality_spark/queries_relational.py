@@ -1146,3 +1146,35 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(disc), 2).alias("discounted_revenue"),
         F.round(F.avg(lowtax), 6).alias("low_tax_avg_qty"),
     )
+
+
+@query(
+    "q_histogram",
+    """
+    SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                     WHEN o_totalprice >= 600000.0 THEN 25
+                     ELSE 1 + floor((o_totalprice - 0.0) * 24 / (600000.0 - 0.0))
+                END AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E9] Fixed-width numeric histogram via ``width_bucket`` — the
+    distribution-profiling primitive (one pass, map-side combine; the
+    shuffle carries one row per bucket).  Fixed bounds make the bucket
+    function pure, so histograms from different table shards merge by
+    simple count addition — the scale path for profiling 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(24))
+        .cast("long")
+        .alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
