@@ -1178,3 +1178,31 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "q_map_ops",
+    """
+    SELECT event_id,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           list_contains(json_keys(props), 'k') AS has_k,
+           CAST(props ->> '$.k' AS INT) AS k_val
+    FROM events
+    """,
+)
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E16] MapType functions over the JSON props column: parse to
+    ``map<string,int>`` once, then map_keys / size / membership / value
+    access — all JVM-side (the parse is the only nontrivial op; the rest
+    are O(keys) accessors inside codegen)."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    keyed = e.select("event_id", m.alias("m"))
+    return keyed.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys"),
+        F.size("m").alias("n_keys"),
+        F.array_contains(F.map_keys("m"), "k").alias("has_k"),
+        F.col("m")["k"].alias("k_val"),
+    )
