@@ -1206,3 +1206,79 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(F.map_keys("m"), "k").alias("has_k"),
         F.col("m")["k"].alias("k_val"),
     )
+
+
+@query(
+    "q_join_bucketed",
+    """
+    SELECT c.c_nationkey,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E4 scale path] The fact⋈dim join over BUCKETED tables: both sides
+    pre-hashed to 8 buckets on the join key (sources/tables.bucketed_pair),
+    so the join itself needs no shuffle — the scan's bucket spec satisfies
+    the join's distribution requirement and only the final nationkey
+    aggregate exchanges.  Same answer as the raw-table join (same oracle
+    family as q_join_inner); the zero-exchange property is pinned in
+    tests/test_plans.py."""
+    from kafka_go_cardinality_spark.sources.tables import bucketed_pair
+
+    o_name, c_name = bucketed_pair(spark, sf_dir)
+    o = spark.table(o_name)
+    c = spark.table(c_name)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_histogram_equidepth",
+    """
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice,
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bounds
+      FROM orders)
+    SELECT CAST(1 + len(list_filter(b.bounds, x -> o.o_totalprice > x)) AS INT)
+             AS decile,
+           count(*) AS n_orders,
+           round(min(o.o_totalprice), 2) AS lo,
+           round(max(o.o_totalprice), 2) AS hi
+    FROM orders o CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E9] Equi-depth (decile) histogram WITHOUT a global sort: exact
+    decile boundaries from one percentile aggregate (a 1-row broadcast),
+    then bucket assignment as a map-side count-of-boundaries-below.  The
+    ntile() formulation needs a single-reducer total order — this shape
+    keeps the heavy pass embarrassingly parallel at 100 TB.  (Both
+    engines interpolate percentiles linearly; boundaries only coincide
+    with data values when (n-1)·q is integral, in which case both sides
+    hit the data value exactly — comparisons stay engine-identical.)"""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.percentile(
+            "o_totalprice",
+            F.array(*[F.lit(x / 10.0) for x in range(1, 10)]),
+        ).alias("bounds")
+    )
+    joined = o.crossJoin(F.broadcast(bounds))
+    decile = 1 + F.size(
+        F.filter(F.col("bounds"), lambda x: F.col("o_totalprice") > x)
+    )
+    return joined.groupBy(decile.cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

@@ -163,3 +163,36 @@ def evolved_nation_path(spark: SparkSession, sf_dir: str) -> str:
     ).write.mode("overwrite").parquet(f"{path}/gen=2")
     _EVOLVED_NATION[sf_dir] = path
     return path
+
+
+# One bucketed (orders, customer) pair per (process, sf_dir).
+_BUCKETED_PAIR: dict[str, tuple[str, str]] = {}
+
+
+def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize orders + customer bucketed on the join key (8 buckets
+    each) and return the two table names.  This is the pre-shuffled
+    co-located layout write_bucketed documents: every later equi-join on
+    o_custkey = c_custkey runs with zero shuffle exchanges.  Cached per
+    (process, sf_dir) — the write is storage prep (the nightly ingest
+    job at 100 TB), not part of any query's cost."""
+    existing = _BUCKETED_PAIR.get(sf_dir)
+    if existing:
+        return existing
+    import re
+    import tempfile
+
+    suffix = re.sub(r"\W+", "_", sf_dir).strip("_")
+    names = (f"orders_bkt_{suffix}", f"customer_bkt_{suffix}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    write_bucketed(
+        orders, names[0], "o_custkey", 8, path=tempfile.mkdtemp(prefix="kgc_bkt_o_")
+    )
+    write_bucketed(
+        cust, names[1], "c_custkey", 8, path=tempfile.mkdtemp(prefix="kgc_bkt_c_")
+    )
+    _BUCKETED_PAIR[sf_dir] = names
+    return names

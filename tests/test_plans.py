@@ -260,3 +260,12 @@ def test_pipeline_curate_filters_before_dedup_window(spark, sf_dir):
     assert count_exchanges(df) == 2
     plan = plan_string(df)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_declared_bucketed_join_single_exchange(spark, sf_dir):
+    """q_join_bucketed: the join over the pre-bucketed pair contributes
+    ZERO shuffle exchanges — the only exchange in the whole plan is the
+    final nationkey aggregate's (and if Spark chooses to broadcast the
+    small side instead, even that still leaves at most one)."""
+    df = q("q_join_bucketed", spark, sf_dir)
+    assert count_exchanges(df) <= 1, plan_string(df, mode="simple")
