@@ -231,3 +231,42 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda e: sliding_cardinality(e, "10 minutes", "5 minutes"),
         "stream_sliding",
     )
+
+
+@query(
+    "q_stream_enrich",
+    """
+    SELECT CAST(epoch(date_trunc('day', e.ts)) AS BIGINT) AS day_ts,
+           CAST(c.c_nationkey AS INT) AS nationkey,
+           count(*) AS n_events
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT E18 stream-static join] Enrich the live stream with a static
+    dimension: wire events join a BROADCAST customer table (stream-static
+    joins need no state — the static side is a plain broadcast relation
+    re-used every micro-batch), then exact per-(day, nation) counts.
+    This is the canonical streaming-ETL shape: dimension lookups happen
+    in-flight, map-side, before any stateful operator."""
+
+    def build(parsed: DataFrame) -> DataFrame:
+        dim = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey"), F.col("c_nationkey").cast("int").alias("nationkey")
+        )
+        enriched = parsed.join(
+            F.broadcast(dim), parsed["uid"].cast("long") == dim["c_custkey"], "left"
+        )
+        return (
+            enriched.withWatermark("ts", "10 minutes")
+            .groupBy(F.date_trunc("day", "ts").alias("day"), "nationkey")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("day").cast("long").alias("day_ts"),
+                "nationkey",
+                "n_events",
+            )
+        )
+
+    return _replay(spark, sf_dir, build, "stream_enrich")
