@@ -331,3 +331,73 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.p_name").alias("name_b"),
         F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("long").alias("dist"),
     ).filter(F.col("dist") <= 2)
+
+
+@query(
+    "q_scd2_intervals",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    marked AS (
+      SELECT user_id, event_type, t, event_id,
+             CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM ordered),
+    runs AS (
+      SELECT user_id, event_type, t,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_id
+      FROM marked)
+    SELECT user_id, event_type,
+           min(t) AS valid_from,
+           max(t) AS last_seen,
+           count(*) AS n_events
+    FROM runs
+    GROUP BY user_id, event_type, run_id
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E12/E29] Change-point intervals (the SCD type-2 history build):
+    per user, consecutive runs of the same event_type collapse into one
+    validity interval [valid_from, last_seen] — lag marks the change
+    points, a running sum numbers the runs, one aggregate per run.  All
+    three window passes and the final aggregate share the user_id
+    partitioning, so the whole history build is ONE shuffle (the
+    sessionize pattern applied to value changes instead of time gaps).
+    The (ts, event_id) composite order is total → deterministic."""
+    from pyspark.sql import Window
+
+    # Order by the RAW timestamp (micros) + event_id — the oracle does the
+    # same; ordering by the floored-seconds output column instead could
+    # sequence same-second events differently across engines.
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.col("ts").cast("long").alias("t"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    runs = marked.withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("t").alias("valid_from"),
+        F.max("t").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("run_id")

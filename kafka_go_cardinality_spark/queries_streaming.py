@@ -270,3 +270,28 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _replay(spark, sf_dir, build, "stream_enrich")
+
+
+@query(
+    "q_stream_dedup",
+    """
+    SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid,
+           CAST(floor(epoch(ts)) AS BIGINT) AS t
+    FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT E19] Streaming deduplication as its own operator:
+    ``dropDuplicates`` on (uid, second) with a watermark bounds the dedup
+    state to the watermark horizon — the exactly-once ingest guard every
+    at-least-once pipeline needs in front of it.  Append mode emits each
+    surviving row once; the oracle is plain DISTINCT."""
+
+    def build(parsed: DataFrame) -> DataFrame:
+        return (
+            parsed.withWatermark("ts", "10 minutes")
+            .dropDuplicates(["uid", "ts"])
+            .select("uid", F.col("ts").cast("long").alias("t"))
+        )
+
+    return _replay(spark, sf_dir, build, "stream_dedup", "append")
