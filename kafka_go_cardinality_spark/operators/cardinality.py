@@ -252,3 +252,44 @@ def cardinality_error_bound(events: DataFrame, grain: str) -> DataFrame:
         "approx",
         (F.abs(F.col("approx") - F.col("exact")) / F.col("exact")).alias("rel_err"),
     )
+
+
+def grain_fanout_rollup(events: DataFrame, lg_k: int = REFERENCE_LG_K) -> DataFrame:
+    """All five grains from ONE fine-grained sketch pass — sketch algebra
+    instead of row multiplication.
+
+    ``grain_fanout`` explodes every event 5× before aggregating; at scale
+    that is 5× the shuffle input for the approx case, where HLL sketches
+    are unionable and every grain is an epoch-aligned union of minutes.
+    This variant aggregates one DataSketches sketch per minute (the only
+    pass over raw data), then derives day/week/month/year by
+    ``hll_union_agg`` over the ~minutes-sized sketch table — the rollup
+    cost is proportional to #minutes, not #events.  Same estimator, same
+    lg_k, so minute estimates are identical to ``cardinality('minute',
+    exact=False)`` and coarse grains estimate unions of the same
+    sketches (accuracy pinned vs the exact fan-out in
+    tests/test_accuracy.py).
+    """
+    minute = (
+        events.select(
+            F.date_trunc("minute", "ts").alias("m"),
+            F.col("user_id").cast("string").alias("uid"),
+        )
+        .groupBy("m")
+        .agg(F.hll_sketch_agg("uid", F.lit(lg_k)).alias("sk"))
+        .persist()  # five rollup branches read it; minutes-sized
+    )
+    parts = []
+    for grain in GRAINS:
+        rolled = (
+            minute.groupBy(F.date_trunc(grain, "m").cast("long").alias("timestamp"))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("value"))
+            .select(
+                F.lit(f"{grain}_count").alias("type"), "timestamp", "value"
+            )
+        )
+        parts.append(rolled)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -182,3 +182,18 @@ def q_malformed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json(F.col("raw"), USER_MSG_SCHEMA).alias("msg")
     ).select(F.col("msg.uid").alias("uid"), F.col("msg.ts").alias("ts"))
     return parsed.filter(F.col("uid").isNotNull())
+
+
+@query("q_grain_fanout_rollup", oracle=None)  # sketch estimates: rows-only
+def q_grain_fanout_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[CORE C4 scale path] All five grains by SKETCH ALGEBRA: one
+    minute-sketch pass over raw events, then day/week/month/year derived
+    by hll_union_agg over the minutes-sized sketch table — no 5× row
+    explosion, rollup cost proportional to #minutes not #events
+    (operators/cardinality.grain_fanout_rollup; accuracy vs the exact
+    fan-out pinned in tests/test_accuracy.py)."""
+    from kafka_go_cardinality_spark.operators.cardinality import (
+        grain_fanout_rollup,
+    )
+
+    return grain_fanout_rollup(_events(spark, sf_dir))

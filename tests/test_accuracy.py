@@ -110,3 +110,28 @@ def test_bitmap_table_survives_parquet_roundtrip(spark, sf_dir, tmp_path):
         for r in cardinality(events, "month", exact=True).collect()
     }
     assert got == exact
+
+
+def test_fanout_rollup_matches_exact_within_bound(spark, sf_dir):
+    """The sketch-algebra fan-out (one minute pass + union rollups) must
+    estimate every (grain, window) within 2% of the exact fan-out — the
+    union-of-sketches estimate carries the same rsd as a direct sketch
+    of the union."""
+    from kafka_go_cardinality_spark.operators.cardinality import (
+        grain_fanout,
+        grain_fanout_rollup,
+    )
+    from kafka_go_cardinality_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        (r["type"], r["timestamp"]): r["value"]
+        for r in grain_fanout(events, exact=True).collect()
+    }
+    rolled = {
+        (r["type"], r["timestamp"]): r["value"]
+        for r in grain_fanout_rollup(events).collect()
+    }
+    assert set(exact) == set(rolled)
+    for key, ev in exact.items():
+        assert abs(rolled[key] - ev) / ev <= 0.02, (key, ev, rolled[key])
