@@ -314,3 +314,57 @@ def test_gapfill_grid_is_dense(spark):
     assert min(r["events"] for r in out) == 0  # sf0.001 is sparse enough
     span = sorted(hours)
     assert span == list(range(span[0], span[-1] + 3600, 3600))
+
+
+def test_merge_upsert_action_accounting(spark):
+    """Every orderkey divisible by 10 is 'updated', the +100M keys are
+    'inserted', everything else 'kept' — and the output has exactly
+    |target| + |inserts| rows (MERGE never duplicates or drops)."""
+    out = QUERIES["q_merge_upsert"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    by_action = {}
+    for r in rows:
+        by_action.setdefault(r["merge_action"], []).append(r)
+    from kafka_go_cardinality_spark.sources import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    n = orders.count()
+    n_upd = orders.filter("o_orderkey % 10 = 0").count()
+    n_ins = orders.filter("o_orderkey % 1000 = 0").count()
+    assert len(by_action.get("updated", [])) == n_upd
+    assert len(by_action.get("inserted", [])) == n_ins
+    assert len(by_action.get("kept", [])) == n - n_upd
+    assert len(rows) == n + n_ins
+    assert all(r["o_orderstatus"] == "U" for r in by_action["updated"])
+    assert all(r["o_orderkey"] >= 100_000_000 for r in by_action["inserted"])
+
+
+def test_kafka_config_env_defaults(monkeypatch):
+    """[CORE C10] Env-var resolution with the reference's defaults
+    (/root/reference/kafkaio/kafkaio.go:13-39)."""
+    from kafka_go_cardinality_spark.streaming.pipeline import kafka_config
+
+    monkeypatch.delenv("KAFKA_BROKER", raising=False)
+    monkeypatch.delenv("USERS_TOPIC", raising=False)
+    monkeypatch.delenv("STATS_TOPIC", raising=False)
+    assert kafka_config() == {
+        "broker": "localhost:9092",
+        "users_topic": "users",
+        "stats_topic": "stats",
+    }
+    monkeypatch.setenv("KAFKA_BROKER", "kafka:19092")
+    monkeypatch.setenv("STATS_TOPIC", "out")
+    cfg = kafka_config()
+    assert cfg["broker"] == "kafka:19092" and cfg["stats_topic"] == "out"
+    assert cfg["users_topic"] == "users"
+
+
+def test_stream_enrich_full_coverage(spark):
+    """Every event lands in exactly one (day, nation) cell and the cells
+    sum back to the event count — the enrichment join loses nothing."""
+    out = QUERIES["q_stream_enrich"](spark, "/root/testdata/sf0.001").collect()
+    from kafka_go_cardinality_spark.sources import load_table
+
+    n_events = load_table(spark, "/root/testdata/sf0.001", "events").count()
+    assert sum(r["n_events"] for r in out) == n_events
+    assert all(r["nationkey"] is not None for r in out)  # full key coverage
