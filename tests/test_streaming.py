@@ -175,9 +175,15 @@ def test_checkpoint_resume_is_exactly_once(spark, wire_dir, tmp_path):
     q1.stop()
     q1.awaitTermination(60)
 
-    # Phase 2: resume from the checkpoint and drain.
+    # Phase 2: resume from the checkpoint and drain.  A second resume is
+    # a guaranteed no-op when everything processed — it exists so that a
+    # kill landing at any point of phase 1 (including between the offsets
+    # WAL and the sink commit) still converges to the drained state
+    # before the comparison.
     q2 = start()
     q2.awaitTermination(120)
+    q3 = start()
+    q3.awaitTermination(120)
 
     got = {
         (r["timestamp"], r["events"])
