@@ -368,3 +368,20 @@ def test_stream_enrich_full_coverage(spark):
     n_events = load_table(spark, "/root/testdata/sf0.001", "events").count()
     assert sum(r["n_events"] for r in out) == n_events
     assert all(r["nationkey"] is not None for r in out)  # full key coverage
+
+
+def test_query_index_is_current():
+    """QUERIES.md is generated from the live registry — regenerate with
+    `python scripts_gen_query_index.py > QUERIES.md` whenever a query is
+    added or its docstring's first line changes."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import scripts_gen_query_index as gen
+
+    on_disk = pathlib.Path("/root/repo/QUERIES.md").read_text()
+    assert on_disk == gen.render(), (
+        "QUERIES.md is stale — regenerate with "
+        "`python scripts_gen_query_index.py > QUERIES.md`"
+    )
