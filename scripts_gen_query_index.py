@@ -24,9 +24,12 @@ def render() -> str:
         "|---|---|---|",
     ]
     for name in sorted(qs):
-        doc = (qs[name].__doc__ or "").strip().split("\n")[0].strip()
+        raw = " ".join((qs[name].__doc__ or "").split())
+        doc = raw.split(". ")[0].rstrip(".")
+        if len(doc) > 140:
+            doc = doc[:137] + "..."
         check = "oracle" if name in oracles else "rows-only"
-        lines.append(f"| `{name}` | {check} | {doc} |")
+        lines.append(f"| `{name}` | {check} | {doc}. |")
     return "\n".join(lines) + "\n"
 
 
