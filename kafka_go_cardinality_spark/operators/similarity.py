@@ -518,6 +518,7 @@ def kmeans_fit(
     q = _quantized(embeddings).persist()
     seeds = q.filter(F.col("vec_id") < k).collect()
     centroids = [r["vq"] for r in sorted(seeds, key=lambda r: r["vec_id"])]
+    sizes: dict[int, int] = {}
     for _ in range(n_iter):
         assigned = _assign(q, centroids)
         sums = (
@@ -530,11 +531,13 @@ def kmeans_fit(
         for r in sums:
             by_cluster.setdefault(r["cluster"], {})[r["pos"]] = (r["sx"], r["n"])
         new_centroids = []
+        sizes = {}
         for ci in range(k):
             dims = by_cluster.get(ci)
             if not dims:  # empty cluster keeps its previous centroid
                 new_centroids.append(centroids[ci])
                 continue
+            sizes[ci] = next(iter(dims.values()))[1]
             new_centroids.append(
                 [
                     # round-half-up on exact integers: (2*sx + n) // (2*n)
@@ -546,16 +549,21 @@ def kmeans_fit(
                 ]
             )
         centroids = new_centroids
-    final = _assign(q, centroids)
-    sizes = final.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
     q.unpersist()
+    # Output = the FINAL E-step's clusters with their M-step means (the
+    # standard k-means model): sizes come from the last iteration's sums,
+    # so no extra full assignment pass runs after the loop.
     spark = embeddings.sparkSession
-    cent_rows = [
-        (ci, ",".join(str(x) for x in vec)) for ci, vec in enumerate(centroids)
+    rows = [
+        (ci, sizes[ci], ",".join(str(x) for x in centroids[ci]))
+        for ci in sorted(sizes)
     ]
-    cent_df = spark.createDataFrame(cent_rows, ["cluster", "centroid_q6"])
-    return sizes.join(cent_df, "cluster").select(
-        "cluster", "n_vectors", "centroid_q6", F.lit(KMEANS_ITERS).alias("n_iter")
+    out = spark.createDataFrame(rows, ["cluster", "n_vectors", "centroid_q6"])
+    return out.select(
+        "cluster",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        "centroid_q6",
+        F.lit(KMEANS_ITERS).alias("n_iter"),
     )
 
 

@@ -121,24 +121,24 @@ def test_kmeans_matches_pure_python_model(spark):
             out[vid] = best
         return out
 
+    sizes = {}
     for _ in range(KMEANS_ITERS):
         a = assign_all()
+        sizes = {}
         for ci in range(KMEANS_K):
             members = [vecs[vid] for vid, c in a.items() if c == ci]
             if not members:
                 continue
+            sizes[ci] = len(members)
             cents[ci] = [
                 _int_div_round(sum(col), len(members))
                 for col in zip(*members)
             ]
-    a = assign_all()
+    # Spec: the FINAL E-step's clusters with their M-step means — sizes
+    # from the last iteration's assignment, centroids the means of it.
     expected = {
-        ci: (
-            sum(1 for c in a.values() if c == ci),
-            ",".join(str(x) for x in cents[ci]),
-        )
-        for ci in range(KMEANS_K)
-        if any(c == ci for c in a.values())
+        ci: (sizes[ci], ",".join(str(x) for x in cents[ci]))
+        for ci in sorted(sizes)
     }
     got = {
         r["cluster"]: (r["n_vectors"], r["centroid_q6"])
