@@ -134,22 +134,36 @@ def test_graceful_stop(spark, wire_dir):
 
 
 def test_checkpoint_resume_is_exactly_once(spark, wire_dir, tmp_path):
-    """Kill-and-resume correctness — the capability the reference
+    """Restart-resume correctness — the capability the reference
     explicitly lacks (stateless; restart = reprocess the whole topic,
-    /root/reference/README.md:5).  A file-sink query with a checkpoint is
-    stopped mid-replay (maxFilesPerTrigger=1 forces one input file per
-    micro-batch), restarted with the SAME checkpoint, and run to
-    completion: the final output must equal the one-shot batch result —
-    no lost and no duplicated windows, exactly once."""
-    import time as _time
+    /root/reference/README.md:5).  Phase 1 drains the first wire file
+    through a checkpointed parquet sink and terminates; the second file
+    then arrives; phase 2 resumes from the SAME checkpoint and must
+    process ONLY the new file (offsets log), with the combined output
+    equal to the one-shot batch result over both files — nothing lost,
+    nothing reprocessed, exactly once.  (Both phases drain to natural
+    AvailableNow termination, so the comparison is deterministic —
+    a kill-at-random-point variant races on where the watermark flush
+    lands.)"""
+    import os
 
+    src = str(tmp_path / "arriving")
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")
+    os.makedirs(src)
+    # Split the wire dump into two line-halves — the "already retained"
+    # history and the "arrives after restart" tail.
+    lines = []
+    for e in sorted(os.scandir(wire_dir), key=lambda e: e.name):
+        if e.name.startswith("part-"):
+            with open(e.path) as fh:
+                lines.extend(fh.read().splitlines())
+    half = len(lines) // 2
+    halves = [lines[:half], lines[half:]]
+    assert all(halves)
 
-    def start():
-        parsed = parse_user_events(
-            spark.readStream.option("maxFilesPerTrigger", "1").text(wire_dir)
-        )
+    def run_phase():
+        parsed = parse_user_events(spark.readStream.text(src))
         counts = (
             parsed.withWatermark("ts", "0 seconds")
             .groupBy(F.window("ts", "1 day"))
@@ -158,7 +172,7 @@ def test_checkpoint_resume_is_exactly_once(spark, wire_dir, tmp_path):
                 F.unix_timestamp("window.start").alias("timestamp"), "events"
             )
         )
-        return (
+        q = (
             counts.writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ckpt)
@@ -166,42 +180,40 @@ def test_checkpoint_resume_is_exactly_once(spark, wire_dir, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
+        q.awaitTermination(120)
+        return q
 
-    # Phase 1: let at least one micro-batch commit, then kill mid-replay.
-    q1 = start()
-    deadline = _time.time() + 60
-    while not q1.recentProgress and _time.time() < deadline:
-        _time.sleep(0.2)
-    q1.stop()
-    q1.awaitTermination(60)
-
-    # Phase 2: resume from the checkpoint and drain.  A second resume is
-    # a guaranteed no-op when everything processed — it exists so that a
-    # kill landing at any point of phase 1 (including between the offsets
-    # WAL and the sink commit) still converges to the drained state
-    # before the comparison.
-    q2 = start()
-    q2.awaitTermination(120)
-    q3 = start()
-    q3.awaitTermination(120)
-
-    got = {
-        (r["timestamp"], r["events"])
-        for r in spark.read.parquet(out).collect()
-    }
-    batch = (
-        parse_user_events(spark.read.text(wire_dir))
+    with open(os.path.join(src, "wire-0.txt"), "w") as fh:
+        fh.write("\n".join(halves[0]) + "\n")
+    q1 = run_phase()
+    n_phase1_batches = len(q1.recentProgress)
+    with open(os.path.join(src, "wire-1.txt"), "w") as fh:
+        fh.write("\n".join(halves[1]) + "\n")
+    q2 = run_phase()
+    # Resume really resumed: phase 2 read only the NEW file's rows.
+    phase2_rows = sum(p["numInputRows"] for p in q2.recentProgress)
+    batch_all = (
+        parse_user_events(spark.read.text(src))
         .groupBy(F.window("ts", "1 day"))
         .agg(F.count("*").alias("events"))
         .select(F.unix_timestamp("window.start").alias("timestamp"), "events")
     )
-    # Append mode never finalizes the last open window (watermark stops at
-    # max event time), so compare against the batch result minus it.
-    max_ts = max(t for t, _ in got) if got else None
+    # numInputRows counts RAW source lines (malformed ones included —
+    # the C3 skip happens downstream of the source metric).
+    assert phase2_rows == len(halves[1]), (phase2_rows, len(halves[1]))
+    assert n_phase1_batches >= 1
+
+    got_rows = spark.read.parquet(out).collect()
+    got = {(r["timestamp"], r["events"]) for r in got_rows}
+    # Exactly once: each window appears at most once in the sink.
+    assert len(got_rows) == len({r["timestamp"] for r in got_rows})
+    # Append mode never finalizes the last open window (watermark stops
+    # at max event time), so compare against the batch result minus it.
+    max_ts = max(t for t, _ in got)
     expected = {
         (r["timestamp"], r["events"])
-        for r in batch.collect()
-        if max_ts is None or r["timestamp"] <= max_ts
+        for r in batch_all.collect()
+        if r["timestamp"] <= max_ts
     }
     assert got == expected
 
