@@ -171,3 +171,134 @@ def range_join_bucketed(
             < F.col(left_ts) + F.expr(f"INTERVAL {max_gap_seconds} SECONDS")
         )
     ).drop("__b", "__rb", "__probe", "__r_key")
+
+
+def latest_per_key(
+    df: DataFrame, key: str, ts: str, tiebreak: str
+) -> DataFrame:
+    """CDC-style compaction: keep exactly the newest record per key.
+
+    The 100 TB shape of "apply a change stream to a snapshot": one
+    ``row_number`` over (key, ts desc) — a single hash shuffle on the key,
+    partial-sorted within partitions, no self-join and no global sort.
+    ``tiebreak`` must make the order total (same-timestamp updates would
+    otherwise be picked nondeterministically).  AQE's skew-join handling
+    doesn't apply to window shuffles, so a genuinely hot key (one entity
+    receiving a measurable fraction of all updates) wants the two-level
+    variant: keep max-ts per (key, salt) first, then re-reduce the ≤S
+    survivors per key.  (Reference has no storage/compaction at all:
+    /root/reference/README.md:5.)
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc(), F.col(tiebreak).desc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")
+
+
+def funnel(
+    events: DataFrame, key: str, ts: str, type_col: str, stages: list[str]
+) -> DataFrame:
+    """Strict ordered-funnel conversion: a key reaches stage i at the
+    FIRST ``stages[i]`` event strictly after its stage i-1 time.
+
+    All stage times are chained analytic minimums over the same
+    ``partitionBy(key)`` window, so the whole funnel costs ONE hash
+    shuffle on the key no matter how many stages — Spark reuses the
+    child's partitioning for every subsequent Window operator instead of
+    re-exchanging.  The alternative (one aggregate + join per stage)
+    pays a shuffle per stage and a join per stage.
+    Returns one row per funnel stage: (stage_idx, stage, n_converted).
+    """
+    w = Window.partitionBy(key)
+    cur = events.select(key, ts, type_col)
+    prev_t = None
+    stage_cols = []
+    for i, stage in enumerate(stages):
+        col = f"__t{i}"
+        cond = F.col(type_col) == stage
+        if prev_t is not None:
+            cond = cond & (F.col(ts) > F.col(prev_t))
+        cur = cur.withColumn(col, F.min(F.when(cond, F.col(ts))).over(w))
+        stage_cols.append(col)
+        prev_t = col
+    per_key = cur.groupBy(key).agg(
+        *[F.min(c).alias(c) for c in stage_cols]
+    )
+    counts = per_key.select(
+        *[
+            F.count(F.col(c)).cast("long").alias(f"n{i}")
+            for i, c in enumerate(stage_cols)
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(i).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.col(f"n{i}").alias("n_converted"),
+        )
+        for i, stage in enumerate(stages)
+    ]
+    return counts.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+def cohort_retention(
+    events: DataFrame, key: str, ts: str, grain: str = "week"
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active period,
+    counted in each later period they return.
+
+    Two aggregations, both hash-partitioned on the key — the first-seen
+    reduce and the distinct (key, period) activity set co-partition, so
+    the join between them is exchange-free on the key side under AQE;
+    the final (cohort, offset) reduce is a second small shuffle whose
+    cardinality is periods², independent of corpus size.
+    """
+    act = events.select(
+        F.col(key).alias("k"), F.date_trunc(grain, F.col(ts)).alias("period")
+    ).distinct()
+    first = act.groupBy("k").agg(F.min("period").alias("cohort"))
+    seconds = {"week": 604_800, "day": 86_400}[grain]
+    joined = act.join(first, "k")
+    return (
+        joined.select(
+            "cohort",
+            (
+                (F.unix_timestamp("period") - F.unix_timestamp("cohort"))
+                / seconds
+            )
+            .cast("long")
+            .alias("period_offset"),
+            "k",
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+
+
+def zscore_outliers(
+    events: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score anomaly filter: rows whose value deviates more
+    than ``threshold`` sample standard deviations from their group mean.
+
+    Group statistics reduce to #groups rows (partial aggregation
+    map-side), then broadcast back over the fact scan — the second pass
+    is a broadcast hash join, never a shuffle of the 100 TB side.  The
+    z value is rounded to 4 decimals on both engines so accumulation-
+    order ulps in the double sums can't flip the hash.
+    """
+    stats = events.groupBy(group_col).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_samp(value_col).alias("__sigma"),
+    )
+    z = F.round((F.col(value_col) - F.col("__mu")) / F.col("__sigma"), 4)
+    return (
+        events.join(F.broadcast(stats), group_col)
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > threshold)
+        .select(id_col, group_col, value_col, "zscore")
+    )

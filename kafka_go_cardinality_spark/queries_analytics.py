@@ -401,3 +401,125 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("t").alias("last_seen"),
         F.count(F.lit(1)).alias("n_events"),
     ).drop("run_id")
+
+
+# ------------------------------------------------- compaction / product funnels
+
+from kafka_go_cardinality_spark.operators.relational import (  # noqa: E402
+    cohort_retention,
+    funnel,
+    latest_per_key,
+    zscore_outliers,
+)
+
+
+@query(
+    "q_dedup_latest",
+    """
+    SELECT event_id, ts, user_id, event_type
+    FROM (
+      SELECT event_id, ts, user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E29-adjacent] CDC keep-latest compaction: the newest event per
+    user (one row_number shuffle, no self-join —
+    operators/relational.latest_per_key)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    return latest_per_key(ev, key="user_id", ts="ts", tiebreak="event_id")
+
+
+@query(
+    "q_funnel",
+    """
+    WITH staged AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t0
+      FROM events
+    ),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM staged
+    ),
+    s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM s2
+    ),
+    per_user AS (
+      SELECT user_id, min(t0) AS t0, min(t1) AS t1, min(t2) AS t2
+      FROM s3 GROUP BY user_id
+    )
+    SELECT 0 AS stage_idx, 'view' AS stage, count(t0) AS n_converted FROM per_user
+    UNION ALL
+    SELECT 1, 'click', count(t1) FROM per_user
+    UNION ALL
+    SELECT 2, 'purchase', count(t2) FROM per_user
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E12/E9 composite] Strict ordered funnel view→click→purchase:
+    chained analytic minimums over ONE user-key shuffle regardless of
+    stage count (operators/relational.funnel)."""
+    return funnel(
+        _t(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        type_col="event_type",
+        stages=["view", "click", "purchase"],
+    )
+
+
+@query(
+    "q_retention_cohort",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id AS k, date_trunc('week', ts) AS period FROM events
+    ),
+    first AS (
+      SELECT k, min(period) AS cohort FROM act GROUP BY k
+    )
+    SELECT cohort,
+           CAST((epoch(period) - epoch(cohort)) / 604800 AS BIGINT)
+             AS period_offset,
+           count(*) AS n_active
+    FROM act JOIN first USING (k)
+    GROUP BY cohort, period_offset
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E9/E15 composite] Weekly cohort retention matrix: first-seen
+    reduce + co-partitioned activity join + periods²-sized final reduce
+    (operators/relational.cohort_retention)."""
+    return cohort_retention(_t(spark, sf_dir, "events"), key="user_id", ts="ts")
+
+
+@query(
+    "q_anomaly_zscore",
+    """
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, event_type, value,
+           round((value - mu) / sigma, 4) AS zscore
+    FROM events JOIN stats USING (event_type)
+    WHERE abs(round((value - mu) / sigma, 4)) > 3.0
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E9/E5 composite] Per-type z-score anomaly filter: group moments
+    reduce to #types rows then broadcast back over the fact scan — the
+    100 TB side is never shuffled (operators/relational.zscore_outliers)."""
+    return zscore_outliers(
+        _t(spark, sf_dir, "events"),
+        group_col="event_type",
+        value_col="value",
+        id_col="event_id",
+    )

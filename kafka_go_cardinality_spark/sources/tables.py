@@ -47,6 +47,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Pin the session timezone HERE, not only in session.py: the driver's
+    # correctness harness calls queries() with ITS OWN SparkSession, and a
+    # non-UTC session would shift every TIMESTAMP_NTZ→TIMESTAMP cast and
+    # date_trunc against the timezone-naive DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
