@@ -302,3 +302,42 @@ def zscore_outliers(
         .filter(F.abs(F.col("zscore")) > threshold)
         .select(id_col, group_col, value_col, "zscore")
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, compare_cols: list[str]
+) -> DataFrame:
+    """Diff two snapshots of a table into a change feed:
+    ``insert`` (key only in new), ``delete`` (key only in old),
+    ``update`` (key in both, any compared column differs).  Unchanged
+    rows are dropped.
+
+    One full-outer hash join on the key — the same single-shuffle shape
+    as merge_upsert, and zero-shuffle when both snapshots are bucketed
+    on the key.  Null-safe equality (``eqNullSafe``) so a NULL→value
+    transition registers as an update rather than vanishing.
+    (The reference persists nothing — /root/reference/README.md:5 — so
+    change-feed derivation is extension surface.)
+    """
+    o = old.select(F.col(key).alias("__k"), *[F.col(c).alias(f"old_{c}") for c in compare_cols])
+    n = new.select(F.col(key).alias("__nk"), *[F.col(c).alias(f"new_{c}") for c in compare_cols])
+    j = o.join(n, F.col("__k") == F.col("__nk"), "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("__k").isNull(), "insert")
+        .when(F.col("__nk").isNull(), "delete")
+        .when(~same, "update")
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            F.coalesce(F.col("__k"), F.col("__nk")).alias(key),
+            "change",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )

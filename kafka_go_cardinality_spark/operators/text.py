@@ -10,7 +10,7 @@ map pass over the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from kafka_go_cardinality_spark.functions import hash64, shingles, tokens
 
@@ -72,10 +72,12 @@ def lang_id(documents: DataFrame) -> DataFrame:
     return out.withColumn("guessed_lang", guess)
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
+def quality_score(documents: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Heuristic quality signals: doc length, punctuation density,
     stopword ratio, mean token length — combined into one score.
-    Mirrors the shape of C4/Gopher-style quality filters."""
+    Mirrors the shape of C4/Gopher-style quality filters.  ``keep``
+    carries extra input columns through (e.g. ``lang`` for per-language
+    downstream filtering) — cheaper than a join-back on doc_id."""
     tok = tokens(F.col("text"))
     n_tok = F.size(tok)
     n_chars = F.length("text")
@@ -95,10 +97,37 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
     return documents.select(
         "doc_id",
+        *keep,
         n_tok.alias("n_tokens"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(score, 6).alias("quality"),
+    )
+
+
+def quality_topfrac(documents: DataFrame, frac: float = 0.2) -> DataFrame:
+    """Keep the top ``frac`` of documents per language by quality score —
+    the RELATIVE-threshold curation filter (an absolute cutoff drifts as
+    the corpus mix shifts; a per-language percentile doesn't).
+
+    ``percent_rank`` over (lang, quality desc, doc_id) is one hash
+    shuffle on lang; the tiebreak makes the cut deterministic.  Skew
+    note: languages are few and huge at corpus scale, so the window
+    shuffle is the two-level variant's candidate — but since only the
+    RANK is needed, the scalable form at 1000 executors is one
+    aggregate for per-language quality histograms, broadcast the
+    cutoff, then a stateless filter (same shape as the equi-depth
+    histogram query).  This operator declares the windowed form; the
+    histogram-broadcast form is q_histogram_equidepth's pattern.
+    """
+    scored = quality_score(documents, keep=("lang",))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= frac)
+        .select("doc_id", "lang", "quality", F.round("pr", 6).alias("pr"))
     )
 
 

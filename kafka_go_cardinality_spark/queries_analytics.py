@@ -523,3 +523,58 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value",
         id_col="event_id",
     )
+
+
+# ------------------------------------------------------ snapshot change feed
+
+from kafka_go_cardinality_spark.operators.relational import snapshot_diff  # noqa: E402
+
+# Deterministic synthetic snapshots from orders: integer-cent prices so
+# the "updated" arithmetic is exact integer math on every engine.
+_SNAP_OLD_SQL = """
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 10 < 9
+"""
+_SNAP_NEW_SQL = """
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 11 // 10
+              ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END AS cents
+  FROM orders WHERE o_orderkey % 10 > 0
+"""
+
+
+@query(
+    "q_snapshot_diff",
+    f"""
+    WITH old AS ({_SNAP_OLD_SQL}), new AS ({_SNAP_NEW_SQL})
+    SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                WHEN new.o_orderkey IS NULL THEN 'delete'
+                WHEN old.cents IS DISTINCT FROM new.cents THEN 'update'
+           END AS change,
+           old.cents AS old_cents, new.cents AS new_cents
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                WHEN new.o_orderkey IS NULL THEN 'delete'
+                WHEN old.cents IS DISTINCT FROM new.cents THEN 'update'
+           END IS NOT NULL
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E29] Snapshot diff → change feed (insert/delete/update, unchanged
+    dropped): one full-outer hash join, null-safe column compare
+    (operators/relational.snapshot_diff)."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    old = orders.filter(F.col("o_orderkey") % 10 < 9).select(
+        "o_orderkey", cents.alias("cents")
+    )
+    new = orders.filter(F.col("o_orderkey") % 10 > 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, (cents * 11) / F.lit(10))
+        .otherwise(cents)
+        .cast("long")
+        .alias("cents"),
+    )
+    return snapshot_diff(old, new, key="o_orderkey", compare_cols=["cents"])

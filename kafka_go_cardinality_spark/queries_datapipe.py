@@ -777,3 +777,41 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.frame_sample; frame counts derived
     deterministically, same documented-fake policy as the decode stub)."""
     return mm.frame_sample(mm.as_media(_docs(spark, sf_dir)))
+
+
+@query(
+    "q_quality_topfrac",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             {tokens_sql('text')} AS t,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+             len(list_filter({tokens_sql('text')},
+                 x -> list_contains({tx.STOPWORDS['en']!r}, x))) AS n_stop
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             round(0.4 * least(CAST(n_stop AS DOUBLE) / len(t) * 5, 1.0)
+                 + 0.3 * (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 10, 1.0))
+                 + 0.3 * (CASE WHEN CAST(n_chars AS DOUBLE) / len(t) >= 3
+                                AND CAST(n_chars AS DOUBLE) / len(t) <= 10
+                               THEN 1.0 ELSE 0.0 END), 6) AS quality
+      FROM base
+    ),
+    ranked AS (
+      SELECT doc_id, lang, quality,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY quality DESC, doc_id) AS pr
+      FROM scored
+    )
+    SELECT doc_id, lang, quality, round(pr, 6) AS pr
+    FROM ranked WHERE pr <= 0.2
+    """,
+)
+def q_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22] Relative-threshold curation: keep the top 20% of documents
+    per language by quality score — percentile cut, not an absolute
+    cutoff that drifts with corpus mix (operators/text.quality_topfrac)."""
+    return tx.quality_topfrac(_docs(spark, sf_dir), frac=0.2)

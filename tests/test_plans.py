@@ -269,3 +269,26 @@ def test_declared_bucketed_join_single_exchange(spark, sf_dir):
     small side instead, even that still leaves at most one)."""
     df = q("q_join_bucketed", spark, sf_dir)
     assert count_exchanges(df) <= 1, plan_string(df, mode="simple")
+
+
+def test_funnel_single_shuffle(spark, sf_dir):
+    """Any number of funnel stages must cost exactly ONE hash exchange:
+    every chained analytic minimum reuses the user_id partitioning, and
+    the final explode of per-stage counts is exchange-free (the
+    single-row aggregate's exchange is SinglePartition, not hash)."""
+    df = q("q_funnel", spark, sf_dir)
+    assert count_exchanges(df) <= 1, plan_string(df, mode="simple")
+
+
+def test_zscore_broadcasts_moments(spark, sf_dir):
+    """The fact scan must never shuffle: group moments (5 rows) broadcast
+    back over events."""
+    assert_broadcast_join(q("q_anomaly_zscore", spark, sf_dir))
+
+
+def test_latest_per_key_single_shuffle(spark, sf_dir):
+    """Keep-latest compaction is one row_number window: one hash
+    exchange on the key, no join, no global sort."""
+    df = q("q_dedup_latest", spark, sf_dir)
+    assert count_exchanges(df) == 1, plan_string(df, mode="simple")
+    assert "SortMergeJoin" not in plan_string(df, mode="simple")
