@@ -293,3 +293,45 @@ def grain_fanout_rollup(events: DataFrame, lg_k: int = REFERENCE_LG_K) -> DataFr
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def incremental_sketch_rollup(
+    events: DataFrame,
+    stored_day_sketches: DataFrame,
+    cutoff_day: "Column | str",
+    lg_k: int = REFERENCE_LG_K,
+) -> DataFrame:
+    """Incremental maintenance of the sketch table: month totals from a
+    PERSISTED day-sketch table plus only the raw events at/after
+    ``cutoff_day`` — history is never rescanned.
+
+    This is the daily production shape at 100 TB: yesterday's job left
+    ~16 KiB of sketch per day; today's job sketches ONE day of raw
+    events and unions it in.  HLL union is register-wise max —
+    associative and commutative — so (stored ∪ fresh) is bit-identical
+    to the full recompute over all raw data grouped the same way
+    (pinned in tests/test_accuracy.py).
+
+    ``stored_day_sketches`` must be (day timestamp, sk binary) rows with
+    every day strictly before ``cutoff_day``; overlap would double-insert
+    uids (harmless for distinct-count semantics — HLL insert is
+    idempotent — but the invariant keeps lineage auditable).
+    """
+    fresh = (
+        events.filter(F.date_trunc("day", "ts") >= cutoff_day)
+        .select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.col("user_id").cast("string").alias("uid"),
+        )
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("uid", lg_k).alias("sk"))
+    )
+    all_days = stored_day_sketches.select("day", "sk").unionByName(fresh)
+    return (
+        all_days.select(
+            F.date_trunc("month", "day").cast("long").alias("timestamp"), "sk"
+        )
+        .groupBy("timestamp")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("value"))
+        .select(F.lit("month_count").alias("type"), "timestamp", "value")
+    )

@@ -135,3 +135,26 @@ def test_fanout_rollup_matches_exact_within_bound(spark, sf_dir):
     assert set(exact) == set(rolled)
     for key, ev in exact.items():
         assert abs(rolled[key] - ev) / ev <= 0.02, (key, ev, rolled[key])
+
+
+def test_incremental_sketch_rollup_equals_full_recompute(spark, sf_dir):
+    """Incremental maintenance must be LOSSLESS: month estimates from
+    (persisted day sketches ∪ last-7-days raw) are bit-identical to the
+    full sketch_rollup recompute — HLL union is register-wise max, so
+    the merge order and storage round-trip cannot change a single
+    register."""
+    from kafka_go_cardinality_spark.operators.cardinality import sketch_rollup
+    from kafka_go_cardinality_spark.queries_cardinality import (
+        q_card_sketch_incremental,
+    )
+    from kafka_go_cardinality_spark.sources import load_table
+
+    full = {
+        (r["type"], r["timestamp"]): r["value"]
+        for r in sketch_rollup(load_table(spark, sf_dir, "events")).collect()
+    }
+    inc = {
+        (r["type"], r["timestamp"]): r["value"]
+        for r in q_card_sketch_incremental(spark, sf_dir).collect()
+    }
+    assert full == inc
