@@ -92,6 +92,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

@@ -1282,3 +1282,95 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "q_scan_dpp",
+    """
+    SELECT CAST(ts AS DATE) AS event_date,
+           count(*) AS n, count(DISTINCT user_id) AS users
+    FROM events
+    WHERE isodow(CAST(ts AS DATE)) >= 6
+    GROUP BY 1
+    """,
+)
+def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E1] DYNAMIC partition pruning: the weekend filter lives on a
+    calendar dimension, not the fact table, so static pruning can't
+    apply — Catalyst injects a dynamicpruning subquery that evaluates the
+    broadcast dim side FIRST and scans only the fact partitions whose
+    event_date survived (pinned in tests/test_plans.py).  At 100 TB this
+    is "scan only the days the campaign ran" with the day set decided by
+    data, not hardcoded dates."""
+    from kafka_go_cardinality_spark.sources.tables import (
+        date_dim_path,
+        partitioned_events_path,
+    )
+
+    fact = spark.read.parquet(partitioned_events_path(spark, sf_dir))
+    dim = spark.read.parquet(date_dim_path(spark, sf_dir)).filter(F.col("dow") >= 6)
+    return (
+        fact.join(F.broadcast(dim.select("event_date")), "event_date")
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
+@query(
+    "q_join_runtime_filter",
+    """
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def q_join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E4 scale path] Runtime bloom-filter join pruning: the selective
+    orders predicate is turned into a bloom filter EVALUATED INSIDE the
+    lineitem scan (``bloom_filter_might_contain`` as a DataFilter), so
+    ~3/4 of fact rows die before the join shuffle instead of after it.
+
+    At 100 TB the default thresholds (creation side < 10 MB, application
+    side > 10 GB) trigger this automatically; at test scale we lower the
+    application-side threshold and pin broadcast off so the shuffle-join
+    shape that NEEDS the filter is what gets planned (a broadcast join
+    already prunes via the hash table).  Plan pinned in
+    tests/test_plans.py.
+    """
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        lineitem = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice"
+        )
+        orders = _t(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        out = joined.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        # Force optimization + physical planning NOW, inside the conf
+        # scope: QueryExecution memoizes its plans, so the bloom filter
+        # injected here survives the conf restore below.  (Catalyst
+        # plans lazily at action time; without this the restored confs
+        # would plan a bloom-less join.)
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

@@ -295,3 +295,89 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _replay(spark, sf_dir, build, "stream_dedup", "append")
+
+
+# Typed wire dump (uid, ts, etype) for the stream-stream join — the
+# reference's wire has no event type (processor.go:13-16), so this is
+# the E18 extension wire.  One dump per (process, sf_dir).
+_TYPED_WIRE_DIRS: dict[str, str] = {}
+
+
+def _typed_wire_dir(spark: SparkSession, sf_dir: str) -> str:
+    existing = _TYPED_WIRE_DIRS.get(sf_dir)
+    if existing and os.path.isdir(existing):
+        return existing
+    events = load_table(spark, sf_dir, "events")
+    wire = events.select(
+        F.to_json(
+            F.struct(
+                F.col("user_id").cast("string").alias("uid"),
+                F.col("ts").cast("long").alias("ts"),
+                F.col("event_type").alias("etype"),
+            )
+        ).alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="kgc_wire_typed_")
+    wire.coalesce(8).write.mode("overwrite").text(path)
+    _TYPED_WIRE_DIRS[sf_dir] = path
+    return path
+
+
+@query(
+    "q_stream_stream_join",
+    """
+    SELECT CAST(v.user_id AS VARCHAR) AS uid,
+           CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND floor(epoch(c.ts)) >= floor(epoch(v.ts))
+     AND floor(epoch(c.ts)) <= floor(epoch(v.ts)) + 3600
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E18] Stream-stream interval join over the typed wire replay:
+    views ⋈ same-user clicks within the next hour, watermarks on both
+    sides bounding join state to rate × gap
+    (streaming/pipeline.interval_join_streams).  The replayed result is
+    oracle-checked against the equivalent batch join — completeness,
+    not just shape."""
+    from pyspark.sql.types import StructField, StructType, StringType, LongType
+
+    from kafka_go_cardinality_spark.streaming.pipeline import (
+        interval_join_streams,
+        replay_to_memory,
+    )
+
+    wire = _typed_wire_dir(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_state_partitions(wire, int(prev)))
+    )
+    try:
+        schema = StructType(
+            [
+                StructField("uid", StringType()),
+                StructField("ts", LongType()),
+                StructField("etype", StringType()),
+            ]
+        )
+        parsed = (
+            spark.readStream.text(wire)
+            .select(F.from_json(F.col("value"), schema).alias("m"))
+            .filter(F.col("m").isNotNull())
+            .select(
+                F.col("m.uid").alias("uid"),
+                F.timestamp_seconds(F.col("m.ts")).alias("ts"),
+                F.col("m.etype").alias("etype"),
+            )
+        )
+        views = parsed.filter(F.col("etype") == "view").drop("etype")
+        clicks = parsed.filter(F.col("etype") == "click").drop("etype")
+        joined = interval_join_streams(views, clicks)
+        table = f"ssj_{uuid.uuid4().hex[:8]}"
+        replay_to_memory(joined, table, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(table)

@@ -201,3 +201,40 @@ def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     )
     _BUCKETED_PAIR[sf_dir] = names
     return names
+
+
+# One date-dimension per (process, sf_dir) — DPP demo storage prep.
+_DATE_DIMS: dict[str, str] = {}
+
+
+def date_dim_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a tiny calendar dimension (event_date, isodow 1-7)
+    covering the events table's date range.  Together with the
+    date-partitioned events layout this is the dynamic-partition-pruning
+    pair: a runtime-filtered dim join prunes fact partitions that no
+    surviving dim row references — the 100 TB pattern for "scan only the
+    days the campaign ran" without hardcoding dates in the query.
+
+    The dim deliberately carries the day-of-week as an INTEGER, not a
+    boolean flag: Catalyst only injects the DPP subquery when the dim
+    side has a "likely selective" predicate (binary comparison, IN,
+    LIKE...), and a bare boolean attribute filter fails that check —
+    ``dow >= 6`` qualifies, ``is_weekend`` does not.
+    """
+    existing = _DATE_DIMS.get(sf_dir)
+    if existing:
+        return existing
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="kgc_date_dim_")
+    (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("event_date"))
+        .distinct()
+        .withColumn("dow", (F.weekday("event_date") + 1).cast("int"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    _DATE_DIMS[sf_dir] = path
+    return path

@@ -345,3 +345,44 @@ def synthetic_wire_frame(
             .alias("value"),
         )
     return wire.select("value")
+
+
+def interval_join_streams(
+    views: DataFrame,
+    clicks: DataFrame,
+    gap_seconds: int = 3600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """[E18] Stream-stream interval join: each view pairs with the same
+    user's clicks in the following ``gap_seconds``.
+
+    Both sides carry watermarks AND the join condition bounds event time
+    in both directions — that pair is what lets Spark expire join state:
+    a buffered view can be dropped once the click-side watermark passes
+    ``view.ts + gap``, so state is bounded by (rate × gap) instead of
+    growing forever.  Without the time bound this join is
+    unplannable-at-scale (infinite state) and Spark rejects it in
+    append mode.  Inner join: matches emit as soon as both sides are
+    buffered; completeness of the replayed result is oracle-checked
+    against the equivalent batch join.
+    """
+    v = views.select(
+        F.col("uid").alias("v_uid"), F.col("ts").alias("view_ts")
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        F.col("uid").alias("c_uid"), F.col("ts").alias("click_ts")
+    ).withWatermark("click_ts", watermark)
+    return v.join(
+        c,
+        (F.col("v_uid") == F.col("c_uid"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {gap_seconds} SECONDS")
+        ),
+        "inner",
+    ).select(
+        F.col("v_uid").alias("uid"),
+        F.col("view_ts").cast("long").alias("view_ts"),
+        F.col("click_ts").cast("long").alias("click_ts"),
+    )

@@ -292,3 +292,22 @@ def test_latest_per_key_single_shuffle(spark, sf_dir):
     df = q("q_dedup_latest", spark, sf_dir)
     assert count_exchanges(df) == 1, plan_string(df, mode="simple")
     assert "SortMergeJoin" not in plan_string(df, mode="simple")
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """q_scan_dpp's weekend filter lives on the calendar dim, so static
+    pruning can't fire — the fact scan must carry a dynamicpruning
+    subquery on event_date (partitions picked at runtime from the
+    broadcast dim)."""
+    df = q("q_scan_dpp", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan[:2000]
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """q_join_runtime_filter must carry the orders-side bloom filter as
+    a might_contain predicate evaluated on the lineitem side before the
+    join shuffle."""
+    df = q("q_join_runtime_filter", spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in plan, plan[:2000]
