@@ -85,6 +85,20 @@ def main() -> int:
                 timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
+    # The reference's own metric is msgs/sec through the 5-grain HLL
+    # processor (processor_test.go:20-50, no published number).  Report
+    # the equivalent events/sec through our closest analogues: the
+    # batch sketch-algebra 5-grain fan-out and the streaming day-grain
+    # replay (full wire parse → watermark → sketch path).
+    events_rows = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    throughput = {
+        name: round(events_rows / timings[key])
+        for name, key in (
+            ("batch_5grain_events_per_sec", "q_grain_fanout_rollup"),
+            ("stream_day_approx_events_per_sec", "q_stream_card_day_approx"),
+        )
+        if timings.get(key)
+    }
     print(
         json.dumps(
             {
@@ -93,6 +107,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "n_queries": len(timings),
+                "events_rows": events_rows,
+                "throughput": throughput,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

@@ -381,3 +381,69 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(table)
+
+
+@query(
+    "q_stream_upsert_sink",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS uid,
+           CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E19/E29 composite] foreachBatch idempotent upsert sink — the
+    production streaming-write pattern (a MERGE stand-in without Delta):
+    an update-mode per-(uid, day) count emits each touched key's LATEST
+    cumulative total per micro-batch, and the sink upserts those keys
+    into a versioned parquet table (anti-join keep + union new, write
+    new version, swap).  Upserting latest-value-per-key is idempotent
+    under micro-batch retry — the exactly-once recipe Spark documents
+    for foreachBatch.  ``maxFilesPerTrigger`` forces a multi-batch
+    replay so the upsert path actually re-merges (a single availableNow
+    batch would trivialize it).  Final table is oracle-checked against
+    the batch aggregate — the merged state must equal a from-scratch
+    groupBy."""
+    wire = _wire_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="kgc_upsert_")
+    versions: list[str] = []
+
+    def upsert(batch_df, batch_id: int) -> None:
+        new = batch_df.select("uid", "day", "n")
+        if versions:
+            cur = batch_df.sparkSession.read.parquet(versions[-1])
+            keep = cur.join(new.select("uid", "day"), ["uid", "day"], "left_anti")
+            merged = keep.unionByName(new)
+        else:
+            merged = new
+        path = f"{base}/v{batch_id}"
+        merged.write.mode("overwrite").parquet(path)
+        versions.append(path)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_state_partitions(wire, int(prev)))
+    )
+    try:
+        parsed = parse_user_events(
+            spark.readStream.option("maxFilesPerTrigger", "3").text(wire)
+        )
+        counts = (
+            parsed.groupBy(
+                F.col("uid"),
+                F.date_trunc("day", "ts").cast("long").alias("day"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            counts.writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(versions[-1])

@@ -98,3 +98,64 @@ def test_pack_sequences_offsets_are_gapless(spark, sizes, capacity):
             expect += r["n_tokens"]
         total += len(rows)
     assert total == len(sizes)
+
+
+_snapshot_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),   # key
+        st.integers(min_value=0, max_value=3),    # value
+    ),
+    min_size=0,
+    max_size=20,
+    unique_by=lambda kv: kv[0],
+)
+
+
+@given(old=_snapshot_strategy, new=_snapshot_strategy)
+@settings(**_SETTINGS)
+def test_snapshot_diff_applies_back_to_new(spark, old, new):
+    """Applying the change feed to the old snapshot must reproduce the
+    new snapshot exactly: delete deletes, upsert inserts+updates, leave
+    the rest.  diff(A, A) is additionally empty."""
+    from kafka_go_cardinality_spark.operators.relational import snapshot_diff
+
+    schema = "k bigint, v bigint"
+    o = spark.createDataFrame(old, schema)
+    n = spark.createDataFrame(new, schema)
+    feed = {
+        r["k"]: (r["change"], r["new_v"])
+        for r in snapshot_diff(o, n, key="k", compare_cols=["v"]).collect()
+    }
+    rebuilt = {k: v for k, v in old if feed.get(k, ("", 0))[0] != "delete"}
+    for k, (change, new_v) in feed.items():
+        if change in ("insert", "update"):
+            rebuilt[k] = new_v
+    assert rebuilt == dict(new)
+    assert snapshot_diff(o, o, key="k", compare_cols=["v"]).count() == 0
+
+
+@given(events=_events_strategy)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture],
+          derandomize=True)
+def test_funnel_counts_are_monotone(spark, events):
+    """Each later funnel stage can only lose keys: n0 >= n1 >= n2, and
+    n0 equals the number of distinct users with a first-stage event."""
+    from kafka_go_cardinality_spark.operators.relational import funnel
+
+    rows = [
+        (i, _T0 + dt.timedelta(seconds=off), uid,
+         ["view", "click", "purchase"][i % 3])
+        for i, (uid, off) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {
+        r["stage_idx"]: r["n_converted"]
+        for r in funnel(df, key="user_id", ts="ts", type_col="event_type",
+                        stages=["view", "click", "purchase"]).collect()
+    }
+    assert out[0] >= out[1] >= out[2]
+    n_viewers = df.filter(F.col("event_type") == "view").select(
+        "user_id"
+    ).distinct().count()
+    assert out[0] == n_viewers
