@@ -341,3 +341,44 @@ def snapshot_diff(
             *[f"new_{c}" for c in compare_cols],
         )
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-proof equi join via two-sided salting: the fact side gets a
+    deterministic per-row salt, the dim side is replicated once per salt
+    value, and the join runs on (key, salt) — a hot key's rows spread
+    over ``salt_buckets`` reducers instead of serializing on one.
+
+    When to reach for this instead of AQE's skew-join splitting: AQE
+    only splits SORT-MERGE join partitions of a BATCH query after a
+    shuffle materializes; stream-stream joins, shuffled-hash joins, and
+    any join feeding a strict partitioning requirement don't get the
+    runtime rescue, and at 1000 executors a single 500 GB key has
+    already ruined the stage before AQE can react.  Cost: dim side
+    scans/shuffles ``salt_buckets``× — only pay it when the fact side
+    is big enough for skew to matter and the dim side is small enough
+    to replicate.
+
+    The salt is ``pmod(xxhash64(monotonically_increasing_id-free fact
+    columns), buckets)`` — derived from fact ROW CONTENT, not rand(),
+    so retries and speculative tasks compute identical salts
+    (nondeterministic salts break exactly-once sinks and re-runs).
+    """
+    salted_fact = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets)),
+    )
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    joined = salted_fact.join(
+        replicated_dim,
+        (F.col(fact_key) == F.col(dim_key)) & (salted_fact["__salt"] == replicated_dim["__salt"]),
+    )
+    return joined.drop("__salt")

@@ -1374,3 +1374,29 @@ def q_join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+@query(
+    "q_join_skew_salted",
+    """
+    SELECT o_orderkey, o_totalprice, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E4 skew path] Two-sided salted join: deterministic content-hash
+    salt on the fact side, dim replicated once per salt value, join on
+    (key, salt) — a hot key spreads over 8 reducers.  Same oracle as the
+    plain join: salting changes the plan, never the answer.  This is the
+    manual rescue for shapes AQE's skew splitting can't reach
+    (stream-stream joins, shuffled-hash, strict partitioning
+    requirements) — operators/relational.salted_join."""
+    from kafka_go_cardinality_spark.operators.relational import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return salted_join(
+        orders, customer, fact_key="o_custkey", dim_key="c_custkey"
+    ).select("o_orderkey", "o_totalprice", "c_name")
