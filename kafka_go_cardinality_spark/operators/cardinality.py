@@ -211,7 +211,16 @@ def sketch_rollup(events: DataFrame, lg_k: int = 14) -> DataFrame:
 
     Output: month-grain StatMsg rows computed by merging day sketches.
     """
-    daily = (
+    return month_union(day_sketches(events, lg_k))
+
+
+def day_sketches(events: DataFrame, lg_k: int = 14) -> DataFrame:
+    """(day, sk): one DataSketches HLL per day — THE shared day-sketch
+    expression.  sketch_rollup, incremental_sketch_rollup, and the
+    persisted sketch table all build days through this single function,
+    so the bit-identity invariant between full and incremental rollups
+    cannot drift via a one-sided edit (uid cast, lg_k, truncation)."""
+    return (
         events.select(
             F.date_trunc("day", "ts").alias("day"),
             F.col("user_id").cast("string").alias("uid"),
@@ -219,6 +228,11 @@ def sketch_rollup(events: DataFrame, lg_k: int = 14) -> DataFrame:
         .groupBy("day")
         .agg(F.hll_sketch_agg("uid", lg_k).alias("sk"))
     )
+
+
+def month_union(daily: DataFrame) -> DataFrame:
+    """Month-grain StatMsg rows by hll_union_agg over (day, sk) rows —
+    the shared rollup tail of sketch_rollup / incremental_sketch_rollup."""
     return (
         daily.select(F.date_trunc("month", "day").cast("long").alias("timestamp"), "sk")
         .groupBy("timestamp")
@@ -317,21 +331,7 @@ def incremental_sketch_rollup(
     uids (harmless for distinct-count semantics — HLL insert is
     idempotent — but the invariant keeps lineage auditable).
     """
-    fresh = (
-        events.filter(F.date_trunc("day", "ts") >= cutoff_day)
-        .select(
-            F.date_trunc("day", "ts").alias("day"),
-            F.col("user_id").cast("string").alias("uid"),
-        )
-        .groupBy("day")
-        .agg(F.hll_sketch_agg("uid", lg_k).alias("sk"))
+    fresh = day_sketches(
+        events.filter(F.date_trunc("day", "ts") >= cutoff_day), lg_k
     )
-    all_days = stored_day_sketches.select("day", "sk").unionByName(fresh)
-    return (
-        all_days.select(
-            F.date_trunc("month", "day").cast("long").alias("timestamp"), "sk"
-        )
-        .groupBy("timestamp")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("value"))
-        .select(F.lit("month_count").alias("type"), "timestamp", "value")
-    )
+    return month_union(stored_day_sketches.select("day", "sk").unionByName(fresh))

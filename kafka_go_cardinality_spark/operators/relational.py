@@ -253,11 +253,18 @@ def cohort_retention(
     the final (cohort, offset) reduce is a second small shuffle whose
     cardinality is periods², independent of corpus size.
     """
+    # Fixed-length grains only: the offset is computed by epoch-second
+    # division, which cannot express variable-length months/quarters.
+    supported = {"week": 604_800, "day": 86_400}
+    if grain not in supported:
+        raise ValueError(
+            f"cohort_retention supports grains {sorted(supported)}, got {grain!r}"
+        )
     act = events.select(
         F.col(key).alias("k"), F.date_trunc(grain, F.col(ts)).alias("period")
     ).distinct()
     first = act.groupBy("k").agg(F.min("period").alias("cohort"))
-    seconds = {"week": 604_800, "day": 86_400}[grain]
+    seconds = supported[grain]
     joined = act.join(first, "k")
     return (
         joined.select(
@@ -322,10 +329,11 @@ def snapshot_diff(
     o = old.select(F.col(key).alias("__k"), *[F.col(c).alias(f"old_{c}") for c in compare_cols])
     n = new.select(F.col(key).alias("__nk"), *[F.col(c).alias(f"new_{c}") for c in compare_cols])
     j = o.join(n, F.col("__k") == F.col("__nk"), "full_outer")
-    same = None
+    # No compare columns → a keys-only presence diff (insert/delete, no
+    # update can exist).
+    same = F.lit(True)
     for c in compare_cols:
-        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
-        same = eq if same is None else (same & eq)
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
     change = (
         F.when(F.col("__k").isNull(), "insert")
         .when(F.col("__nk").isNull(), "delete")

@@ -426,7 +426,7 @@ from kafka_go_cardinality_spark.operators.relational import (  # noqa: E402
     """,
 )
 def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[E29-adjacent] CDC keep-latest compaction: the newest event per
+    """[E30] CDC keep-latest compaction: the newest event per
     user (one row_number shuffle, no self-join —
     operators/relational.latest_per_key)."""
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")

@@ -208,12 +208,14 @@ _SKETCH_TABLES: dict[str, tuple[str, str]] = {}
 def _stored_sketches(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Materialize day sketches for all but the final 7 days to parquet;
     returns (path, cutoff_day_iso)."""
+    import os as _os
+
     existing = _SKETCH_TABLES.get(sf_dir)
-    if existing:
+    if existing and _os.path.isdir(existing[0]):
         return existing
     import tempfile
 
-    from kafka_go_cardinality_spark.operators.cardinality import REFERENCE_LG_K
+    from kafka_go_cardinality_spark.operators.cardinality import day_sketches
 
     events = _events(spark, sf_dir)
     cutoff = events.select(
@@ -223,13 +225,9 @@ def _stored_sketches(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     ).first()["c"]
     path = tempfile.mkdtemp(prefix="kgc_day_sketches_")
     (
-        events.filter(F.date_trunc("day", "ts") < F.lit(cutoff).cast("timestamp"))
-        .select(
-            F.date_trunc("day", "ts").alias("day"),
-            F.col("user_id").cast("string").alias("uid"),
+        day_sketches(
+            events.filter(F.date_trunc("day", "ts") < F.lit(cutoff).cast("timestamp"))
         )
-        .groupBy("day")
-        .agg(F.hll_sketch_agg("uid", REFERENCE_LG_K).alias("sk"))
         .write.mode("overwrite")
         .parquet(path)
     )

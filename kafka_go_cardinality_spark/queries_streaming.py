@@ -443,7 +443,12 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q_stream_upsert_sink replay did not finish within 300 s "
+                f"({len(versions)} batches committed)"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(versions[-1])
