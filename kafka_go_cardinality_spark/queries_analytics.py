@@ -578,3 +578,39 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
     return snapshot_diff(old, new, key="o_orderkey", compare_cols=["cents"])
+
+
+@query(
+    "q_recursive_cte",
+    """
+    WITH RECURSIVE walk AS (
+      SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+      UNION ALL
+      SELECT node, cur // 2 AS cur, depth + 1 AS depth
+      FROM walk WHERE cur > 1
+    )
+    SELECT node, max(depth) AS depth FROM walk GROUP BY node
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E24+] Recursive CTE (Spark 4.0+, SPARK-24497): per-node depth in
+    a synthetic binary hierarchy (parent(k) = k div 2) walked to the
+    root — the org-chart / BOM-explosion query shape SQL engines need
+    WITH RECURSIVE for.  Each iteration is one narrow map over the
+    frontier (no join needed for this parent function), and Spark caps
+    runaway recursion at spark.sql.cteRecursionLevelLimit (100); depth
+    here is log2(max key) ≈ 11.  Same SQL runs in DuckDB modulo the
+    integer-division spelling (`div` vs `//`)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("kgc_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+          FROM kgc_customer
+          UNION ALL
+          SELECT node, cur div 2 AS cur, depth + 1 AS depth
+          FROM walk WHERE cur > 1
+        )
+        SELECT node, max(depth) AS depth FROM walk GROUP BY node
+        """
+    )
