@@ -815,3 +815,13 @@ def q_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
     per language by quality score — percentile cut, not an absolute
     cutoff that drifts with corpus mix (operators/text.quality_topfrac)."""
     return tx.quality_topfrac(_docs(spark, sf_dir), frac=0.2)
+
+
+@query("q_sim_ann_pq", oracle=None)  # quantized estimates: rows-only
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E21] Product-quantization ANN (ADC): corpus encoded to 8 nibble
+    codes per vector (64× memory reduction — the compression that makes
+    a 100 TB embedding store indexable), probes rank by 8 table lookups
+    instead of 64-dim float math (operators/similarity.pq_topk).
+    Ranking-quality floor pinned in tests/test_similarity.py."""
+    return sim.pq_topk(_emb(spark, sf_dir))

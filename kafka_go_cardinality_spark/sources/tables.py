@@ -238,3 +238,67 @@ def date_dim_path(spark: SparkSession, sf_dir: str) -> str:
     )
     _DATE_DIMS[sf_dir] = path
     return path
+
+
+def morton2(a, b, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative ints as a pure
+    column expression: bit i of ``a`` lands at position 2i, bit i of
+    ``b`` at 2i+1.  Built from shifts/masks so it stays inside
+    whole-stage codegen — no UDF.  ``bits`` per input (16 → 32-bit key)
+    is plenty for a layout key: clustering needs locality, not
+    uniqueness, so callers can ``pmod`` wider domains down first."""
+    z = F.lit(0).cast("long")
+    av = a.cast("long")
+    bv = b.cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(av.bitwiseAND(F.lit(1 << i)) * F.lit(1 << i))
+            .bitwiseOR(bv.bitwiseAND(F.lit(1 << i)) * F.lit(1 << (i + 1)))
+        )
+    return z
+
+
+# One z-ordered + one linearly-sorted events copy per (process, sf_dir).
+_ZORDER_EVENTS: dict[str, tuple[str, str]] = {}
+
+
+def zordered_events_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize events twice: clustered on the Morton key of
+    (user_id, day-number) vs linearly sorted by day only, same file and
+    row-group counts.  Z-ordering is THE layout for 2-D-filtered scans
+    of a single physical copy (Delta/Iceberg expose it as OPTIMIZE
+    ZORDER): parquet row-group min/max stats stay tight on BOTH columns,
+    so a (user range × date range) predicate skips row groups in both
+    dimensions, where a linear sort only ever prunes its leading column.
+    tests/test_plans.py quantifies the skip-rate difference from the
+    actual parquet footers."""
+    existing = _ZORDER_EVENTS.get(sf_dir)
+    if existing:
+        return existing
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day_no", F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("long")
+    )
+    z = morton2(F.pmod(F.col("user_id"), F.lit(1 << 16)), F.col("day_no"))
+    # 256 range partitions → 256 files, each contiguous in its sort key;
+    # file-level min/max footers are the pruning stats compared in the
+    # plan test (row groups behave identically, at finer grain).
+    zpath = tempfile.mkdtemp(prefix="kgc_events_zorder_")
+    (
+        events.withColumn("__z", z)
+        .repartitionByRange(256, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(zpath)
+    )
+    lpath = tempfile.mkdtemp(prefix="kgc_events_linear_")
+    (
+        events.repartitionByRange(256, F.col("day_no"), F.col("ts"))
+        .sortWithinPartitions("day_no", "ts")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    _ZORDER_EVENTS[sf_dir] = (zpath, lpath)
+    return zpath, lpath

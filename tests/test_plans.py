@@ -311,3 +311,47 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
     df = q("q_join_runtime_filter", spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "might_contain" in plan, plan[:2000]
+
+
+def test_zorder_prunes_both_dimensions(spark):
+    """Measured from real parquet footers at sf0.01: under the 2-D box
+    (user_id 100-500 × Jan 10-14) the Morton-clustered layout must leave
+    no more candidate files than the day-sorted linear layout, and must
+    actually skip some files (the linear layout can only prune the day
+    dimension; z-order keeps min/max tight on both columns)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from kafka_go_cardinality_spark.sources.tables import zordered_events_paths
+
+    zpath, lpath = zordered_events_paths(spark, "/root/testdata/sf0.01")
+
+    def candidates(path):
+        total, cand = 0, 0
+        for entry in os.scandir(path):
+            if not entry.name.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(entry.path)
+            lo_u = lo_d = float("inf")
+            hi_u = hi_d = float("-inf")
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                cols = {
+                    row.column(i).path_in_schema: row.column(i).statistics
+                    for i in range(row.num_columns)
+                }
+                lo_u = min(lo_u, cols["user_id"].min)
+                hi_u = max(hi_u, cols["user_id"].max)
+                lo_d = min(lo_d, cols["day_no"].min)
+                hi_d = max(hi_d, cols["day_no"].max)
+            total += 1
+            if hi_u >= 100 and lo_u <= 500 and hi_d >= 9 and lo_d <= 13:
+                cand += 1
+        return total, cand
+
+    z_total, z_cand = candidates(zpath)
+    l_total, l_cand = candidates(lpath)
+    assert z_total == l_total == 256
+    assert z_cand < l_cand, (z_cand, l_cand)
+    assert z_cand < z_total, "z-order layout skipped nothing"
