@@ -615,56 +615,55 @@ def pq_topk(
     # literals: training on a bounded sample and broadcasting constants
     # is exactly how a 100 TB build works; the corpus itself only ever
     # sees the encode pass.
+    import numpy as np
+
     sample = sorted(
         base.filter(F.col("vec_id") < 256).collect(), key=lambda r: r["vec_id"]
     )
+    sample_mat = np.asarray([row["v"] for row in sample], dtype=np.float64)
     codebooks = []
     for j in range(PQ_SUBSPACES):
-        subs = [
-            [float(x) for x in row["v"][j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]]
-            for row in sample
-        ]
-        cents = [list(s) for s in subs[:PQ_CODEWORDS]]
+        subs = sample_mat[:, j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]
+        cents = subs[:PQ_CODEWORDS].copy()
         for _ in range(4):
-            groups: list[list[list[float]]] = [[] for _ in range(PQ_CODEWORDS)]
-            for s in subs:
-                best = min(
-                    range(PQ_CODEWORDS),
-                    key=lambda c: sum((a - b) ** 2 for a, b in zip(s, cents[c])),
-                )
-                groups[best].append(s)
-            for c, members in enumerate(groups):
-                if members:
-                    cents[c] = [
-                        sum(col) / len(members) for col in zip(*members)
-                    ]
-        codebooks.append(cents)
+            # (n, 16) pairwise squared distances, vectorized; argmin per row.
+            d2 = ((subs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            best = d2.argmin(axis=1)
+            for c in range(PQ_CODEWORDS):
+                members = subs[best == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        codebooks.append([[float(x) for x in cw] for cw in cents])
 
-    def _sub(col, j):
-        return F.slice(col, j * PQ_SUBDIM + 1, PQ_SUBDIM)
+    # Encode expression as ONE SQL string → ONE py4j round trip.  The
+    # Column-API equivalent (128 codewords × ~10 Column calls each) spends
+    # ~7 s per invocation in Python↔JVM chatter just BUILDING the tree;
+    # a string parses JVM-side in milliseconds.  The argmin folds the
+    # 16-distance array through transform→struct→array_min so the array
+    # is evaluated once (array_position(d, array_min(d)) names it twice);
+    # struct ordering (d, then index) reproduces the lowest-index
+    # tie-break exactly.
+    def _dlit(x: float) -> str:
+        return f"cast('{x!r}' as double)"
 
-    def _l2sq_lit(sub_col, codeword):
-        diff = F.zip_with(
-            sub_col,
-            F.array(*[F.lit(x) for x in codeword]),
-            lambda a, b: (a - b) * (a - b),
+    subspace_exprs = []
+    for j, cents in enumerate(codebooks):
+        ds = ", ".join(
+            "aggregate(zip_with(slice(v, %d, %d), array(%s), "
+            "(a, b) -> (a - b) * (a - b)), cast(0 as double), "
+            "(acc, x) -> acc + x)"
+            % (
+                j * PQ_SUBDIM + 1,
+                PQ_SUBDIM,
+                ", ".join(_dlit(x) for x in cw),
+            )
+            for cw in cents
         )
-        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
-
-    codes = F.array(
-        *[
-            (
-                F.array_position(
-                    d := F.array(
-                        *[_l2sq_lit(_sub(F.col("v"), j), cw) for cw in codebooks[j]]
-                    ),
-                    F.array_min(d),
-                )
-                - 1
-            ).cast("int")
-            for j in range(PQ_SUBSPACES)
-        ]
-    )
+        subspace_exprs.append(
+            "cast(array_min(transform(array(%s), "
+            "(x, i) -> named_struct('d', x, 'c', i))).c as int)" % ds
+        )
+    codes = F.expr("array(%s)" % ", ".join(subspace_exprs))
     coded = base.select("vec_id", "v", codes.alias("codes")).persist()
 
     # Probe LUTs computed driver-side with the same sequential float
