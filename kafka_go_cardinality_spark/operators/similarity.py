@@ -100,18 +100,38 @@ def _hyperplanes(dim: int = 64):
     return planes
 
 
-def ann_sketch(vec_col, dim: int = 64):
-    """H-bit sign sketch of a double vector under the fixed hyperplanes."""
+def _dlit(x: float) -> str:
+    """Exact double literal for generated SQL: repr round-trips the IEEE
+    value, the cast parses it JVM-side."""
+    return f"cast('{float(x)!r}' as double)"
+
+
+def _dot_sql(vec_expr: str, consts) -> str:
+    """SQL text of ``dot(vec_expr, literal-array)`` — same sequential
+    zip_with+aggregate fold as functions.dot, so identical doubles, but
+    emitted as a string: constant-heavy expressions built through the
+    Column API pay one Python↔JVM round trip PER call (~7 s for a
+    128-codeword tree, measured in pq_topk); a string parses JVM-side in
+    milliseconds."""
+    return (
+        "aggregate(zip_with(%s, array(%s), (x, y) -> x * y), "
+        "cast(0 as double), (acc, e) -> acc + e)"
+        % (vec_expr, ", ".join(_dlit(c) for c in consts))
+    )
+
+
+def ann_sketch(vec_expr: str = "v", dim: int = 64):
+    """H-bit sign sketch of a double vector under the fixed hyperplanes.
+
+    ``vec_expr`` is the SQL name of the vector column — the whole
+    12-plane projection is one generated-SQL expression (768 constants;
+    see _dot_sql for why strings beat Column construction here)."""
     planes = _hyperplanes(dim)
-    bits = []
-    for p, comps in enumerate(planes):
-        plane_lit = F.array(*[F.lit(c) for c in comps])
-        proj = dot(vec_col, plane_lit)
-        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    sketch = bits[0]
-    for b in bits[1:]:
-        sketch = sketch + b
-    return sketch.cast("long")
+    terms = [
+        "if(%s >= 0, %d, 0)" % (_dot_sql(vec_expr, comps), 1 << p)
+        for p, comps in enumerate(planes)
+    ]
+    return F.expr("cast(%s as long)" % " + ".join(terms))
 
 
 def ann_lsh_topk(
@@ -129,7 +149,7 @@ def ann_lsh_topk(
     anywhere."""
     base = (
         embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
-        .withColumn("sketch", ann_sketch(F.col("v")))
+        .withColumn("sketch", ann_sketch("v"))
         .withColumn("nrm", norm(F.col("v")))
         # Persisted: the banded frame below feeds both sides of the
         # candidate self-join; without the cache boundary the 12-plane
@@ -214,7 +234,6 @@ def ivf_topk(
     base = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
     seeds = base.filter(F.col("vec_id") < n_centroids).collect()
     seed_vecs = [row["v"] for row in sorted(seeds, key=lambda r: r["vec_id"])]
-    cents = [F.array(*[F.lit(float(x)) for x in vec]) for vec in seed_vecs]
     # Centroid norms are driver-side constants (same sequential
     # fold-then-sqrt as functions.norm, so identical doubles); the row
     # norm folds once instead of once per centroid — 16 dots per row for
@@ -234,11 +253,15 @@ def ivf_topk(
     # assignment itself stays a map-side argmax — no shuffle, no 16×
     # corpus blowup from a centroid cross-join.
     nrm_col = norm(F.col("v"))
-    cos_arr = F.array(
-        *[
-            cosine_pre(dot(F.col("v"), c), F.col("nrm"), F.lit(cn))
-            for c, cn in zip(cents, cent_norms)
-        ]
+    # Same arithmetic as cosine_pre(dot(v, c), nrm, cn) — emitted as one
+    # generated-SQL array (16 × 64 constants) for the py4j reason
+    # documented on _dot_sql.
+    cos_arr = F.expr(
+        "array(%s)"
+        % ", ".join(
+            "%s / (nrm * %s)" % (_dot_sql("v", vec), _dlit(cn))
+            for vec, cn in zip(seed_vecs, cent_norms)
+        )
     )
     scored_cells = (
         base.select("vec_id", "v", nrm_col.alias("nrm"))
@@ -643,9 +666,6 @@ def pq_topk(
     # is evaluated once (array_position(d, array_min(d)) names it twice);
     # struct ordering (d, then index) reproduces the lowest-index
     # tie-break exactly.
-    def _dlit(x: float) -> str:
-        return f"cast('{x!r}' as double)"
-
     subspace_exprs = []
     for j, cents in enumerate(codebooks):
         ds = ", ".join(
