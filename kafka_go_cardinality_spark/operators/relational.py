@@ -390,3 +390,95 @@ def salted_join(
         (F.col(fact_key) == F.col(dim_key)) & (salted_fact["__salt"] == replicated_dim["__salt"]),
     )
     return joined.drop("__salt")
+
+
+def profile_columns(df: DataFrame, specs: list[tuple[str, Column]]) -> DataFrame:
+    """One-pass column profiler — the data-quality audit every ingest of
+    a new 100 TB source starts with: per column, non-null count, exact
+    distinct count, and stringified min/max, in long form.
+
+    The reference has no profiling surface at all (its schema is fixed at
+    compile time, /root/reference/processor/processor.go:13-16); this is
+    extension surface (SURVEY.md §2.3 E31).
+
+    Scale shape: ONE scan.  All measures for all columns compute in a
+    single aggregate — the multiple ``count(distinct)`` columns plan as
+    one Expand + partial/final aggregate pass, versus the naive
+    per-column loop that re-scans the table N times.  ``specs`` maps
+    column name → stringifier (dtype-aware formatting so min/max render
+    identically across engines: decimals for doubles, explicit date
+    patterns for timestamps).
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for name, to_str in specs:
+        aggs += [
+            F.count(F.col(name)).alias(f"{name}__nn"),
+            F.countDistinct(F.col(name)).alias(f"{name}__nd"),
+            to_str(F.min(F.col(name))).alias(f"{name}__mn"),
+            to_str(F.max(F.col(name))).alias(f"{name}__mx"),
+        ]
+    row = df.agg(*aggs)
+    stack = "stack(%d, %s) as (col_name, n_nonnull, n_distinct, min_s, max_s)" % (
+        len(specs),
+        ", ".join(
+            f"'{name}', {name}__nn, {name}__nd, {name}__mn, {name}__mx"
+            for name, _ in specs
+        ),
+    )
+    return row.selectExpr("n_rows", stack).select(
+        "col_name", "n_rows", "n_nonnull", "n_distinct", "min_s", "max_s"
+    )
+
+
+def global_enumerate(
+    events: DataFrame, n_buckets: int = 64
+) -> DataFrame:
+    """Global row numbering over a total order (value, event_id) WITHOUT
+    a single-partition window — the scalable "assign every record a
+    stable global position" primitive (shard ids for packed training
+    sequences, stable pagination, rank exports).
+
+    A naive ``row_number() OVER (ORDER BY ...)`` collapses the whole
+    table into ONE task; at 100 TB that is the job.  This decomposes the
+    total order into value-range buckets (order-preserving by
+    construction), so the plan is:
+
+    1. 1-row min/max aggregate, broadcast (no shuffle of the fact);
+    2. bucket = fixed arithmetic on value (map-side);
+    3. per-bucket counts → cumulative offsets — a window over at most
+       ``n_buckets`` rows, constant-size at ANY data scale;
+    4. one shuffle keyed by bucket, local row_number + broadcast offset.
+
+    Equal values always land in the same bucket (bucket is a function of
+    value), so cross-bucket ordering is exact.  The same decomposition
+    is how Spark's own range-partitioned sort works; doing it explicitly
+    exposes the offsets, which the packed-sequence writer consumes.
+    """
+    ev = events.select("event_id", "value")
+    stats = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    bucketed = ev.crossJoin(F.broadcast(stats)).withColumn(
+        "bucket",
+        F.least(
+            F.floor(
+                ((F.col("value") - F.col("vmin")) * n_buckets)
+                / (F.col("vmax") - F.col("vmin") + F.lit(1e-9))
+            ),
+            F.lit(n_buckets - 1).cast("long"),
+        ).cast("int"),
+    )
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    # Cumulative offsets: window over ≤ n_buckets rows — the single
+    # partition here is a CONSTANT-size frame, not the data.
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("cnt").over(cum), F.lit(0).cast("long"))
+    ).select("bucket", "offset")
+    local = Window.partitionBy("bucket").orderBy("value", "event_id")
+    return (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "global_rank",
+            (F.row_number().over(local).cast("long") + F.col("offset")),
+        )
+        .select("event_id", "value", "global_rank")
+    )

@@ -732,3 +732,139 @@ def pq_topk(
         [F.col("est_dist").asc(), F.col("vec_id").asc()],
         k,
     )
+
+
+# Semantic dedup: coarse cells (same deterministic seeding as ivf_topk)
+# + within-cell exact-cosine near-dup removal.
+SEMDEDUP_CELLS = 16
+SEMDEDUP_TAU = 0.95
+
+
+def _seq_norm_py(vec) -> float:
+    """Driver-side sequential fold-then-sqrt — identical doubles to
+    functions.norm and to a DuckDB sequential list_reduce fold."""
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_cells: int = SEMDEDUP_CELLS,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every vector to a coarse cell, compare pairs ONLY within a cell, and
+    drop any vector with a lower-id neighbor at cosine ≥ ``tau``.  This
+    is the embedding-space analogue of MinHash dedup: the cell is the
+    LSH bucket, exact cosine is the verify step, keep-lowest-id is the
+    deterministic representative rule.
+
+    Cells use the same deterministic seeding as ivf_topk (first
+    ``n_cells`` vectors by id) so the whole operator — including cell
+    assignment — is exactly reproducible in the DuckDB oracle.  Cell
+    assignment is a map-side argmax over a literal centroid array (no
+    shuffle); the only data shuffle is the self-join keyed by cell,
+    whose pair count is Σ|cell|² ≪ N² — the entire point of SemDeDup at
+    scale, where all-pairs cosine is unrunnable.
+
+    Returns the full decision table (vec_id, cell, is_kept) — the kept
+    set IS the deduplicated corpus; emitting the flag rather than the
+    survivors keeps the audit trail pipelines need.
+    """
+    aug = with_planted_neighbors(embeddings)
+    base = aug.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    seeds = base.filter(F.col("vec_id") < n_cells).collect()
+    seed_vecs = [row["v"] for row in sorted(seeds, key=lambda r: r["vec_id"])]
+    cent_norms = [_seq_norm_py(vec) for vec in seed_vecs]
+    cos_arr = F.expr(
+        "array(%s)"
+        % ", ".join(
+            "%s / (nrm * %s)" % (_dot_sql("v", vec), _dlit(cn))
+            for vec, cn in zip(seed_vecs, cent_norms)
+        )
+    )
+    with_cell = (
+        base.select("vec_id", "v", norm(F.col("v")).alias("nrm"))
+        .select("vec_id", "v", "nrm", cos_arr.alias("ca"))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            (F.array_position(F.col("ca"), F.array_max("ca")) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+        # Feeds both sides of the pair join AND the final flag join:
+        # without the cache boundary the 16×64-constant argmax expression
+        # compiles and evaluates three times.
+        .persist()
+    )
+    a = with_cell.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "cell",
+    )
+    b = with_cell.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "cell",
+    )
+    removed = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            cosine_pre(dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+            >= tau
+        )
+        .select("vec_b")
+        .distinct()
+    )
+    return (
+        with_cell.join(
+            removed, with_cell["vec_id"] == removed["vec_b"], "left"
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.col("vec_b").isNull().alias("is_kept"),
+        )
+    )
+
+
+def semantic_dedup_oracle_sql() -> str:
+    """DuckDB twin of semantic_dedup — replicates cell assignment (argmax
+    over the SAME first-16 centroids, derived in SQL from the corpus
+    itself) and the within-cell cosine threshold, value-exactly."""
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, len({x}) + 1), "
+            f"i -> {x}[i] * {y}[i]), (acc, v) -> acc + v)"
+        )
+
+    return f"""
+    WITH aug AS ({WITH_PLANTED_NEIGHBORS_SQL}),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM aug),
+    normed AS (SELECT vec_id, v, sqrt({dot('v', 'v')}) AS nrm FROM vecs),
+    cents AS (SELECT CAST(vec_id AS INT) AS cell, v AS c, nrm AS cnrm
+              FROM normed WHERE vec_id < {SEMDEDUP_CELLS}),
+    scored AS (
+      SELECT n.vec_id, n.v, n.nrm, cents.cell,
+             {dot('n.v', 'cents.c')} / (n.nrm * cents.cnrm) AS cos
+      FROM normed n CROSS JOIN cents),
+    cells AS (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+        FROM scored) WHERE rn = 1),
+    removed AS (
+      SELECT DISTINCT b.vec_id AS vec_b
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= {SEMDEDUP_TAU})
+    SELECT c.vec_id, c.cell, (r.vec_b IS NULL) AS is_kept
+    FROM cells c LEFT JOIN removed r ON c.vec_id = r.vec_b
+    """

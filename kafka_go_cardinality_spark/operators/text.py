@@ -419,3 +419,48 @@ def tfidf_topk(documents: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rn") <= k)
         .select("doc_id", "term", "tf", "score_micro", F.col("rn").cast("long").alias("rn"))
     )
+
+
+def unigram_surprisal(documents: DataFrame) -> DataFrame:
+    """Corpus-unigram language-model scoring — the KenLM-perplexity
+    stand-in of a CCNet-style quality pipeline: per document, the summed
+    and mean surprisal (-ln p(token)) under the corpus's own unigram
+    distribution.  Low mean surprisal ≈ common boilerplate, high ≈ rare
+    noise; pipelines keep the middle.
+
+    Determinism contract (same as tfidf_topk): per-token surprisal is
+    quantized to integer micro-units ``round(ln(N/cnt)·1e6)`` BEFORE any
+    aggregation, so document totals are exact integer sums — identical
+    at any parallelism and engine; the mean uses integer division (both
+    engines truncate positives identically), never float division.
+
+    Scale shape: token counts are one shuffle with map-side combine into
+    a vocabulary-sized frame; N is a 1-row aggregate cross join; the
+    score-back join broadcasts the vocabulary (vocab ≪ corpus — at
+    100 TB the vocab is GBs while the token stream is TBs, so the token
+    stream never shuffles for the join); the per-doc rollup re-shuffles
+    on doc_id once.
+    """
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    nll = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(
+            F.log(F.col("n_total").cast("double") / F.col("cnt").cast("double"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("nll_q"),
+    )
+    return (
+        tok.join(F.broadcast(nll), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("nll_q").alias("sum_nll_q"),
+        )
+        .withColumn("avg_nll_q", F.expr("sum_nll_q div n_tokens"))
+    )

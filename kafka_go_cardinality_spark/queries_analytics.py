@@ -614,3 +614,83 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT node, max(depth) AS depth FROM walk GROUP BY node
         """
     )
+
+
+# ----------------------------------------------------- E31 column profiling
+
+
+def _profile_oracle() -> str:
+    """Generated from the same column list as q_profile_columns so the
+    Spark stringifiers and the oracle's can't drift."""
+    cols = [
+        ("o_orderkey", "CAST({m}(o_orderkey) AS VARCHAR)"),
+        ("o_custkey", "CAST({m}(o_custkey) AS VARCHAR)"),
+        ("o_orderstatus", "{m}(o_orderstatus)"),
+        ("o_totalprice", "CAST(CAST({m}(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)"),
+        ("o_orderdate", "strftime({m}(o_orderdate), '%Y-%m-%d %H:%M:%S')"),
+        ("o_orderpriority", "{m}(o_orderpriority)"),
+    ]
+    measures = ["count(*) AS n_rows"]
+    rows = []
+    for i, (c, fmt) in enumerate(cols):
+        measures += [
+            f"count({c}) AS nn{i}",
+            f"count(DISTINCT {c}) AS nd{i}",
+            fmt.format(m="min") + f" AS mn{i}",
+            fmt.format(m="max") + f" AS mx{i}",
+        ]
+        rows.append(
+            f"SELECT '{c}' AS col_name, n_rows, nn{i} AS n_nonnull, "
+            f"nd{i} AS n_distinct, mn{i} AS min_s, mx{i} AS max_s FROM p"
+        )
+    return (
+        "WITH p AS (SELECT "
+        + ", ".join(measures)
+        + " FROM orders)\n    "
+        + "\n    UNION ALL ".join(rows)
+    )
+
+
+@query("q_profile_columns", _profile_oracle())
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E31] One-pass column profiler over orders: per column non-null /
+    exact-distinct counts and dtype-aware stringified min/max — all in a
+    SINGLE scan (multi-count-distinct plans as one Expand+Aggregate),
+    versus the naive N-scans-for-N-columns audit
+    (operators/relational.profile_columns)."""
+    from kafka_go_cardinality_spark.operators.relational import profile_columns
+
+    orders = _t(spark, sf_dir, "orders")
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    specs = [
+        ("o_orderkey", as_str),
+        ("o_custkey", as_str),
+        ("o_orderstatus", as_str),
+        ("o_totalprice", lambda c: c.cast("decimal(18,2)").cast("string")),
+        ("o_orderdate", lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")),
+        ("o_orderpriority", as_str),
+    ]
+    return profile_columns(orders, specs)
+
+
+# --------------------------------------------------- E13 global enumeration
+
+
+@query(
+    "q_global_enumerate",
+    """
+    SELECT event_id, value,
+           CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT)
+             AS global_rank
+    FROM events
+    """,
+)
+def q_global_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E13] Global total-order row numbering WITHOUT a single-partition
+    sort: value-range buckets + constant-size offset table + per-bucket
+    local row_number (operators/relational.global_enumerate).  The
+    oracle is the naive one-task window — same numbers, a plan that
+    would not survive 100 TB."""
+    from kafka_go_cardinality_spark.operators.relational import global_enumerate
+
+    return global_enumerate(_t(spark, sf_dir, "events"))

@@ -825,3 +825,42 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of 64-dim float math (operators/similarity.pq_topk).
     Ranking-quality floor pinned in tests/test_similarity.py."""
     return sim.pq_topk(_emb(spark, sf_dir))
+
+
+@query(
+    "q_text_unigram_nll",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents),
+    vocab AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+    nll AS (
+      SELECT term,
+             CAST(round(ln(CAST(n_total AS DOUBLE) / cnt) * 1e6) AS BIGINT)
+               AS nll_q
+      FROM vocab CROSS JOIN tot)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(nll_q) AS BIGINT) AS sum_nll_q,
+           CAST(sum(nll_q) AS BIGINT) // count(*) AS avg_nll_q
+    FROM tok JOIN nll USING (term)
+    GROUP BY doc_id
+    """,
+)
+def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22] Corpus-unigram LM surprisal per document (the KenLM
+    perplexity stand-in of CCNet-style quality filtering), in integer
+    micro-units end-to-end so sums and means are engine-exact
+    (operators/text.unigram_surprisal)."""
+    return tx.unigram_surprisal(_docs(spark, sf_dir))
+
+
+@query("q_dedup_semantic", sim.semantic_dedup_oracle_sql())
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E20/E21] SemDeDup-style semantic dedup: map-side argmax cell
+    assignment over deterministic coarse centroids, within-cell exact
+    cosine ≥ 0.95, drop-the-higher-id rule — pair cost Σ|cell|² instead
+    of N², the reason all-pairs embedding dedup is runnable at scale
+    (operators/similarity.semantic_dedup).  The oracle replicates the
+    FULL pipeline including cell assignment, value-exactly."""
+    return sim.semantic_dedup(_emb(spark, sf_dir))

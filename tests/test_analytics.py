@@ -385,3 +385,77 @@ def test_query_index_is_current():
         "QUERIES.md is stale — regenerate with "
         "`python scripts_gen_query_index.py > QUERIES.md`"
     )
+
+
+def test_profile_columns_hand_computed(spark):
+    """Nulls excluded from non-null/distinct/min/max; stringifiers apply;
+    one row per profiled column."""
+    from kafka_go_cardinality_spark.operators.relational import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0), (2, 7.25), (None, 5.0)],
+        ["k", "v"],
+    )
+    got = {
+        r["col_name"]: r
+        for r in profile_columns(
+            df,
+            [
+                ("k", lambda c: c.cast("string")),
+                ("v", lambda c: c.cast("decimal(18,2)").cast("string")),
+            ],
+        ).collect()
+    }
+    assert got["k"]["n_rows"] == 4
+    assert got["k"]["n_nonnull"] == 3
+    assert got["k"]["n_distinct"] == 2
+    assert (got["k"]["min_s"], got["k"]["max_s"]) == ("1", "2")
+    assert got["v"]["n_nonnull"] == 3
+    assert got["v"]["n_distinct"] == 2
+    assert (got["v"]["min_s"], got["v"]["max_s"]) == ("5.00", "7.25")
+
+
+def test_global_enumerate_matches_naive_window(spark):
+    """Bucket-decomposed global numbering must equal the one-task
+    row_number, including duplicate values straddling nothing (equal
+    values share a bucket by construction)."""
+    from pyspark.sql import Window
+    from kafka_go_cardinality_spark.operators.relational import global_enumerate
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([5, 3, 3, 9, 0, 7, 3, 9])],
+        ["event_id", "value"],
+    )
+    got = {
+        r["event_id"]: r["global_rank"] for r in global_enumerate(df, 4).collect()
+    }
+    want = {
+        r["event_id"]: r["rn"]
+        for r in df.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy("value", "event_id")).cast("long"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    """Two docs, three-term vocab: N=5 tokens; nll_q(term) =
+    round(ln(5/cnt)*1e6); doc sums/means are exact integer math."""
+    import math
+
+    from kafka_go_cardinality_spark.operators.text import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], ["doc_id", "text"]
+    )
+    nll = {
+        "a": round(math.log(5 / 2) * 1e6),
+        "b": round(math.log(5 / 2) * 1e6),
+        "c": round(math.log(5 / 1) * 1e6),
+    }
+    got = {r["doc_id"]: r for r in unigram_surprisal(docs).collect()}
+    assert got[0]["n_tokens"] == 3 and got[1]["n_tokens"] == 2
+    assert got[0]["sum_nll_q"] == 2 * nll["a"] + nll["b"]
+    assert got[1]["sum_nll_q"] == nll["b"] + nll["c"]
+    assert got[0]["avg_nll_q"] == got[0]["sum_nll_q"] // 3
