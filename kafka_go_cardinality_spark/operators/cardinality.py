@@ -43,6 +43,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from kafka_go_cardinality_spark.functions import hash64
+
 # Grain name ↔ the reference's StatType enum (processor.go:26-32), minus the
 # "_count" suffix which we keep in the output `type` column.
 GRAINS = ("minute", "day", "week", "month", "year")
@@ -335,3 +337,98 @@ def incremental_sketch_rollup(
         events.filter(F.date_trunc("day", "ts") >= cutoff_day), lg_k
     )
     return month_union(stored_day_sketches.select("day", "sk").unionByName(fresh))
+
+
+# Count-min sketch geometry: depth 4 (P[overestimate > eps] decays
+# exponentially in depth), width 256 (eps ≈ 2.7% of stream length per
+# row).  Hashes are md5-derived (functions.hash64) — deterministic and
+# engine-reproducible, so unlike the HLL estimators this sketch IS
+# oracle-checkable end to end.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_heavy_hitters(events: DataFrame, k: int = 10) -> DataFrame:
+    """Count-min-sketch frequency table + heavy-hitter readout — the
+    mergeable *frequency* sketch next to the cardinality (HLL) and
+    membership (bitmap) sketch tables of E27.
+
+    The reference has no frequency surface at all; its one sketch is
+    HLL (/root/reference/processor/processor.go:80).  CMS is the same
+    production shape: the (depth, bucket)→count table is depth·width
+    rows regardless of stream size, additive under union (counts sum),
+    so per-day sketch tables roll up losslessly like the HLL ones —
+    and the estimate is a guaranteed OVERcount (min over depth rows),
+    never an undercount.
+
+    Scale shape: the build is one groupBy over (depth, bucket) — 1024
+    groups, map-side combine collapses each partition to ≤1024 rows
+    before the shuffle.  The readout joins candidates against the
+    BROADCAST sketch once per depth; candidates here are the distinct
+    items (the exact side rides along to exhibit the ≥ guarantee).
+
+    Returns the top-``k`` items by CMS estimate with their exact
+    counts: ``cms_est >= exact`` for every row, with equality for
+    unaliased buckets.
+    """
+    items = events.select(F.col("user_id").cast("string").alias("item"))
+
+    def _bucket(col: Column, d: int) -> Column:
+        return F.pmod(hash64(col, salt=f"cms{d}"), F.lit(CMS_WIDTH))
+
+    hits = items.select(
+        F.posexplode(
+            F.array(*[_bucket(F.col("item"), d) for d in range(CMS_DEPTH)])
+        ).alias("d", "bucket")
+    )
+    sketch = hits.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    cand = items.groupBy("item").agg(F.count(F.lit(1)).alias("exact"))
+    for d in range(CMS_DEPTH):
+        sk_d = sketch.filter(F.col("d") == d).select(
+            F.col("bucket").alias(f"b{d}"), F.col("cnt").alias(f"c{d}")
+        )
+        cand = cand.withColumn(f"b{d}", _bucket(F.col("item"), d)).join(
+            F.broadcast(sk_d), f"b{d}"
+        )
+    est = F.least(*[F.col(f"c{d}") for d in range(CMS_DEPTH)])
+    return (
+        cand.select(
+            F.col("item").cast("long").alias("user_id"),
+            "exact",
+            est.alias("cms_est"),
+        )
+        .orderBy(F.col("cms_est").desc(), F.col("user_id"))
+        .limit(k)
+    )
+
+
+def cms_heavy_hitters_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of cms_heavy_hitters, generated from the same
+    (CMS_DEPTH, CMS_WIDTH) geometry and md5 hash."""
+    from kafka_go_cardinality_spark.functions import hash64_sql
+
+    def bucket(expr: str, d: int) -> str:
+        return f"(({hash64_sql(expr, salt=f'cms{d}')}) % {CMS_WIDTH})"
+
+    hit_rows = "\n      UNION ALL ".join(
+        f"SELECT {d} AS d, {bucket('item', d)} AS bucket FROM items"
+        for d in range(CMS_DEPTH)
+    )
+    est = ", ".join(
+        f"(SELECT cnt FROM sketch s WHERE s.d = {d}"
+        f" AND s.bucket = {bucket('cand.item', d)})"
+        for d in range(CMS_DEPTH)
+    )
+    return f"""
+    WITH items AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+    hits AS (
+      {hit_rows}
+    ),
+    sketch AS (SELECT d, bucket, count(*) AS cnt FROM hits GROUP BY 1, 2),
+    cand AS (SELECT item, count(*) AS exact FROM items GROUP BY 1)
+    SELECT CAST(cand.item AS BIGINT) AS user_id, exact,
+           least({est}) AS cms_est
+    FROM cand
+    ORDER BY cms_est DESC, user_id
+    LIMIT {k}
+    """

@@ -421,7 +421,9 @@ def tfidf_topk(documents: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
-def unigram_surprisal(documents: DataFrame) -> DataFrame:
+def unigram_surprisal(
+    documents: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Corpus-unigram language-model scoring — the KenLM-perplexity
     stand-in of a CCNet-style quality pipeline: per document, the summed
     and mean surprisal (-ln p(token)) under the corpus's own unigram
@@ -442,7 +444,7 @@ def unigram_surprisal(documents: DataFrame) -> DataFrame:
     on doc_id once.
     """
     tok = documents.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        "doc_id", *keep, F.explode(tokens(F.col("text"))).alias("term")
     )
     vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n_total"))
@@ -457,10 +459,36 @@ def unigram_surprisal(documents: DataFrame) -> DataFrame:
     )
     return (
         tok.join(F.broadcast(nll), "term")
-        .groupBy("doc_id")
+        .groupBy("doc_id", *keep)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum("nll_q").alias("sum_nll_q"),
         )
         .withColumn("avg_nll_q", F.expr("sum_nll_q div n_tokens"))
+    )
+
+
+def ccnet_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet-style perplexity bucketing: within each language, rank
+    documents by mean unigram surprisal and split into thirds — head
+    (most fluent / lowest perplexity), middle, tail.  CCNet keeps head
+    and middle for pretraining; the tail is the noise bucket.
+
+    ``ntile(3)`` over (avg_nll_q, doc_id) is the rank split: both Spark
+    and DuckDB implement the standard remainder-to-leading-groups
+    semantics, and the integer micro-unit score plus doc_id tie-break
+    makes the full order (hence every bucket boundary) engine-exact.
+    One shuffle keyed by lang for the ranking — per-language frames,
+    never a global sort.
+    """
+    scored = unigram_surprisal(documents, keep=("lang",))
+    w = Window.partitionBy("lang").orderBy("avg_nll_q", "doc_id")
+    tier = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "avg_nll_q",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tier
+        ).alias("bucket"),
     )

@@ -13,6 +13,8 @@ from kafka_go_cardinality_spark.operators.cardinality import (
     GRAINS,
     bitmap_exact_cardinality,
     cardinality,
+    cms_heavy_hitters,
+    cms_heavy_hitters_oracle_sql,
     grain_fanout,
     salted_exact_cardinality,
     sketch_rollup,
@@ -251,3 +253,14 @@ def q_card_sketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_sketch_rollup(
         _events(spark, sf_dir), stored, F.lit(cutoff).cast("timestamp")
     )
+
+
+@query("q_freq_cms", cms_heavy_hitters_oracle_sql())
+def q_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E27] Count-min-sketch heavy hitters over events.user_id: the
+    mergeable FREQUENCY sketch table beside the HLL (cardinality) and
+    bitmap (membership) ones — md5-derived hashing makes the whole
+    sketch, unlike the HLL estimators, exactly oracle-checkable; the
+    readout carries exact counts so cms_est >= exact is visible in the
+    result (operators/cardinality.cms_heavy_hitters)."""
+    return cms_heavy_hitters(_events(spark, sf_dir))

@@ -864,3 +864,39 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.semantic_dedup).  The oracle replicates the
     FULL pipeline including cell assignment, value-exactly."""
     return sim.semantic_dedup(_emb(spark, sf_dir))
+
+
+@query(
+    "q_text_ccnet_buckets",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({tokens_sql('text')}) AS term FROM documents),
+    vocab AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+    nll AS (
+      SELECT term,
+             CAST(round(ln(CAST(n_total AS DOUBLE) / cnt) * 1e6) AS BIGINT)
+               AS nll_q
+      FROM vocab CROSS JOIN tot),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(sum(nll_q) AS BIGINT) // count(*) AS avg_nll_q
+      FROM tok JOIN nll USING (term)
+      GROUP BY doc_id, lang),
+    tiered AS (
+      SELECT doc_id, lang, avg_nll_q,
+             ntile(3) OVER (PARTITION BY lang
+                            ORDER BY avg_nll_q, doc_id) AS tier
+      FROM scored)
+    SELECT doc_id, lang, avg_nll_q,
+           CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+    FROM tiered
+    """,
+)
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22] CCNet-style head/middle/tail perplexity bucketing per
+    language: rank by integer micro-unit mean surprisal, ntile(3) split
+    (engine-exact boundaries via the doc_id tie-break); one shuffle
+    keyed by lang (operators/text.ccnet_buckets)."""
+    return tx.ccnet_buckets(_docs(spark, sf_dir))

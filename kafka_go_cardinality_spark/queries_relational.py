@@ -1438,3 +1438,61 @@ def q_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total"),
         )
     )
+
+
+@query(
+    "q_tpch_q5",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+                   AND s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue_cents DESC
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q5 shape — the 6-table join-reordering showcase:
+    local-supplier revenue per nation within one region.  Catalyst
+    reorders the tree and broadcasts every dimension (region, nation,
+    supplier, customer at this sf), so the only shuffles are the
+    fact-side agg; the region filter prunes nation before any fact row
+    joins.  Revenue is quantized to integer cents PER ROW before the
+    sum — exact integer aggregation, immune to float summation order
+    (the cross-engine determinism rule of SURVEY.md §7.5)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            n,
+            (F.col("c_nationkey") == F.col("n_nationkey"))
+            & (F.col("s_nationkey") == F.col("n_nationkey")),
+        )
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue_cents").desc())
+    )

@@ -158,3 +158,41 @@ def test_incremental_sketch_rollup_equals_full_recompute(spark, sf_dir):
         for r in q_card_sketch_incremental(spark, sf_dir).collect()
     }
     assert full == inc
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """The count-min guarantee: est >= exact for every reported item, and
+    the top-1 item's estimate is within the eps*N additive bound."""
+    from kafka_go_cardinality_spark.operators.cardinality import (
+        CMS_WIDTH,
+        cms_heavy_hitters,
+    )
+    from kafka_go_cardinality_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()
+    rows = cms_heavy_hitters(events, k=20).collect()
+    assert rows
+    assert all(r["cms_est"] >= r["exact"] for r in rows)
+    # depth-4 min: overestimate beyond ~2e/width of the stream length is
+    # astronomically unlikely; assert the loose single-row bound.
+    assert all(r["cms_est"] - r["exact"] <= 2.0 * 2.718 * n / CMS_WIDTH for r in rows)
+
+
+def test_ccnet_buckets_are_balanced_thirds(spark, sf_dir):
+    """ntile(3) per language: bucket sizes differ by at most 1 within a
+    language, and head always holds the lowest mean surprisal."""
+    from kafka_go_cardinality_spark.operators.text import ccnet_buckets
+    from kafka_go_cardinality_spark.sources import load_table
+
+    rows = ccnet_buckets(load_table(spark, sf_dir, "documents")).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = {b: sum(1 for r in rs if r["bucket"] == b)
+                 for b in ("head", "middle", "tail")}
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        head_max = max(r["avg_nll_q"] for r in rs if r["bucket"] == "head")
+        tail_min = min(r["avg_nll_q"] for r in rs if r["bucket"] == "tail")
+        assert head_max <= tail_min or len(rs) < 3

@@ -355,3 +355,48 @@ def test_zorder_prunes_both_dimensions(spark):
     assert z_total == l_total == 256
     assert z_cand < l_cand, (z_cand, l_cand)
     assert z_cand < z_total, "z-order layout skipped nothing"
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """One-pass profiling: exactly ONE parquet scan of orders feeds all
+    per-column measures (multi-count-distinct plans as Expand, not as N
+    re-scans)."""
+    plan = plan_string(q("q_profile_columns", spark, sf_dir), mode="simple")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_global_enumerate_never_single_partition_sorts_fact(spark, sf_dir):
+    """The fact-side ranking must run per bucket (hashpartitioning on
+    bucket), with the only SinglePartition exchange feeding the
+    constant-size offset table — never the events scan."""
+    df = q("q_global_enumerate", spark, sf_dir)
+    blocks = exchange_blocks(df)
+    single = [b for b in blocks if "SinglePartition" in b]
+    # offsets frame carries (bucket, cnt) only — no event_id/value payload
+    for b in single:
+        assert "event_id" not in b, b
+    assert any("hashpartitioning(bucket" in b for b in blocks), blocks
+
+
+def test_unigram_vocab_broadcasts(spark, sf_dir):
+    """The score-back join must broadcast the vocabulary: the token
+    stream (corpus-sized) never shuffles for the join."""
+    assert_broadcast_join(q("q_text_unigram_nll", spark, sf_dir))
+
+
+def test_cms_sketch_broadcasts_to_readout(spark, sf_dir):
+    """All four depth-slices of the (d, bucket)→cnt sketch join the
+    candidate side as broadcasts; the sketch build itself is the only
+    aggregation over the full stream."""
+    plan = plan_string(q("q_freq_cms", spark, sf_dir), mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_semantic_dedup_shuffles_on_cell_only(spark, sf_dir):
+    """Cell assignment is map-side (no exchange between the scan and the
+    argmax projection): every exchange partitions on cell / vec keys,
+    never a cross join."""
+    plan = plan_string(q("q_dedup_semantic", spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
