@@ -131,3 +131,65 @@ def frame_sample(media: DataFrame) -> DataFrame:
         frame_idx.alias("frame_idx"),
         (frame_idx * F.col("stride")).cast("long").alias("byte_offset"),
     )
+
+
+def with_planted_media_dupes(media: DataFrame) -> DataFrame:
+    """Media corpus ∪ re-encoded copies of every 9th item (id+3_000_000,
+    payload suffixed with 16 bytes of 'junk') — models the
+    same-content-different-bytes duplicates (re-encodes, metadata edits)
+    that media dedup exists for: exact hashing misses them."""
+    mutants = (
+        media.filter(F.col("doc_id") % 9 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 3_000_000)
+        .withColumn(
+            "payload",
+            F.concat(
+                F.col("payload"), F.encode(F.lit("~" * 16), "UTF-8")
+            ).cast(BinaryType()),
+        )
+    )
+    return media.unionByName(mutants)
+
+
+WITH_PLANTED_MEDIA_DUPES_SQL = """
+    SELECT doc_id, payload FROM media
+    UNION ALL
+    SELECT doc_id + 3000000 AS doc_id,
+           payload || CAST('~~~~~~~~~~~~~~~~' AS BLOB) AS payload
+    FROM media WHERE doc_id % 9 = 0
+"""
+
+# 30 payload bytes = 40 base64 chars: base64 is block-aligned per 3 bytes,
+# so prefix-of-base64(whole) == base64(prefix) and BOTH engines can take
+# the prefix on the VARCHAR side (DuckDB cannot slice BLOBs).
+PHASH_PREFIX_BYTES = 30
+PHASH_PREFIX_B64_CHARS = PHASH_PREFIX_BYTES // 3 * 4
+
+
+def media_neardup_pairs(media: DataFrame) -> DataFrame:
+    """Near-duplicate media pairs via a locality-sensitive content hash:
+    hash the first ``PHASH_PREFIX_BYTES`` of the payload, bucket-join on
+    it.  This is the perceptual-hash dedup SHAPE — in production the key
+    is pHash/chromaprint over decoded content (robust to re-encoding);
+    here the documented fake is prefix-md5 (robust to appended metadata
+    /container trailers), chosen because it is computable without codecs
+    AND exactly reproducible in the oracle.
+
+    Scale shape: one shuffle keyed by the 60-bit hash — candidates are
+    hash-equal groups, never a cross join; the pair explosion is bounded
+    by duplicate-group sizes exactly like exact dedup."""
+    from kafka_go_cardinality_spark.functions import hash64
+
+    keyed = media.select(
+        "doc_id",
+        hash64(
+            F.substring(F.base64(F.col("payload")), 1, PHASH_PREFIX_B64_CHARS)
+        ).alias("phash"),
+    )
+    a = keyed.select(F.col("doc_id").alias("doc_a"), "phash")
+    b = keyed.select(F.col("doc_id").alias("doc_b"), "phash")
+    return (
+        a.join(b, "phash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "phash")
+    )

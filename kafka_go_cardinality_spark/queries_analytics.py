@@ -694,3 +694,55 @@ def q_global_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_go_cardinality_spark.operators.relational import global_enumerate
 
     return global_enumerate(_t(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------ E31 skew diagnosis
+
+
+@query(
+    "q_skew_profile",
+    """
+    WITH counts AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+    SELECT count(*) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS total_rows,
+           max(n) AS max_per_key,
+           round(quantile_cont(n, 0.5), 6) AS p50,
+           round(quantile_cont(n, 0.99), 6) AS p99,
+           round(max(n) / quantile_cont(n, 0.5), 6) AS skew_ratio,
+           (SELECT user_id FROM counts ORDER BY n DESC, user_id LIMIT 1)
+             AS hottest_key
+    FROM counts
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E31] Key-skew diagnosis over events.user_id — the audit that
+    decides whether a join/agg needs salting (operators/relational's
+    salted_join) or AQE suffices: per-key count distribution (max, p50,
+    p99), the max/median skew ratio, and the hottest key.
+
+    Scale shape: ONE shuffle to per-key counts (map-side combined), then
+    a single-row aggregate over the #keys-sized frame.  The exact
+    percentile buffers #keys values in one task — at billions of keys
+    swap ``approx_percentile`` exactly as the percentile twins do."""
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_per_key"),
+        F.round(F.percentile("n", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("n", F.lit(0.99)), 6).alias("p99"),
+        F.round(
+            F.max("n") / F.percentile("n", F.lit(0.5)), 6
+        ).alias("skew_ratio"),
+        # argmax with deterministic tie-break: struct compares n first,
+        # then -user_id, so max picks (highest n, lowest user_id).
+        F.max_by(
+            "user_id",
+            F.struct(F.col("n").alias("n"), (-F.col("user_id")).alias("neg")),
+        ).alias("hottest_key"),
+    )

@@ -900,3 +900,28 @@ def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (engine-exact boundaries via the doc_id tie-break); one shuffle
     keyed by lang (operators/text.ccnet_buckets)."""
     return tx.ccnet_buckets(_docs(spark, sf_dir))
+
+
+@query(
+    "q_mm_dedup_phash",
+    f"""
+    WITH media AS (SELECT doc_id, encode(text) AS payload FROM documents),
+    planted AS ({mm.WITH_PLANTED_MEDIA_DUPES_SQL}),
+    keyed AS (
+      SELECT doc_id,
+             {hash64_sql(f"substring(base64(payload), 1, {mm.PHASH_PREFIX_B64_CHARS})")}
+               AS phash
+      FROM planted)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash
+    FROM keyed a JOIN keyed b
+      ON a.phash = b.phash AND a.doc_id < b.doc_id
+    """,
+)
+def q_mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E23/E20] Media near-dup pairs via locality-sensitive content
+    hashing over BINARY payloads (prefix-md5 as the documented
+    codec-free stand-in for pHash): one shuffle keyed by the 60-bit
+    hash, never a cross join; catches the planted re-encoded copies
+    exact hashing misses (operators/multimodal.media_neardup_pairs)."""
+    media = mm.as_media(_docs(spark, sf_dir)).select("doc_id", "payload")
+    return mm.media_neardup_pairs(mm.with_planted_media_dupes(media))

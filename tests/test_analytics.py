@@ -459,3 +459,22 @@ def test_unigram_surprisal_hand_computed(spark):
     assert got[0]["sum_nll_q"] == 2 * nll["a"] + nll["b"]
     assert got[1]["sum_nll_q"] == nll["b"] + nll["c"]
     assert got[0]["avg_nll_q"] == got[0]["sum_nll_q"] // 3
+
+
+def test_media_phash_catches_reencodes(spark, sf_dir):
+    """Every planted re-encoded copy (payload + appended trailer) must
+    pair with its original — the case exact full-payload hashing misses
+    by construction."""
+    from kafka_go_cardinality_spark.operators import multimodal as mm
+    from kafka_go_cardinality_spark.sources import load_table
+
+    media = mm.as_media(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    pairs = mm.media_neardup_pairs(mm.with_planted_media_dupes(media)).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    originals = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    planted = {d for d in originals if d >= 3_000_000}
+    assert planted, "no planted copies detected at all"
+    for p in planted:
+        assert (p - 3_000_000, p) in got, f"planted {p} not paired with original"
