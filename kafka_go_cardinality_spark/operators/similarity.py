@@ -868,3 +868,67 @@ def semantic_dedup_oracle_sql() -> str:
     SELECT c.vec_id, c.cell, (r.vec_b IS NULL) AS is_kept
     FROM cells c LEFT JOIN removed r ON c.vec_id = r.vec_b
     """
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the storage/transport format that turns 100 TB of float32 vectors
+    into 25 TB of codes (+8 bytes/vector of scale) with ~0.3% cosine
+    error: ``code_i = floor(v_i / s * 127 + 0.5)`` with
+    ``s = max_i |v_i|``, so codes span [-127, 127].
+
+    Cross-engine determinism: every arithmetic step is in DOUBLE with
+    an explicit floor(x + 0.5) — floor is bit-identical across engines
+    where round() half-rules differ (DuckDB rounds half away from
+    zero, Spark HALF_UP — same for positives, traps for negatives).
+    The scale is reported in integer micro-units for the same reason.
+
+    Scale shape: a pure per-row map over array columns — zero shuffle,
+    whole-stage codegen end to end, embarrassingly parallel.
+    """
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    s = F.array_max(F.transform(v, F.abs))
+    code = F.transform(
+        v, lambda x: F.floor(x / s * 127 + F.lit(0.5)).cast("int")
+    )
+    return embeddings.select(
+        "vec_id",
+        F.floor(s * 1_000_000 + F.lit(0.5)).cast("long").alias("scale_micro"),
+        F.when(s > 0, code).otherwise(
+            F.transform(v, lambda x: F.lit(0))
+        ).alias("codes"),
+        F.aggregate(
+            F.when(s > 0, code).otherwise(F.transform(v, lambda x: F.lit(0))),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + c * c,
+        ).alias("code_sq_norm"),
+    )
+
+
+# The registered query projects ``codes`` to a comma-joined string:
+# the driver stringifies result frames, and engine-native array
+# renderings differ (numpy "[ 1 2 ]" vs Spark "[1, 2]") even when the
+# values are identical.  list_sum yields HUGEINT in DuckDB → cast back.
+QUANTIZE_INT8_ORACLE_SQL = """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, vv, list_max(list_transform(vv, x -> abs(x))) AS sc
+      FROM v),
+    c AS (
+      SELECT vec_id,
+             CAST(floor(sc * 1000000 + 0.5) AS BIGINT) AS scale_micro,
+             CASE WHEN sc > 0
+                  THEN list_transform(vv,
+                       x -> CAST(floor(x / sc * 127 + 0.5) AS INTEGER))
+                  ELSE list_transform(vv, x -> 0) END AS codes
+      FROM s)
+    SELECT vec_id, scale_micro,
+           array_to_string(codes, ',') AS codes_csv,
+           CAST(list_sum(list_transform(codes,
+             x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT)
+             AS code_sq_norm
+    FROM c
+"""

@@ -492,3 +492,167 @@ def ccnet_buckets(documents: DataFrame) -> DataFrame:
             F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tier
         ).alias("bucket"),
     )
+
+
+# Chunk size for the line-dedup stand-in: the fixture corpus is
+# single-line, so fixed 3-token windows play the role CCNet/FineWeb
+# lines play in real crawl text.  3 tokens over the ~31-word fixture
+# vocabulary yields a realistic mix of unique and corpus-duplicated
+# chunks.
+CHUNK_TOKENS = 3
+
+
+def _chunks(col: Column) -> Column:
+    """Split a text column into consecutive CHUNK_TOKENS-token chunks
+    (last one ragged), each re-joined with single spaces."""
+    tok = tokens(col)
+    n_chunks = F.ceil(F.size(tok) / F.lit(CHUNK_TOKENS)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(tok, i * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+        ),
+    )
+
+
+def _chunks_sql(expr: str) -> str:
+    from kafka_go_cardinality_spark.functions import tokens_sql
+
+    t = tokens_sql(expr)
+    c = CHUNK_TOKENS
+    return (
+        f"list_transform(range(CAST(ceil(len({t}) / {c}.0) AS BIGINT)), "
+        f"i -> array_to_string(({t})[(i*{c})+1:(i+1)*{c}], ' '))"
+    )
+
+
+def line_dedup(documents: DataFrame, min_df: int = 2) -> DataFrame:
+    """CCNet/FineWeb-style duplicated-line removal, on 3-token chunks as
+    the documented line stand-in (see CHUNK_TOKENS): drop every chunk
+    that appears in ≥ ``min_df`` DISTINCT documents, reassemble each
+    document from its surviving chunks in original order.
+
+    This is the remove-and-reassemble shape that distinguishes line
+    dedup from document dedup: boilerplate (nav bars, cookie banners)
+    dies corpus-wide while the unique prose of each page survives.
+
+    Scale shape: posexplode → ONE shuffle keyed by chunk text for the
+    global document-frequency count (map-side combined; the frame is
+    distinct-chunks-sized, not corpus-sized) → broadcast-able dup set
+    joined back → groupBy doc_id re-assembly (second shuffle, keyed by
+    doc).  Both shuffles are on high-cardinality keys; no step ever
+    holds more than one document's chunks in a row.
+    """
+    chunked = documents.select(
+        "doc_id", F.posexplode(_chunks(F.col("text"))).alias("pos", "chunk")
+    )
+    dup = (
+        chunked.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("chunk")
+    )
+    kept = chunked.join(dup, "chunk", "left_anti")
+    return (
+        chunked.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+        .join(
+            kept.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "chunk"))
+                        ),
+                        lambda s: s.chunk,
+                    ),
+                ).alias("new_text"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
+    )
+
+
+def line_dedup_oracle_sql(min_df: int = 2) -> str:
+    return f"""
+    WITH chunked AS (
+      SELECT doc_id, i - 1 AS pos, c[i] AS chunk
+      FROM (SELECT doc_id, {_chunks_sql('text')} AS c FROM documents),
+           unnest(range(1, len(c) + 1)) AS r(i)),
+    dup AS (SELECT chunk FROM chunked GROUP BY chunk
+            HAVING count(DISTINCT doc_id) >= {min_df}),
+    kept AS (SELECT * FROM chunked WHERE chunk NOT IN (SELECT chunk FROM dup)),
+    ka AS (SELECT doc_id, count(*) AS n_kept,
+                  string_agg(chunk, ' ' ORDER BY pos) AS new_text
+           FROM kept GROUP BY doc_id)
+    SELECT c.doc_id, count(*) AS n_chunks,
+           COALESCE(any_value(ka.n_kept), 0) AS n_kept,
+           count(*) - COALESCE(any_value(ka.n_kept), 0) AS n_removed,
+           COALESCE(any_value(ka.new_text), '') AS new_text
+    FROM chunked c LEFT JOIN ka ON c.doc_id = ka.doc_id
+    GROUP BY c.doc_id
+    """
+
+
+def inverted_index(documents: DataFrame, min_df: int = 2) -> DataFrame:
+    """Build the inverted index: token → document frequency, total term
+    frequency, and the posting list (doc_id:tf, ordered by doc_id) —
+    the retrieval-side primitive of a search/RAG corpus.
+
+    Scale shape: explode to (token, doc_id) rows, ONE shuffle keyed by
+    token (per-doc tf is combined map-side within each document before
+    the shuffle via the two-level groupBy), then the posting list is
+    assembled with an order-pinned array_sort — deterministic at any
+    parallelism.  ``min_df`` drops the long unique-token tail; at
+    100 TB the posting lists of ultra-common tokens are the skew risk —
+    they shard naturally by adding (token, doc_id % k) sub-keys, same
+    salting pattern as salted_exact_cardinality.
+    """
+    tf = (
+        documents.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                    lambda s: F.concat_ws(":", s.doc_id, s.tf),
+                ),
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def inverted_index_oracle_sql(min_df: int = 2) -> str:
+    from kafka_go_cardinality_spark.functions import tokens_sql
+
+    return f"""
+    WITH tf AS (
+      SELECT token, doc_id, count(*) AS tf
+      FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS token
+            FROM documents)
+      GROUP BY 1, 2)
+    SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+           string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+    FROM tf GROUP BY token HAVING count(*) >= {min_df}
+    """

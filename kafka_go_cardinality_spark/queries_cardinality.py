@@ -11,12 +11,15 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from kafka_go_cardinality_spark.operators.cardinality import (
     GRAINS,
+    SEGMENT_OVERLAP_ORACLE_SQL,
     bitmap_exact_cardinality,
     cardinality,
     cms_heavy_hitters,
     cms_heavy_hitters_oracle_sql,
     grain_fanout,
     salted_exact_cardinality,
+    segment_overlap_exact,
+    segment_overlap_sketch,
     sketch_rollup,
     stats_shape,
 )
@@ -264,3 +267,24 @@ def q_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout carries exact counts so cms_est >= exact is visible in the
     result (operators/cardinality.cms_heavy_hitters)."""
     return cms_heavy_hitters(_events(spark, sf_dir))
+
+
+@query("q_seg_overlap_exact", SEGMENT_OVERLAP_ORACLE_SQL)
+def q_seg_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[CORE extension] Exact pairwise audience overlap between
+    event-type segments: sizes, intersection, union (inclusion-
+    exclusion) and Jaccard.  Distinct-first, then a user-keyed
+    self-join on the collapsed segments×users frame — never on raw
+    events (operators/cardinality.segment_overlap_exact)."""
+    return segment_overlap_exact(_events(spark, sf_dir))
+
+
+@query("q_seg_overlap_sketch", oracle=None)  # estimator: rows-only
+def q_seg_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[CORE extension] Sketch twin of q_seg_overlap_exact: per-segment
+    HLL sketches (lg_k=14, the reference's size) built in ONE fact
+    scan, pairwise |A∪B| via hll_union_agg over sketch values,
+    intersections by inclusion-exclusion — the fact table is never
+    self-joined (operators/cardinality.segment_overlap_sketch);
+    accuracy vs the exact twin pinned in tests/test_accuracy.py."""
+    return segment_overlap_sketch(_events(spark, sf_dir))

@@ -925,3 +925,41 @@ def q_mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact hashing misses (operators/multimodal.media_neardup_pairs)."""
     media = mm.as_media(_docs(spark, sf_dir)).select("doc_id", "payload")
     return mm.media_neardup_pairs(mm.with_planted_media_dupes(media))
+
+
+@query("q_text_linededup", tx.line_dedup_oracle_sql())
+def q_text_linededup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22/E20] CCNet/FineWeb-style duplicated-line removal on 3-token
+    chunks (the fixture corpus is single-line; CHUNK_TOKENS documents
+    the stand-in): chunks appearing in ≥2 distinct docs die corpus-wide,
+    every doc is reassembled from its surviving chunks in order —
+    remove-and-reassemble, not drop-the-doc
+    (operators/text.line_dedup)."""
+    return tx.line_dedup(_docs(spark, sf_dir))
+
+
+@query("q_text_inverted_index", tx.inverted_index_oracle_sql())
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22] Inverted-index build: token → df, total tf, and the
+    doc_id-ordered posting list — the retrieval-side primitive for a
+    search/RAG corpus; one token-keyed shuffle, order-pinned postings
+    deterministic at any parallelism (operators/text.inverted_index)."""
+    return tx.inverted_index(_docs(spark, sf_dir))
+
+
+@query("q_emb_quantize", sim.QUANTIZE_INT8_ORACLE_SQL)
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E21] Symmetric per-vector int8 quantization of the embedding
+    column (scale in integer micro-units, codes in [-127,127], exact
+    floor(x+0.5) arithmetic on DOUBLE so both engines agree bit-for-
+    bit): the 4x storage compression for a 100 TB vector corpus; pure
+    map, zero shuffle (operators/similarity.quantize_int8).  Codes are
+    projected to a CSV string for the compare — engine-native array
+    renderings differ even on identical values."""
+    q = sim.quantize_int8(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        "scale_micro",
+        F.concat_ws(",", F.col("codes")).alias("codes_csv"),
+        "code_sq_norm",
+    )

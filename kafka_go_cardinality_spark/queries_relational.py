@@ -1496,3 +1496,194 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue_cents").desc())
     )
+
+
+@query(
+    "q_tpch_q3",
+    """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(epoch(o.o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-04-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-04-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue_cents DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q3 shape (shipping-priority): top unshipped orders of
+    one market segment by pending revenue.  The plan showcase: BOTH
+    filters (segment on customer, date on orders/lineitem) push to the
+    scans, customer broadcasts, so the only shuffle is the
+    (orderkey-keyed) aggregate; the top-10 runs as TakeOrdered — no
+    global sort materializes.  Revenue quantized to integer cents per
+    row before summing (cross-engine exactness, SURVEY.md §7.5)."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-04-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-04-01").cast("timestamp")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .select(
+            "l_orderkey", "revenue_cents", "o_orderdate_epoch", "o_orderpriority"
+        )
+        .orderBy(F.col("revenue_cents").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q10",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue_cents DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q10 shape (returned-item reporting): customers who
+    returned the most revenue in one quarter-ish window.  Date and
+    returnflag predicates push to the fact scans; nation broadcasts;
+    the aggregate shuffles on the (custkey-led) group key once.  Same
+    integer-cents quantization as Q3/Q5."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+            "n_name",
+        )
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .select(
+            "c_custkey", "c_name", "revenue_cents", "acctbal_cents", "n_name"
+        )
+        .orderBy(F.col("revenue_cents").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q_fk_audit",
+    """
+    SELECT * FROM (
+      SELECT 'orders.custkey->customer' AS fk,
+             (SELECT count(*) FROM orders) AS fact_rows,
+             (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)) AS orphans
+      UNION ALL
+      SELECT 'lineitem.orderkey->orders',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL
+      SELECT 'lineitem.partkey->part',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey))
+      UNION ALL
+      SELECT 'customer.nationkey->nation',
+             (SELECT count(*) FROM customer),
+             (SELECT count(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey))
+    ) ORDER BY fk
+    """,
+)
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E31] Referential-integrity audit: orphan counts for the four
+    main foreign keys, via LEFT ANTI joins (the distributed NOT
+    EXISTS).  Each anti join shuffles on its key — except the two
+    whose dimension side (nation, customer-at-this-sf) broadcasts, so
+    the fact side is never exchanged at all.  The audit that gates a
+    100 TB ingest before bad keys poison every downstream join."""
+
+    def orphans(fk: str, fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str):
+        anti = fact.join(
+            dim, fact[fact_key] == dim[dim_key], "left_anti"
+        )
+        return (
+            fact.agg(F.count(F.lit(1)).alias("fact_rows"))
+            .crossJoin(anti.agg(F.count(F.lit(1)).alias("orphans")))
+            .select(F.lit(fk).alias("fk"), "fact_rows", "orphans")
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        orphans("orders.custkey->customer", o, "o_custkey", c, "c_custkey")
+        .unionByName(
+            orphans(
+                "lineitem.orderkey->orders", l, "l_orderkey", o, "o_orderkey"
+            )
+        )
+        .unionByName(
+            orphans(
+                "lineitem.partkey->part",
+                l,
+                "l_partkey",
+                _t(spark, sf_dir, "part"),
+                "p_partkey",
+            )
+        )
+        .unionByName(
+            orphans(
+                "customer.nationkey->nation",
+                c,
+                "c_nationkey",
+                _t(spark, sf_dir, "nation"),
+                "n_nationkey",
+            )
+        )
+        .orderBy("fk")
+    )

@@ -196,3 +196,39 @@ def test_ccnet_buckets_are_balanced_thirds(spark, sf_dir):
         head_max = max(r["avg_nll_q"] for r in rs if r["bucket"] == "head")
         tail_min = min(r["avg_nll_q"] for r in rs if r["bucket"] == "tail")
         assert head_max <= tail_min or len(rs) < 3
+
+
+def test_segment_overlap_sketch_accuracy(spark, sf_dir):
+    """HLL inclusion-exclusion overlap must track the exact pairwise
+    overlap: union within 2% (it's a direct HLL estimate), intersection
+    within 5% of the PAIR's union size (inclusion-exclusion compounds
+    the absolute errors of three estimates, so the honest bound is
+    relative to the union, not the — possibly tiny — intersection)."""
+    from kafka_go_cardinality_spark.operators.cardinality import (
+        segment_overlap_exact,
+        segment_overlap_sketch,
+    )
+    from kafka_go_cardinality_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        (r["type_a"], r["type_b"]): r
+        for r in segment_overlap_exact(events).collect()
+    }
+    est = {
+        (r["type_a"], r["type_b"]): r
+        for r in segment_overlap_sketch(events).collect()
+    }
+    assert set(exact) == set(est) and exact
+    for key, e in exact.items():
+        s = est[key]
+        assert abs(s["est_union"] - e["n_union"]) / e["n_union"] <= 0.02, (
+            key,
+            s["est_union"],
+            e["n_union"],
+        )
+        assert abs(s["est_common"] - e["n_common"]) / e["n_union"] <= 0.05, (
+            key,
+            s["est_common"],
+            e["n_common"],
+        )

@@ -478,3 +478,54 @@ def test_media_phash_catches_reencodes(spark, sf_dir):
     assert planted, "no planted copies detected at all"
     for p in planted:
         assert (p - 3_000_000, p) in got, f"planted {p} not paired with original"
+
+
+def test_line_dedup_hand_computed(spark):
+    """Three tiny docs sharing one boilerplate chunk: the shared chunk
+    dies everywhere, unique chunks survive in original order, and a
+    doc that is ALL boilerplate collapses to the empty string."""
+    from kafka_go_cardinality_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav bar home unique prose one"),
+            (2, "nav bar home different words here"),
+            (3, "nav bar home"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in tx.line_dedup(docs).collect()}
+    # chunks are 3 tokens: doc1 = ["nav bar home", "unique prose one"]
+    assert got[1]["n_chunks"] == 2 and got[1]["n_removed"] == 1
+    assert got[1]["new_text"] == "unique prose one"
+    assert got[2]["new_text"] == "different words here"
+    assert got[3]["n_kept"] == 0 and got[3]["new_text"] == ""
+
+
+def test_quantize_int8_roundtrip_cosine(spark, sf_dir):
+    """Dequantized vectors must preserve cosine geometry: for 20 sample
+    pairs, |cos(q(a), q(b)) - cos(a, b)| ≤ 0.01 — the fidelity bound
+    that makes int8 the storage format for ANN corpora."""
+    import math
+
+    from kafka_go_cardinality_spark.operators.similarity import quantize_int8
+    from kafka_go_cardinality_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    q = {
+        r["vec_id"]: (r["scale_micro"] / 1e6, r["codes"])
+        for r in quantize_int8(emb).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(
+            sum(x * x for x in a) * sum(y * y for y in b)
+        )
+
+    ids = sorted(orig)
+    for va, vb in zip(ids[:20], ids[20:40]):
+        deq_a = [c * q[va][0] / 127 for c in q[va][1]]
+        deq_b = [c * q[vb][0] / 127 for c in q[vb][1]]
+        assert abs(cos(deq_a, deq_b) - cos(orig[va], orig[vb])) <= 0.01
