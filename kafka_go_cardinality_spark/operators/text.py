@@ -536,51 +536,56 @@ def line_dedup(documents: DataFrame, min_df: int = 2) -> DataFrame:
     dedup from document dedup: boilerplate (nav bars, cookie banners)
     dies corpus-wide while the unique prose of each page survives.
 
-    Scale shape: posexplode → ONE shuffle keyed by chunk text for the
-    global document-frequency count (map-side combined; the frame is
-    distinct-chunks-sized, not corpus-sized) → broadcast-able dup set
-    joined back → groupBy doc_id re-assembly (second shuffle, keyed by
-    doc).  Both shuffles are on high-cardinality keys; no step ever
-    holds more than one document's chunks in a row.
+    Scale shape: THREE shuffles total, each on a high-cardinality key —
+    (1) chunk-keyed document-frequency count (the distinct-doc count
+    combines map-side; the frame is distinct-chunks-sized), (2) the
+    dup-mark join back onto the exploded rows (AQE broadcasts the dup
+    side when the boilerplate set is small enough), (3) ONE doc-keyed
+    aggregation computing kept-count and the reassembled text as
+    conditional aggregates — no anti join, no second per-doc pass, no
+    final doc join.  No step ever holds more than one document's
+    chunks in a row.
+
+    The tokenizing split is MATERIALIZED in its own projection before
+    chunking: referencing ``tokens(text)`` inside the chunk lambda
+    would re-run the regex split once per chunk (measured 4× on the
+    explode stage) — higher-order lambdas don't share subexpressions
+    with their enclosing row.
     """
-    chunked = documents.select(
-        "doc_id", F.posexplode(_chunks(F.col("text"))).alias("pos", "chunk")
+    tok = documents.select("doc_id", tokens(F.col("text")).alias("tk"))
+    n_chunks = F.ceil(F.size("tk") / F.lit(CHUNK_TOKENS)).cast("int")
+    chunked = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("tk"), i * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+                ),
+            )
+        ).alias("pos", "chunk"),
     )
     dup = (
         chunked.groupBy("chunk")
         .agg(F.count_distinct("doc_id").alias("df"))
         .filter(F.col("df") >= min_df)
-        .select("chunk")
+        .select("chunk", F.lit(True).alias("is_dup"))
     )
-    kept = chunked.join(dup, "chunk", "left_anti")
-    return (
-        chunked.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_chunks"))
-        .join(
-            kept.groupBy("doc_id").agg(
-                F.count(F.lit(1)).alias("n_kept"),
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "chunk"))
-                        ),
-                        lambda s: s.chunk,
-                    ),
-                ).alias("new_text"),
+    marked = chunked.join(dup, "chunk", "left")
+    keep = F.col("is_dup").isNull()
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        F.count(F.when(~keep, 1)).alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("pos", "chunk")))
+                ),
+                lambda s: s.chunk,
             ),
-            "doc_id",
-            "left",
-        )
-        .select(
-            "doc_id",
-            "n_chunks",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias(
-                "n_removed"
-            ),
-            F.coalesce("new_text", F.lit("")).alias("new_text"),
-        )
+        ).alias("new_text"),
     )
 
 
@@ -656,3 +661,110 @@ def inverted_index_oracle_sql(min_df: int = 2) -> str:
            string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
     FROM tf GROUP BY token HAVING count(*) >= {min_df}
     """
+
+
+# TextRank / PageRank geometry: damping 0.85 expressed as exact integer
+# arithmetic (85/100) in micro-units so every engine computes identical
+# BIGINT ranks; 5 fixed iterations (keyword scoring converges fast and a
+# fixed count keeps the result oracle-expressible as unrolled SQL).
+TEXTRANK_Q = 1_000_000
+TEXTRANK_BASE = TEXTRANK_Q * 15 // 100
+TEXTRANK_ITERS = 5
+
+
+def textrank(documents: DataFrame, iters: int = TEXTRANK_ITERS) -> DataFrame:
+    """TextRank keyword scoring: PageRank over the directed, weighted
+    corpus bigram graph (edge src→dst weighted by adjacency count).
+    No dangling-mass redistribution — the documented contract both
+    engines implement identically.
+
+    Iteration semantics (all BIGINT):
+      contrib(u→v) = (r(u) * w(u,v)) div out_w(u)
+      r'(v)        = 150000 + (85 * Σ contrib) div 100
+
+    Scale shape: the corpus is touched ONCE — a single shuffle builds
+    the vocab²-bounded edge frame.  Each iteration is one aggregation
+    over that collapsed graph with the rank vector injected as a
+    broadcast literal map (model state driver-side, exactly the
+    kmeans_fit pattern; at web-scale vocabularies swap the literal map
+    for a broadcast join — same plan shape, same semantics).  The 100 TB
+    cost is the bigram count, not the solve."""
+    tok = tokens(F.col("text"))
+    pairs = documents.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(tok, 1, F.size(tok) - 1).alias("src"),
+                F.slice(tok, 2, F.size(tok) - 1).alias("dst"),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    edges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = edges.join(out_w, "src").select("src", "dst", "w", "ow")
+    # Iterations re-scan this vocab²-bounded frame; materialize it once.
+    e = e.localCheckpoint(eager=True)
+    nodes = sorted(
+        r["n"]
+        for r in e.select(F.explode(F.array("src", "dst")).alias("n"))
+        .distinct()
+        .collect()
+    )
+    ranks = {n: TEXTRANK_Q for n in nodes}
+    for _ in range(iters):
+        rmap = F.create_map(
+            *[F.lit(x) for n in nodes for x in (n, ranks[n])]
+        )
+        s_rows = (
+            e.withColumn("rv", F.element_at(rmap, F.col("src")))
+            .groupBy("dst")
+            .agg(F.sum(F.expr("(rv * w) div ow")).alias("s"))
+            .collect()
+        )
+        s = {r["dst"]: r["s"] for r in s_rows}
+        ranks = {
+            n: TEXTRANK_BASE + (85 * s.get(n, 0)) // 100 for n in nodes
+        }
+    spark = documents.sparkSession
+    out = spark.createDataFrame(
+        [(n, ranks[n]) for n in nodes], "token string, rank_q long"
+    )
+    return out.orderBy(F.col("rank_q").desc(), "token")
+
+
+def textrank_oracle_sql(iters: int = TEXTRANK_ITERS) -> str:
+    from kafka_go_cardinality_spark.functions import tokens_sql
+
+    t = tokens_sql("text")
+    ctes = [
+        f"""toks AS (SELECT {t} AS t FROM documents),
+    pairs AS (SELECT t[i] AS src, t[i+1] AS dst
+              FROM toks, unnest(range(1, len(t))) AS r(i)),
+    edges AS (SELECT src, dst, count(*) AS w FROM pairs GROUP BY 1, 2),
+    ow AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+    e AS (SELECT edges.src, edges.dst, edges.w, ow.ow
+          FROM edges JOIN ow USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    r0 AS (SELECT node, CAST({TEXTRANK_Q} AS BIGINT) AS r FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT n.node,
+             CAST({TEXTRANK_BASE} + (85 * COALESCE(q.s, 0)) // 100
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, sum((r.r * e.w) // e.ow) AS s
+        FROM e JOIN r{i - 1} r ON r.node = e.src
+        GROUP BY e.dst) q
+      ON q.dst = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node AS token, r AS rank_q FROM r{iters}"
+        "\n    ORDER BY rank_q DESC, token"
+    )

@@ -963,3 +963,14 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.col("codes")).alias("codes_csv"),
         "code_sq_norm",
     )
+
+
+@query("q_text_textrank", tx.textrank_oracle_sql())
+def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22] TextRank keyword scoring: 5 fixed PageRank iterations over
+    the corpus bigram graph in exact integer micro-units (damping
+    85/100, no dangling redistribution — the documented contract).
+    The corpus pays ONE shuffle for the vocab²-bounded edge frame; the
+    solve iterates over that collapsed graph with driver-side rank
+    state, kmeans_fit-style (operators/text.textrank)."""
+    return tx.textrank(_docs(spark, sf_dir))

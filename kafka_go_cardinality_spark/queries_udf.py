@@ -75,3 +75,36 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas with an explicit total order per group —
     deterministic top-1 selection regardless of Arrow batch order."""
     return top_order_per_customer(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "q_udtf_chunks",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             list_transform(
+               range(CAST(ceil(len(string_split_regex(lower(trim(text)), '\\s+')) / 3.0)
+                     AS BIGINT)),
+               i -> array_to_string(
+                 (string_split_regex(lower(trim(text)), '\\s+'))[(i*3)+1:(i+1)*3], ' ')
+             ) AS chunks
+      FROM documents WHERE doc_id < 50)
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, chunks[i] AS chunk
+    FROM c, unnest(range(1, len(chunks) + 1)) AS r(i)
+    """,
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): LATERAL doc → 3-token-chunk rows — the
+    one-to-many table-function shape of the UDF surface
+    (functions/udfs.make_chunker_udtf).  Bounded to 50 docs: UDTFs are
+    the demonstration slow path; the production chunker is the pure
+    array expression in operators/text._chunks."""
+    from kafka_go_cardinality_spark.functions.udfs import make_chunker_udtf
+
+    spark.udtf.register("doc_chunks", make_chunker_udtf())
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.pos, c.chunk "
+        "FROM _udtf_docs d, LATERAL doc_chunks(d.doc_id, d.text) c"
+    )

@@ -529,3 +529,32 @@ def test_quantize_int8_roundtrip_cosine(spark, sf_dir):
         deq_a = [c * q[va][0] / 127 for c in q[va][1]]
         deq_b = [c * q[vb][0] / 127 for c in q[vb][1]]
         assert abs(cos(deq_a, deq_b) - cos(orig[va], orig[vb])) <= 0.01
+
+
+def test_textrank_hand_computed_one_iteration(spark):
+    """Two-node chain a→b: after one iteration with integer damping,
+    r(b) = 150000 + (85 * (r0(a)*w/ow)) // 100 and r(a) = base only
+    (nothing points at a)."""
+    from kafka_go_cardinality_spark.operators import text as tx
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    got = {r["token"]: r["rank_q"] for r in tx.textrank(docs, iters=1).collect()}
+    base = tx.TEXTRANK_BASE
+    q = tx.TEXTRANK_Q
+    assert got["a"] == base
+    assert got["b"] == base + (85 * ((q * 1) // 1)) // 100
+
+
+def test_udtf_chunker_semantics(spark):
+    """The UDTF must yield one row per 3-token chunk with the ragged
+    tail preserved."""
+    from kafka_go_cardinality_spark.functions.udfs import make_chunker_udtf
+
+    spark.udtf.register("doc_chunks_t", make_chunker_udtf())
+    rows = spark.sql(
+        "SELECT * FROM doc_chunks_t(7, 'one two three four')"
+    ).collect()
+    assert [(r["pos"], r["chunk"]) for r in rows] == [
+        (0, "one two three"),
+        (1, "four"),
+    ]
