@@ -248,3 +248,67 @@ def test_kafka_source_and_sink_build_without_broker(spark, tmp_path):
     )
     # The writer is fully configured; starting it would need a broker.
     assert writer is not None
+
+
+def test_transform_with_state_profile(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas per-user profile: final state
+    must equal the batch aggregate.  The state-server protocol needs
+    google.protobuf on the driver; skip where the environment lacks it
+    (see streaming/stateful_v2.py)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_go_cardinality_spark.sources import load_table
+    from kafka_go_cardinality_spark.streaming.stateful_v2 import (
+        user_profile_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="kgc_tws_")
+    events.select("user_id", "event_type").coalesce(2).write.mode(
+        "overwrite"
+    ).json(d)
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = spark.readStream.schema("user_id long, event_type string").json(d)
+        out = user_profile_stream(src)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.table("tws_test")
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("n_types").alias("n_types"),
+            )
+        )
+        want = events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
