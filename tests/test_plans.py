@@ -400,3 +400,52 @@ def test_semantic_dedup_shuffles_on_cell_only(spark, sf_dir):
     plan = plan_string(q("q_dedup_semantic", spark, sf_dir), mode="simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q3_pushes_all_filters_and_takes_ordered(spark, sf_dir):
+    """All three predicates must reach their scans and the top-10 must
+    plan as TakeOrderedAndProject — a global sort of the aggregate
+    would be the bottleneck at scale."""
+    df = q("q_tpch_q3", spark, sf_dir)
+    assert_pushed_filter(df, "c_mktsegment")
+    assert_pushed_filter(df, "o_orderdate")
+    assert_pushed_filter(df, "l_shipdate")
+    assert_sort_free_topk(df)
+
+
+def test_seg_overlap_exact_reuses_one_fact_pass(spark, sf_dir):
+    """The pairwise overlap must compute its user-keyed aggregate ONCE —
+    the three consumers (off-diagonal, both size lookups) must reuse
+    the exchange, never re-scan the fact table."""
+    df = q("q_seg_overlap_exact", spark, sf_dir)
+    df.collect()  # AQE finalizes reuse at execution
+    plan = plan_string(df)
+    assert "ReusedExchange" in plan, f"no exchange reuse:\n{plan}"
+
+
+def test_seg_overlap_sketch_never_self_joins_fact(spark, sf_dir):
+    """The sketch path pairs T-row sketch frames; the events table must
+    appear in (reused-deduped) scans whose join inputs are sketch
+    aggregates — concretely: every join in the plan is broadcast (the
+    kilobyte sketch pairing), with no sort-merge or shuffled-hash join
+    of fact-sized inputs."""
+    plan = plan_string(q("q_seg_overlap_sketch", spark, sf_dir), mode="simple")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_line_dedup_df_count_combines_map_side(spark, sf_dir):
+    """The chunk document-frequency count must partial-aggregate before
+    its exchange — the shuffle carries (chunk, partial distinct set)
+    state, not raw exploded rows."""
+    assert_partial_aggregation(q("q_text_linededup", spark, sf_dir), "count")
+
+
+def test_emb_quantize_is_shuffle_free(spark, sf_dir):
+    """Int8 quantization is a pure map pass: zero exchanges."""
+    assert count_exchanges(q("q_emb_quantize", spark, sf_dir)) == 0
+
+
+def test_fk_audit_broadcasts_small_dims(spark, sf_dir):
+    """The nation/customer anti joins must broadcast the dim side so the
+    fact side is never exchanged."""
+    assert_broadcast_join(q("q_fk_audit", spark, sf_dir))
