@@ -1687,3 +1687,62 @@ def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fk")
     )
+
+
+@query(
+    "q_tpch_q18",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 25000)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(epoch(o.o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_centi
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY totalprice_cents DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds a threshold, with customer context.  The plan
+    story is the semi-join pipeline: the HAVING subquery aggregates
+    lineitem FIRST (orderkey-keyed, map-side combined), and its
+    surviving ~1% of keys semi-join the fact pipeline BEFORE the wide
+    customer join — the selective filter runs at the narrowest point.
+    Quantities quantized ×100 per row for exact integer sums."""
+    l = _t(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("q"))
+        .filter(F.col("q") > 25000)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("totalprice_cents"),
+        )
+        .agg(F.sum(qty).alias("qty_centi"))
+        .orderBy(F.col("totalprice_cents").desc(), "o_orderkey")
+        .limit(100)
+    )

@@ -449,3 +449,13 @@ def test_fk_audit_broadcasts_small_dims(spark, sf_dir):
     """The nation/customer anti joins must broadcast the dim side so the
     fact side is never exchanged."""
     assert_broadcast_join(q("q_fk_audit", spark, sf_dir))
+
+
+def test_tpch_q18_semi_joins_before_wide_join(spark, sf_dir):
+    """The HAVING subquery's surviving keys must reach the orders
+    pipeline as a LeftSemi join (never materializing the IN list
+    driver-side), and the top-100 must plan sort-free."""
+    df = q("q_tpch_q18", spark, sf_dir)
+    plan = plan_string(df, mode="simple")
+    assert "LeftSemi" in plan, plan
+    assert_sort_free_topk(df)
