@@ -1746,3 +1746,72 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("totalprice_cents").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "q_variant_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(props ->> '$.k' AS INT)) AS BIGINT) AS sum_k,
+           max(CAST(props ->> '$.k' AS INT)) AS max_k
+    FROM events
+    WHERE CAST(props ->> '$.k' AS INT) >= 50
+    GROUP BY event_type
+    """,
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E16] Spark 4 VARIANT: ``parse_json`` once into the open-schema
+    binary encoding, then typed ``variant_get`` paths for filter and
+    measures — the semi-structured column the 100 TB event-props story
+    wants: VARIANT decodes ~8× faster than per-path string re-parsing
+    (each get_json_object re-parses the text) and keeps shredding-
+    compatible typed access.  Oracle reads the same paths with DuckDB's
+    JSON operators."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("pv")
+    ).select(
+        "event_type",
+        F.expr("variant_get(pv, '$.k', 'int')").alias("k"),
+    )
+    return (
+        v.filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "q_pipe_syntax",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E24] Spark 4 SQL pipe syntax (`|>`): the same logical plan as
+    the equivalent nested SQL — Catalyst parses pipes into ordinary
+    operators, so this is a parser surface, not an engine path.  The
+    oracle states it in ANSI form."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_pipe_orders")
+    return spark.sql(
+        """
+        FROM _pipe_orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE count(*) AS n_orders,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS total_cents
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, total_cents
+        """
+    )
