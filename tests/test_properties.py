@@ -159,3 +159,30 @@ def test_funnel_counts_are_monotone(spark, events):
         "user_id"
     ).distinct().count()
     assert out[0] == n_viewers
+
+
+def test_order_pinned_queries_stable_across_parallelism(spark, sf_dir):
+    """The queries that CLAIM determinism at any parallelism (order-
+    pinned posting lists, tie-broken argmax, integer rank solves) must
+    produce identical values at 1-partition and 32-partition shuffles —
+    the property that makes their oracle hashes trustworthy on a
+    1000-executor cluster."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    names = ["q_text_inverted_index", "q_text_textrank", "q_skew_profile",
+             "q_global_enumerate"]
+    try:
+        results = {}
+        for parts in ("1", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                pdf = qs[n](spark, sf_dir).toPandas()
+                pdf = pdf[sorted(pdf.columns)].astype(str)
+                pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+                results.setdefault(n, []).append(pdf)
+        for n, (a, b) in results.items():
+            assert a.equals(b), f"{n} differs across parallelism"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
