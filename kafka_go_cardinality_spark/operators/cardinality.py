@@ -573,3 +573,136 @@ def segment_overlap_sketch(events: DataFrame, lg_k: int = REFERENCE_LG_K) -> Dat
             ).alias("est_common"),
         )
     )
+
+
+# PCSA (Flajolet-Martin probabilistic counting with stochastic averaging)
+# geometry: 64 buckets, md5-derived hashes (functions.hash64), so unlike
+# the DataSketches HLL path this estimator is BIT-DETERMINISTIC and
+# oracle-checkable end to end — the "PCSA" branch of the estimator
+# design space surveyed in "Better Cardinality Estimators for
+# HyperLogLog, PCSA, and Beyond" (PODS 2023).  Standard FM correction
+# constant φ ≈ 0.77351.
+PCSA_BUCKETS = 64
+PCSA_PHI = 0.77351
+
+
+def pcsa_cardinality(events: DataFrame, grain: str = "day") -> DataFrame:
+    """Per-window PCSA cardinality estimate with an engine-exact sketch.
+
+    Each uid hashes once: ``bucket = h mod m``, ``rank = trailing zeros
+    of (h div m)``; a window's sketch is m OR-merged bitmaps.  The
+    readout is stochastic averaging: R_j = lowest unset bit of bucket
+    j's bitmap, estimate = m/φ·2^(ΣR/m).
+
+    Everything through ΣR is integer arithmetic on BIGINTs (the lowest-
+    unset-bit extraction is the two's-complement identity
+    ``bit_count(((x+1) & -(x+1)) - 1)``), so the sketch and ΣR match
+    the DuckDB oracle exactly; only the final 2^(ΣR/m) touches floats,
+    rounded to whole users.
+
+    Scale shape: identical to the HLL path — ONE shuffle keyed by
+    (window, bucket) carrying 8-byte bitmaps (map-side bit_or combine),
+    total state m×8 bytes per window.  OR-merge makes the sketch table
+    losslessly re-aggregable across windows/segments exactly like the
+    bitmap and HLL tables of E27.
+    """
+    if grain not in GRAINS:
+        raise ValueError(f"grain {grain!r} not in {GRAINS}")
+    h = hash64(F.col("user_id").cast("string"), salt="pcsa")
+    per_bucket = (
+        events.select(
+            _window_start(F.col("ts"), grain).alias("timestamp"),
+            h.alias("h"),
+        )
+        .select(
+            "timestamp",
+            F.pmod(F.col("h"), F.lit(PCSA_BUCKETS)).alias("bucket"),
+            F.expr(f"h div {PCSA_BUCKETS}").alias("hd"),
+        )
+        .select(
+            "timestamp",
+            "bucket",
+            # rank = trailing zeros of hd (rank 0 if hd = 0, a 2^-54
+            # event made explicit rather than left to shift-mod-64
+            # wraparound); bit (rank) of the bucket's bitmap via the
+            # lowest-set-bit identity: rank = bit_count(lsb - 1).
+            F.when(F.col("hd") == 0, F.lit(0))
+            .otherwise(
+                F.bit_count(
+                    (F.col("hd").bitwiseAND(-F.col("hd"))) - F.lit(1)
+                )
+            )
+            .alias("rank"),
+        )
+        .select(
+            "timestamp",
+            "bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), rank)").alias("bit"),
+        )
+    )
+    sketch = per_bucket.groupBy("timestamp", "bucket").agg(
+        F.bit_or("bit").alias("bm")
+    )
+    # R = lowest unset bit index of bm = bit_count(((bm+1) & -(bm+1)) - 1)
+    r = F.bit_count(
+        ((F.col("bm") + F.lit(1)).bitwiseAND(-(F.col("bm") + F.lit(1))))
+        - F.lit(1)
+    )
+    per_window = sketch.groupBy("timestamp").agg(
+        F.sum(r).alias("sum_r"),
+        F.count(F.lit(1)).alias("n_buckets_hit"),
+    )
+    # Small-range-corrected FM readout (Scheuermann & Mauve 2007):
+    # E = m/φ·(2^A − 2^(−1.75A)), A = ΣR/m — removes the ~20%
+    # overestimate PCSA shows for n/m ≲ 30 without hurting large n.
+    a = F.col("sum_r") / F.lit(PCSA_BUCKETS)
+    est = F.round(
+        F.lit(PCSA_BUCKETS)
+        / F.lit(PCSA_PHI)
+        * (F.pow(F.lit(2.0), a) - F.pow(F.lit(2.0), F.lit(-1.75) * a))
+    ).cast("long")
+    return per_window.select(
+        F.lit(f"{grain}_count").alias("type"),
+        "timestamp",
+        "sum_r",
+        "n_buckets_hit",
+        est.alias("est_users"),
+    )
+
+
+def pcsa_oracle_sql(grain: str = "day") -> str:
+    from kafka_go_cardinality_spark.functions import hash64_sql
+
+    h = hash64_sql("CAST(user_id AS VARCHAR)", salt="pcsa")
+    m = PCSA_BUCKETS
+    return f"""
+    WITH hashed AS (
+      SELECT CAST(epoch(date_trunc('{grain}', ts)) AS BIGINT) AS timestamp,
+             {h} AS h
+      FROM events),
+    bits AS (
+      SELECT timestamp, h % {m} AS bucket,
+             CASE WHEN (h // {m}) = 0 THEN 0
+                  ELSE (h // {m}) & -(h // {m}) END AS lsb
+      FROM hashed),
+    ranked AS (
+      SELECT timestamp, bucket,
+             CASE WHEN lsb = 0 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(power(2, bit_count(lsb - 1)) AS BIGINT) END AS bit
+      FROM bits),
+    sk AS (
+      SELECT timestamp, bucket, bit_or(bit) AS bm
+      FROM ranked GROUP BY 1, 2),
+    rr AS (
+      SELECT timestamp,
+             bit_count(((bm + 1) & -(bm + 1)) - 1) AS r
+      FROM sk)
+    SELECT '{grain}_count' AS type, timestamp,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           count(*) AS n_buckets_hit,
+           CAST(round({m} / {PCSA_PHI} *
+                (power(2, sum(r) / {m}.0)
+                 - power(2, -1.75 * sum(r) / {m}.0))) AS BIGINT)
+             AS est_users
+    FROM rr GROUP BY timestamp
+    """

@@ -17,6 +17,8 @@ from kafka_go_cardinality_spark.operators.cardinality import (
     cms_heavy_hitters,
     cms_heavy_hitters_oracle_sql,
     grain_fanout,
+    pcsa_cardinality,
+    pcsa_oracle_sql,
     salted_exact_cardinality,
     segment_overlap_exact,
     segment_overlap_sketch,
@@ -288,3 +290,16 @@ def q_seg_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-joined (operators/cardinality.segment_overlap_sketch);
     accuracy vs the exact twin pinned in tests/test_accuracy.py."""
     return segment_overlap_sketch(_events(spark, sf_dir))
+
+
+@query("q_card_pcsa_day", pcsa_oracle_sql("day"))
+def q_card_pcsa_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E27] PCSA (Flajolet-Martin stochastic averaging, 64 buckets,
+    md5-derived hashes) day-grain cardinality: the estimator family of
+    "Better Cardinality Estimators for HyperLogLog, PCSA, and Beyond"
+    (PODS 2023), and — unlike the DataSketches HLL twins — BIT-
+    DETERMINISTIC, so sketch, ΣR, and the rounded estimate all
+    hash-match the DuckDB oracle.  Same scale shape as HLL: one
+    (window, bucket)-keyed shuffle of 8-byte OR-merged bitmaps
+    (operators/cardinality.pcsa_cardinality)."""
+    return pcsa_cardinality(_events(spark, sf_dir), "day")

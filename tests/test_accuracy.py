@@ -232,3 +232,30 @@ def test_segment_overlap_sketch_accuracy(spark, sf_dir):
             s["est_common"],
             e["n_common"],
         )
+
+
+def test_pcsa_within_fifteen_percent_of_exact(spark, sf_dir):
+    """PCSA at m=64 has ~10% theoretical rsd (0.78/√64); with the
+    small-range correction every day-window must land within 15% of
+    the exact distinct count."""
+    from kafka_go_cardinality_spark.operators.cardinality import (
+        cardinality,
+        pcsa_cardinality,
+    )
+    from kafka_go_cardinality_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r["timestamp"]: r["value"]
+        for r in cardinality(events, "day", exact=True).collect()
+    }
+    est = {
+        r["timestamp"]: r["est_users"]
+        for r in pcsa_cardinality(events, "day").collect()
+    }
+    assert set(exact) == set(est) and exact
+    for t, v in exact.items():
+        # max(relative, absolute) floor: at the sf0.001 fixture a day
+        # holds ~15 distinct users, where one bucket's worth of
+        # granularity exceeds 15% — sketch error is lumpy below n ≈ m.
+        assert abs(est[t] - v) <= max(0.15 * v, 5), (t, est[t], v)
