@@ -41,7 +41,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from kafka_go_cardinality_spark.functions import hash64
 
@@ -705,4 +705,121 @@ def pcsa_oracle_sql(grain: str = "day") -> str:
                  - power(2, -1.75 * sum(r) / {m}.0))) AS BIGINT)
              AS est_users
     FROM rr GROUP BY timestamp
+    """
+
+
+# Mergeable quantile-histogram geometry: FIXED, data-independent bucket
+# boundaries (domain [0, 500), 250 buckets of width 2.0) — the property
+# that makes per-shard/per-day tables additive under plain count-sum,
+# like the HLL (max), bitmap (OR) and CMS (sum) tables of E27.  A
+# t-digest/KLL would adapt boundaries to data and give tighter tails,
+# but its merge is estimator-specific and engine-private; the fixed
+# histogram trades ≤ bucket-width error for bit-exact mergeability.
+QHIST_LO = 0.0
+QHIST_HI = 500.0
+QHIST_BUCKETS = 250
+QHIST_QS = (0.5, 0.9, 0.99)
+
+
+def quantile_hist_rollup(events: DataFrame) -> DataFrame:
+    """Month-grain quantile estimates of ``value`` read from MERGED
+    day-grain histogram tables — the fourth mergeable sketch table:
+    build (day, bucket, cnt) once, answer any coarser window's
+    quantiles by summing counts, never rescanning raw data.
+
+    Readout per (month, q): rank = ceil(q·total); the estimate
+    interpolates linearly inside the first bucket whose cumulative
+    count reaches the rank.  Every step is deterministic integer math
+    plus one final division, so the result hash-matches the oracle —
+    with error bounded by the 2.0 bucket width by construction.
+
+    Scale shape: one shuffle to the (day, bucket)-keyed table (map-side
+    combined, ≤ days×250 rows), a second tiny aggregation to month
+    grain, and a per-month cumulative window over ≤250 rows — constant
+    per window at ANY data scale.
+    """
+    w = (QHIST_HI - QHIST_LO) / QHIST_BUCKETS
+    day_table = (
+        events.select(
+            _window_start(F.col("ts"), "day").alias("day"),
+            F.width_bucket(
+                "value", F.lit(QHIST_LO), F.lit(QHIST_HI), F.lit(QHIST_BUCKETS)
+            ).alias("bucket"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    month = (
+        day_table.withColumn(
+            "month",
+            F.unix_timestamp(
+                F.date_trunc("month", F.timestamp_seconds("day"))
+            ),
+        )
+        .groupBy("month", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    win = Window.partitionBy("month").orderBy("bucket")
+    cum = month.select(
+        "month",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(win).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("month")).alias("total"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in QHIST_QS])).alias("q")
+    ranked = cum.select("*", qs).withColumn(
+        "rank", F.ceil(F.col("q") * F.col("total"))
+    )
+    hit = ranked.filter(
+        (F.col("cum") >= F.col("rank"))
+        & (F.col("cum") - F.col("cnt") < F.col("rank"))
+    )
+    est = (
+        F.lit(QHIST_LO)
+        + (F.col("bucket") - 1) * F.lit(w)
+        + F.lit(w)
+        * (F.col("rank") - (F.col("cum") - F.col("cnt")))
+        / F.col("cnt")
+    )
+    return hit.select(
+        "month",
+        "q",
+        F.round(est, 6).alias("est_value"),
+        F.col("total").alias("n_rows"),
+    )
+
+
+def quantile_hist_oracle_sql() -> str:
+    w = (QHIST_HI - QHIST_LO) / QHIST_BUCKETS
+    qs_rows = " UNION ALL ".join(f"SELECT {q} AS q" for q in QHIST_QS)
+    return f"""
+    WITH day_table AS (
+      SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+             CAST(CASE WHEN value < {QHIST_LO} THEN 0
+                       WHEN value >= {QHIST_HI} THEN {QHIST_BUCKETS} + 1
+                       ELSE floor((value - {QHIST_LO}) / {w}) + 1 END
+                  AS BIGINT) AS bucket,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    month AS (
+      SELECT CAST(epoch(date_trunc('month', to_timestamp(day))) AS BIGINT)
+               AS month,
+             bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM day_table GROUP BY 1, 2),
+    cum AS (
+      SELECT month, bucket, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY month ORDER BY bucket)
+                  AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY month) AS BIGINT) AS total
+      FROM month),
+    ranked AS (
+      SELECT cum.*, qq.q, CAST(ceil(qq.q * total) AS BIGINT) AS rank
+      FROM cum CROSS JOIN ({qs_rows}) qq)
+    SELECT month, q,
+           round({QHIST_LO} + (bucket - 1) * {w}
+                 + {w} * (rank - (cum - cnt)) / cnt, 6) AS est_value,
+           total AS n_rows
+    FROM ranked
+    WHERE cum >= rank AND cum - cnt < rank
     """

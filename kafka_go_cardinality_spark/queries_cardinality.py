@@ -19,6 +19,8 @@ from kafka_go_cardinality_spark.operators.cardinality import (
     grain_fanout,
     pcsa_cardinality,
     pcsa_oracle_sql,
+    quantile_hist_oracle_sql,
+    quantile_hist_rollup,
     salted_exact_cardinality,
     segment_overlap_exact,
     segment_overlap_sketch,
@@ -303,3 +305,14 @@ def q_card_pcsa_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window, bucket)-keyed shuffle of 8-byte OR-merged bitmaps
     (operators/cardinality.pcsa_cardinality)."""
     return pcsa_cardinality(_events(spark, sf_dir), "day")
+
+
+@query("q_quantile_hist_rollup", quantile_hist_oracle_sql())
+def q_quantile_hist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E27] The fourth mergeable sketch table — quantiles: fixed-
+    boundary day-grain histograms (250×2.0 buckets, additive under
+    count-sum like the HLL/bitmap/CMS tables) merged to month grain,
+    with rank-interpolated p50/p90/p99 readout.  Error ≤ bucket width
+    by construction; every step deterministic, so the estimates
+    hash-match the oracle (operators/cardinality.quantile_hist_rollup)."""
+    return quantile_hist_rollup(_events(spark, sf_dir))

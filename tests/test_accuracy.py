@@ -259,3 +259,47 @@ def test_pcsa_within_fifteen_percent_of_exact(spark, sf_dir):
         # holds ~15 distinct users, where one bucket's worth of
         # granularity exceeds 15% — sketch error is lumpy below n ≈ m.
         assert abs(est[t] - v) <= max(0.15 * v, 5), (t, est[t], v)
+
+
+def test_quantile_hist_within_bucket_width(spark, sf_dir):
+    """Merged-histogram quantile estimates must land within one bucket
+    width (2.0) of the exact month percentile — the error bound the
+    fixed-boundary table buys by construction."""
+    from pyspark.sql import functions as F
+
+    from kafka_go_cardinality_spark.operators.cardinality import (
+        QHIST_QS,
+        quantile_hist_rollup,
+    )
+    from kafka_go_cardinality_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    est = {
+        (r["month"], r["q"]): r["est_value"]
+        for r in quantile_hist_rollup(events).collect()
+    }
+    exact_rows = (
+        events.select(
+            F.unix_timestamp(F.date_trunc("month", "ts")).alias("month"),
+            "value",
+        )
+        .groupBy("month")
+        .agg(
+            *[
+                F.expr(
+                    f"percentile_cont({q}) WITHIN GROUP (ORDER BY value)"
+                ).alias(f"p{i}")
+                for i, q in enumerate(QHIST_QS)
+            ]
+        )
+        .collect()
+    )
+    assert est and exact_rows
+    for row in exact_rows:
+        for i, q in enumerate(QHIST_QS):
+            assert abs(est[(row["month"], q)] - row[f"p{i}"]) <= 2.0, (
+                row["month"],
+                q,
+                est[(row["month"], q)],
+                row[f"p{i}"],
+            )
