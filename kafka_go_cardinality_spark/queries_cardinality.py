@@ -11,6 +11,8 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from kafka_go_cardinality_spark.operators.cardinality import (
     GRAINS,
+    bloom_membership,
+    bloom_membership_oracle_sql,
     SEGMENT_OVERLAP_ORACLE_SQL,
     bitmap_exact_cardinality,
     cardinality,
@@ -316,3 +318,21 @@ def q_quantile_hist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction; every step deterministic, so the estimates
     hash-match the oracle (operators/cardinality.quantile_hist_rollup)."""
     return quantile_hist_rollup(_events(spark, sf_dir))
+
+
+# Probe list for the Bloom membership table: 25 ids that exist in every
+# fixture (the generator's uid domain is dense from 0) and 25 that
+# never will (offset 9M) — exercising both the no-false-negative
+# guarantee and the false-positive surface.
+BLOOM_PROBES = list(range(25)) + [9_000_000 + i for i in range(25)]
+
+
+@query("q_bloom_membership", bloom_membership_oracle_sql(BLOOM_PROBES))
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E27] Bloom-filter membership table — the fifth mergeable sketch
+    table: day-grain (day, word, bits) rows (16 longs/day, k=4 md5
+    hashes) OR-merged to month, probed by a broadcast candidate list.
+    Zero false negatives by construction; ~1% false positives at this
+    fill; every bit deterministic, so the whole probe result
+    hash-matches the oracle (operators/cardinality.bloom_membership)."""
+    return bloom_membership(_events(spark, sf_dir), BLOOM_PROBES)

@@ -303,3 +303,37 @@ def test_quantile_hist_within_bucket_width(spark, sf_dir):
                 est[(row["month"], q)],
                 row[f"p{i}"],
             )
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    """Every probe id actually active in a month MUST report
+    maybe_member=1 — the Bloom guarantee; false positives are allowed
+    (and counted, loosely bounded) but false negatives never."""
+    from kafka_go_cardinality_spark.operators.cardinality import (
+        bloom_membership,
+    )
+    from kafka_go_cardinality_spark.queries_cardinality import BLOOM_PROBES
+    from kafka_go_cardinality_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    got = {
+        (r["month"], r["probe_id"]): r["maybe_member"]
+        for r in bloom_membership(events, BLOOM_PROBES).collect()
+    }
+    truth_rows = (
+        events.select(
+            F.unix_timestamp(F.date_trunc("month", "ts")).alias("month"),
+            "user_id",
+        )
+        .filter(F.col("user_id").isin(BLOOM_PROBES))
+        .distinct()
+        .collect()
+    )
+    assert truth_rows
+    truth = {(r["month"], r["user_id"]) for r in truth_rows}
+    for key in truth:
+        assert got.get(key) == 1, f"false negative for {key}"
+    # loose fp bound: absent probes reporting membership stay under 20%
+    absent = [k for k in got if k not in truth]
+    fps = sum(got[k] for k in absent)
+    assert fps <= max(1, len(absent) // 5), (fps, len(absent))
