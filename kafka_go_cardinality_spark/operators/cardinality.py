@@ -960,3 +960,194 @@ def bloom_membership_oracle_sql(probe_ids: list[int]) -> str:
            CASE WHEN sum(hit) = {BLOOM_K} THEN 1 ELSE 0 END AS maybe_member
     FROM hits GROUP BY 1, 2
     """
+
+
+# --- DataSketches Theta sketches (Spark 4.1+) -------------------------------
+#
+# Theta sketches close the algebra gap HLL leaves open: HLL union is
+# lossless but intersection/difference only exist via inclusion-exclusion
+# (segment_overlap_sketch), whose error compounds with each term.  A Theta
+# sketch is a uniform hash SAMPLE of the distinct keys (retain the k
+# smallest hashes; theta = the retention threshold), so A∩B and A\B are
+# first-class sketch operations with bounded error — and below k distinct
+# keys the sketch retains EVERY hash (theta = 1, "exact mode"), making the
+# estimate the exact distinct count.  The fixture's per-day cardinality
+# (≤1,356 users at sf0.1) sits far below the default 2^12 nominal entries,
+# so every value below is engine-exact and fully oracle-checkable — the
+# same queries run unchanged at 100 TB, trading exactness for the
+# documented ~1/sqrt(k) relative error once days exceed 4,096 distinct
+# users.  (The reference's axiomhq HLL — processor.go:80 — has no
+# intersection at all.)
+THETA_LG_K = 12
+
+
+def theta_day_retention(events: DataFrame) -> DataFrame:
+    """Day-over-day retention/churn from per-day Theta sketches: one fact
+    scan builds a T-row (day, sketch) table, then every adjacent-day pair
+    answers |active|, |retained| = |D ∩ D₋₁| and |new| = |D \\ D₋₁| from
+    two kilobyte sketch values via ``theta_intersection`` /
+    ``theta_difference`` — the fact table is never self-joined.
+
+    The previous-day sketch arrives by a *calendar* self-join
+    (``prev.day = day - 1 day``) on the tiny sketch table, broadcast, so
+    a missing day yields NULL retention rather than silently comparing
+    against the last day that happened to have data (a ``lag`` window
+    would do the latter, and would also serialize the table through one
+    task).  At 100 TB the sketch table is ~365 rows/year — the join cost
+    is nil; the win is that the raw-uid shuffle of the exact twin
+    (distinct (day, uid) self-joined on uid) disappears entirely.
+    """
+    day = (
+        events.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.col("user_id").cast("string").alias("uid"),
+        )
+        .groupBy("day")
+        .agg(F.theta_sketch_agg("uid", F.lit(THETA_LG_K)).alias("sk"))
+    )
+    prev = day.select(
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.col("sk").alias("prev_sk"),
+    )
+    return (
+        day.join(F.broadcast(prev), "day", "left")
+        .select(
+            F.col("day").cast("long").alias("timestamp"),
+            F.theta_sketch_estimate("sk").alias("est_n"),
+            F.theta_sketch_estimate(
+                F.theta_intersection("prev_sk", "sk")
+            ).alias("est_ret"),
+            F.theta_sketch_estimate(
+                F.theta_difference("sk", "prev_sk")
+            ).alias("est_new"),
+        )
+    )
+
+
+THETA_RETENTION_ORACLE_SQL = """
+    WITH m AS (
+      SELECT DISTINCT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+             user_id
+      FROM events),
+    days AS (SELECT day, count(*) AS n FROM m GROUP BY 1),
+    ret AS (
+      SELECT b.day AS day, count(*) AS n_ret
+      FROM m a JOIN m b ON a.user_id = b.user_id AND b.day = a.day + 86400
+      GROUP BY 1)
+    SELECT d.day AS timestamp, d.n AS est_n,
+           CASE WHEN p.day IS NULL THEN NULL
+                ELSE coalesce(r.n_ret, 0) END AS est_ret,
+           CASE WHEN p.day IS NULL THEN NULL
+                ELSE d.n - coalesce(r.n_ret, 0) END AS est_new
+    FROM days d
+    LEFT JOIN days p ON p.day = d.day - 86400
+    LEFT JOIN ret r ON r.day = d.day
+"""
+
+
+def segment_overlap_theta(events: DataFrame) -> DataFrame:
+    """Theta twin of :func:`segment_overlap_exact`: per-segment Theta
+    sketches, every pairwise intersection/union taken DIRECTLY on two
+    sketch values (``theta_intersection`` / ``theta_union``) instead of
+    the HLL twin's inclusion-exclusion — one intersection error bound
+    instead of three compounding union terms, and in exact mode (all
+    fixture segments < 2^12 distinct users) no error at all, so the whole
+    frame including Jaccard hash-matches the exact oracle.
+
+    Same 100 TB shape as the HLL twin: ONE fact scan → T-row sketch
+    table → T×T broadcast pairing of kilobyte values; the exact
+    version's user-keyed shuffles never happen.
+    """
+    sk = events.groupBy("event_type").agg(
+        F.theta_sketch_agg(F.col("user_id").cast("string"), F.lit(THETA_LG_K)).alias(
+            "sk"
+        )
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.theta_sketch_estimate("sk_a").alias("n_a"),
+            F.theta_sketch_estimate("sk_b").alias("n_b"),
+            F.theta_sketch_estimate(
+                F.theta_intersection("sk_a", "sk_b")
+            ).alias("n_common"),
+            F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b")).alias(
+                "n_union"
+            ),
+        )
+        .withColumn(
+            "jaccard", F.round(F.col("n_common") / F.col("n_union"), 6)
+        )
+    )
+
+
+# --- DataSketches KLL quantile sketches (Spark 4.1+) ------------------------
+#
+# The mergeable-quantile story quantile_hist_rollup tells with fixed
+# histogram buckets, retold with the proper sketch: KLL keeps a weighted
+# sample with a PROVEN worst-case rank error (~1.33%/(k/200)^0.93 at
+# default k=200) under arbitrary merges, where the fixed histogram's error
+# is bounded by bucket width and its buckets must be chosen up front.
+# Below k retained items a KLL sketch stores every value (exact mode), and
+# DataSketches' INCLUSIVE quantile rule — smallest item whose rank ≥ ⌈qn⌉
+# — coincides with SQL's discrete percentile, so at fixture scale the
+# readout is engine-exact end to end (verified: merged month of 10,000
+# values matches DuckDB quantile_disc to the last bit at k=16,384).
+KLL_K = 16384
+
+
+def kll_quantile_rollup(events: DataFrame) -> DataFrame:
+    """Mergeable quantile table: one KLL sketch of ``value`` per day,
+    day sketches merged into months, p50/p90/p99 read from the merged
+    sketch — the daily-production shape where history is kept as
+    kilobyte sketches and any coarser window's quantiles cost a scan of
+    sketches, never of raw rows.
+
+    ``kll_sketch_merge_double`` is a binary op, so the month merge is a
+    higher-order ``aggregate`` fold over the collected day sketches —
+    pure JVM expressions, no UDF; a month folds ≤31 sketches.  At 100 TB
+    keep k at the accuracy the product needs (k=200 → ~1.3% rank error,
+    ~2 KiB) rather than this fixture-exact k=16,384.
+    """
+    day = (
+        events.select(F.date_trunc("day", "ts").alias("day"), "value")
+        .groupBy("day")
+        .agg(
+            F.kll_sketch_agg_double("value", F.lit(KLL_K)).alias("ks"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        day.groupBy(F.date_trunc("month", "day").cast("long").alias("timestamp"))
+        .agg(F.collect_list("ks").alias("kss"), F.sum("n").alias("n_rows"))
+        .withColumn(
+            "ks",
+            F.expr(
+                "aggregate(slice(kss, 2, size(kss)-1), kss[0],"
+                " (acc, x) -> kll_sketch_merge_double(acc, x))"
+            ),
+        )
+        .select(
+            "timestamp",
+            "n_rows",
+            F.kll_sketch_get_quantile_double("ks", F.lit(0.5)).alias("p50"),
+            F.kll_sketch_get_quantile_double("ks", F.lit(0.9)).alias("p90"),
+            F.kll_sketch_get_quantile_double("ks", F.lit(0.99)).alias("p99"),
+        )
+    )
+
+
+KLL_QUANTILE_ORACLE_SQL = """
+    SELECT CAST(epoch(date_trunc('month', ts)) AS BIGINT) AS timestamp,
+           count(*) AS n_rows,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.9) AS p90,
+           quantile_disc(value, 0.99) AS p99
+    FROM events
+    GROUP BY 1
+"""

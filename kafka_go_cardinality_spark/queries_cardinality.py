@@ -11,9 +11,11 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from kafka_go_cardinality_spark.operators.cardinality import (
     GRAINS,
+    KLL_QUANTILE_ORACLE_SQL,
+    SEGMENT_OVERLAP_ORACLE_SQL,
+    THETA_RETENTION_ORACLE_SQL,
     bloom_membership,
     bloom_membership_oracle_sql,
-    SEGMENT_OVERLAP_ORACLE_SQL,
     bitmap_exact_cardinality,
     cardinality,
     cms_heavy_hitters,
@@ -23,11 +25,14 @@ from kafka_go_cardinality_spark.operators.cardinality import (
     pcsa_oracle_sql,
     quantile_hist_oracle_sql,
     quantile_hist_rollup,
+    kll_quantile_rollup,
     salted_exact_cardinality,
     segment_overlap_exact,
     segment_overlap_sketch,
+    segment_overlap_theta,
     sketch_rollup,
     stats_shape,
+    theta_day_retention,
 )
 from kafka_go_cardinality_spark.queries import query
 from kafka_go_cardinality_spark.sources import load_table
@@ -294,6 +299,47 @@ def q_seg_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-joined (operators/cardinality.segment_overlap_sketch);
     accuracy vs the exact twin pinned in tests/test_accuracy.py."""
     return segment_overlap_sketch(_events(spark, sf_dir))
+
+
+@query("q_seg_overlap_theta", SEGMENT_OVERLAP_ORACLE_SQL)
+def q_seg_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E27] Theta-sketch twin of q_seg_overlap_exact (Spark 4.1
+    DataSketches Theta): per-segment sketches from ONE fact scan,
+    pairwise intersection and union taken DIRECTLY on sketch values —
+    the set algebra HLL cannot do without compounding
+    inclusion-exclusion terms.  Every fixture segment sits below the
+    2^12 nominal entries, so the sketches are in exact mode and the
+    whole frame, Jaccard included, hash-matches the exact oracle; at
+    100 TB the same plan degrades gracefully to ~1/sqrt(k) error
+    (operators/cardinality.segment_overlap_theta)."""
+    return segment_overlap_theta(_events(spark, sf_dir))
+
+
+@query("q_retention_theta", THETA_RETENTION_ORACLE_SQL)
+def q_retention_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E27] Day-over-day retention/churn from per-day Theta sketches:
+    |active|, |retained| = |D∩D₋₁|, |new| = |D\\D₋₁| computed from two
+    kilobyte sketch values per day pair via theta_intersection /
+    theta_difference — the fact table is scanned once and never
+    self-joined, where the exact twin shuffles every distinct
+    (day, uid) pair twice.  Exact mode at fixture scale → fully
+    oracle-checked (operators/cardinality.theta_day_retention)."""
+    return theta_day_retention(_events(spark, sf_dir))
+
+
+@query("q_quantile_kll_rollup", KLL_QUANTILE_ORACLE_SQL)
+def q_quantile_kll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E27] Mergeable KLL quantile-sketch table (Spark 4.1
+    DataSketches KLL): one sketch of `value` per day, months answered
+    by folding day sketches with kll_sketch_merge_double (higher-order
+    aggregate expression, no UDF), p50/p90/p99 read from the merged
+    sketch.  Unlike q_quantile_hist_rollup's fixed buckets, KLL's rank
+    error is PROVEN under arbitrary merges and needs no up-front
+    boundary choice; at fixture scale (k=16,384 > month rows) the
+    sketch is in exact mode and DataSketches' inclusive-rank quantile
+    equals SQL quantile_disc, so the readout hash-matches the oracle
+    (operators/cardinality.kll_quantile_rollup)."""
+    return kll_quantile_rollup(_events(spark, sf_dir))
 
 
 @query("q_card_pcsa_day", pcsa_oracle_sql("day"))

@@ -459,3 +459,19 @@ def test_tpch_q18_semi_joins_before_wide_join(spark, sf_dir):
     plan = plan_string(df, mode="simple")
     assert "LeftSemi" in plan, plan
     assert_sort_free_topk(df)
+
+
+def test_theta_retention_broadcasts_sketch_table(spark, sf_dir):
+    """q_retention_theta pairs adjacent days by a calendar self-join of
+    the tiny (day, sketch) table — that join must be broadcast; the
+    fact table must never reach a sort-merge or shuffled-hash join."""
+    plan = plan_string(q("q_retention_theta", spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_seg_overlap_theta_never_self_joins_fact(spark, sf_dir):
+    """Theta twin of the overlap query: all joins are the T×T broadcast
+    pairing of kilobyte sketches — no fact-sized join anywhere."""
+    plan = plan_string(q("q_seg_overlap_theta", spark, sf_dir), mode="simple")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
