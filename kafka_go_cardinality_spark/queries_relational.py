@@ -1749,6 +1749,197 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tpch_q6",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q6 (forecasting-revenue change) — the canonical
+    SCAN-BOUND query: no join, three conjunctive predicates, one global
+    sum.  The entire plan property is pushdown: date bounds, discount
+    band, and quantity cap all reach the parquet scan as PushedFilters
+    (row groups whose min/max stats miss the bands are never read), the
+    projection prunes to 4 columns, and the aggregate is a 1-row
+    partial/final pair — at 100 TB this query is I/O times the
+    selectivity of the footer stats, nothing else.  Discount revenue is
+    quantized to integer cents per row before the sum (SURVEY.md §7.5
+    determinism rule)."""
+    l = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+        "long"
+    )
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q14",
+    """
+    SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                    * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS total_cents,
+           round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                    * 100) AS BIGINT)
+                    ELSE 0 END)
+                 / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                            AS BIGINT)), 6) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q14 (promotion effect): promo share of one month's
+    revenue.  Plan story: the month filter pushes to the lineitem scan
+    (one month of a 100 TB fact survives), part broadcasts, and both
+    the conditional and unconditional sums run in the SAME single
+    aggregate pass — a FILTER-clause/CASE pair, not two scans.  The
+    percentage divides the two exact integer-cent sums, so even the
+    ratio is deterministic cross-engine."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).alias("promo_cents"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .select(
+            "promo_cents",
+            "total_cents",
+            F.round(
+                F.lit(100.0) * F.col("promo_cents") / F.col("total_cents"), 6
+            ).alias("promo_pct"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q4",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q4 shape (order-priority checking): orders of one
+    quarter having at least one late-shipped line (shipdate > orderdate
+    + 60 days; the fixture has no commitdate/receiptdate, so the late
+    predicate adapts to the columns it ships — same EXISTS shape).
+    Plan story: the correlated EXISTS becomes a LEFT SEMI join, so each
+    qualifying order counts ONCE no matter how many lines are late —
+    no distinct, no fan-out-and-dedup; the quarter filter pushes to the
+    orders scan before the join."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_tpch_q19",
+    """
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1  AND 15
+           AND l.l_quantity BETWEEN 1  AND 20)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q19 shape (discounted-revenue, disjunctive predicate):
+    three OR'd (brand × size × quantity) bands across the join.  The
+    predicate references BOTH tables, so naively it can only run as a
+    post-join filter; Catalyst's CNF conversion extracts the
+    per-table implications — the (brand, size) disjunction pushes to
+    the part scan and the derived quantity hull to the lineitem scan —
+    before the join, which broadcasts the surviving sliver of part.
+    This extraction is the difference between joining 100 TB then
+    filtering, and filtering then joining."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    band = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#25")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 40)
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
     "q_variant_props",
     """
     SELECT event_type,

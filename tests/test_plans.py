@@ -475,3 +475,26 @@ def test_seg_overlap_theta_never_self_joins_fact(spark, sf_dir):
     pairing of kilobyte sketches — no fact-sized join anywhere."""
     plan = plan_string(q("q_seg_overlap_theta", spark, sf_dir), mode="simple")
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_tpch_q6_pushes_all_three_predicates(spark, sf_dir):
+    """Q6 is pure pushdown: date bounds, discount band, and quantity cap
+    must all reach the lineitem parquet scan as PushedFilters, and the
+    read schema must be exactly the 4 referenced columns."""
+    df = q("q_tpch_q6", spark, sf_dir)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert_pushed_filter(df, col)
+    assert_read_schema_only(
+        df, {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    )
+
+
+def test_tpch_q19_extracts_disjunction_to_part_scan(spark, sf_dir):
+    """The OR'd cross-table predicate must not survive as a join-only
+    filter: CNF extraction pushes the (brand, size) disjunction into the
+    part side, so the part scan carries pushed filters on p_brand, and
+    part still broadcasts."""
+    df = q("q_tpch_q19", spark, sf_dir)
+    plan = plan_string(df)
+    assert "p_brand" in re.sub(r"ReadSchema:.*", "", plan), plan
+    assert_broadcast_join(df)
