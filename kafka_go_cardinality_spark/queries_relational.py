@@ -2006,3 +2006,406 @@ def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, n_orders, total_cents
         """
     )
+
+
+# --- E6 widening: TPC-H Q7/Q8/Q12/Q15/Q16/Q21/Q22 shapes -------------------
+#
+# The remaining canonical join-tree shapes the benchmark family defines
+# (reference has a single input stream and no joins at all —
+# /root/reference/main.go:19), each adapted to the fixture schema where a
+# TPC-H column is absent (no l_shipmode / l_commitdate / partsupp) and
+# each quantized to integer cents per row so sums are order-independent
+# and oracle-exact (SURVEY.md §7.5 determinism rules).
+
+_CENTS = lambda: F.round(  # noqa: E731 — shared per-row revenue quantizer
+    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+).cast("long")
+
+
+@query(
+    "q_tpch_q7",
+    """
+    WITH flat AS (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01')
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM flat GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q7 shape (volume shipping between two nations): the
+    disjunctive cross-nation predicate means neither nation filter can
+    be pushed below the join alone — but both nation dims broadcast
+    (25 rows), so the pair filter evaluates inside the fact pipeline
+    with zero extra exchanges; the only shuffles are the two fact-side
+    equi-joins (lineitem⋈orders on orderkey, ⋈customer on custkey) and
+    the final 2-year × 2-direction aggregate."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nk") == F.col("s_nationkey"))
+        .join(n2, F.col("c_nk") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_CENTS()).alias("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q_tpch_q8",
+    """
+    WITH flat AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             ns.n_name AS supp_nation,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = nc.n_regionkey AND r.r_name = 'ASIA'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01')
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN cents ELSE 0 END)
+                AS BIGINT) AS nation_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(round(1000000.0 * sum(CASE WHEN supp_nation = 'NATION_2'
+                                      THEN cents ELSE 0 END) / sum(cents))
+                AS BIGINT) AS mkt_share_ppm
+    FROM flat GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q8 shape (national market share): an 8-table tree
+    where every dimension (part, customer, nation×2, region, supplier)
+    broadcasts and only the lineitem⋈orders equi-join shuffles the
+    fact side.  The market share is a ratio of two conditional sums
+    computed in ONE aggregate pass (no second scan, no self-join);
+    both sums are exact integer cents, so the ratio — reported in
+    parts-per-million — divides two exact integers and is IEEE-
+    identical across engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    nc = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = _t(spark, sf_dir, "supplier")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nation_cents = F.sum(
+        F.when(F.col("supp_nation") == "NATION_2", _CENTS()).otherwise(F.lit(0))
+    )
+    total_cents = F.sum(_CENTS())
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("c_nk") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("c_rk"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nk") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            nation_cents.alias("nation_cents"),
+            total_cents.alias("total_cents"),
+            F.round(1000000.0 * nation_cents / total_cents)
+            .cast("long")
+            .alias("mkt_share_ppm"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q_tpch_q12",
+    """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q12 shape (shipping modes / order priority; the
+    fixture has no l_shipmode, so l_returnflag stands in as the
+    grouping dimension — same plan shape).  Both priority classes
+    count in ONE aggregate pass over the join (FILTER-style
+    conditional sums), the date band is pushed to the lineitem scan,
+    and each side projects exactly the join key plus one column before
+    the shuffle."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_returnflag")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_tpch_q15",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS total_rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_rev_cents
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev_cents = (SELECT max(total_rev_cents) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q15 (top supplier): the revenue "view" aggregates the
+    fact ONCE (suppkey-keyed, map-side combined); its global max is a
+    1-row aggregate broadcast back over the same tiny frame — the
+    fact table is scanned exactly once, and ties (all suppliers at the
+    max) are kept, which with exact integer cents is deterministic.
+    At 100 TB the rev frame is #suppliers rows, so the max-join is a
+    kilobyte broadcast, never a second fact pass."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_CENTS()).alias("total_rev_cents"))
+    )
+    top = rev.agg(F.max("total_rev_cents").alias("best"))
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(rev, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(top), F.col("total_rev_cents") == F.col("best"))
+        .select("s_suppkey", "s_name", "total_rev_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_tpch_q16",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey
+                        AND s.s_name LIKE '%7')
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q16 shape (parts/supplier relationship; the fixture
+    has no partsupp, so lineitem is the part↔supplier association —
+    same plan shape, and count(DISTINCT suppkey) deduplicates the
+    repeat pairs exactly as it deduplicates partsupp rows).  The
+    "complaints" exclusion list (suppliers named ...7) is a LEFT ANTI
+    join against a broadcast 10-row frame — the fact side is never
+    exchanged for it; the selective part predicates push into the
+    broadcast part dim before its join."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_name").like("%7")).select(
+        "s_suppkey"
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q_tpch_q21",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate >= l1.l_shipdate)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q21 shape (suppliers who kept orders waiting): the
+    fixture has no commit/receipt dates, so "this supplier was late"
+    becomes "this line's shipdate is strictly the latest in a
+    multi-supplier order" — the same double-correlated EXISTS /
+    NOT EXISTS self-join structure.  Both correlations are
+    orderkey-equi joins with a suppkey-inequality residual: a LEFT
+    SEMI then a LEFT ANTI against the same lineitem projection, so
+    all three fact legs shuffle on the one orderkey key and AQE can
+    reuse the exchange.  The final per-supplier count rides the
+    broadcast supplier dim."""
+    l1 = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    other = l1.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+        F.col("l_shipdate").alias("x_shipdate"),
+    )
+    fl = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    waiting = (
+        l1.join(fl, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(
+            other,
+            (F.col("x_orderkey") == F.col("l_orderkey"))
+            & (F.col("x_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other,
+            (F.col("x_orderkey") == F.col("l_orderkey"))
+            & (F.col("x_suppkey") != F.col("l_suppkey"))
+            & (F.col("x_shipdate") >= F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q22",
+    """
+    WITH sel AS (
+      SELECT c_custkey, substring(c_name, 17, 2) AS cntrycode,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+      FROM customer
+      WHERE substring(c_name, 17, 2) IN ('00', '12', '23', '34', '45', '56', '67')),
+    stats AS (
+      SELECT CAST(sum(acctbal_cents) AS BIGINT) AS pos_sum, count(*) AS pos_n
+      FROM sel WHERE acctbal_cents > 0)
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(sum(acctbal_cents) AS BIGINT) AS totacctbal_cents
+    FROM sel, stats
+    WHERE acctbal_cents * pos_n > pos_sum
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = sel.c_custkey)
+    GROUP BY cntrycode ORDER BY cntrycode
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q22 shape (global sales opportunity): country code =
+    customer-name digits (the fixture's names are 'Customer#NNNNNNNNN',
+    so chars 17-18 are the last two digits).  The "above average
+    balance" scalar subquery is decorrelated into a 1-row aggregate
+    broadcast back over the filtered frame, and the comparison is the
+    EXACT integer cross-multiplication acctbal·n > Σ — no float
+    average anywhere, so the survivor set is bit-deterministic in both
+    engines.  "Never ordered" is a LEFT ANTI join on custkey (orders
+    side projected to the key column only before the shuffle)."""
+    sel = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.substring("c_name", 17, 2).alias("cntrycode"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        )
+        .filter(
+            F.col("cntrycode").isin("00", "12", "23", "34", "45", "56", "67")
+        )
+    )
+    stats = sel.filter(F.col("acctbal_cents") > 0).agg(
+        F.sum("acctbal_cents").alias("pos_sum"), F.count(F.lit(1)).alias("pos_n")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        sel.join(F.broadcast(stats))
+        .filter(F.col("acctbal_cents") * F.col("pos_n") > F.col("pos_sum"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("acctbal_cents").alias("totacctbal_cents"),
+        )
+        .orderBy("cntrycode")
+    )

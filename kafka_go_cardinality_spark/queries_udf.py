@@ -108,3 +108,60 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, c.pos, c.chunk "
         "FROM _udtf_docs d, LATERAL doc_chunks(d.doc_id, d.text) c"
     )
+
+
+@query(
+    "q_emb_gram",
+    """
+    WITH flat AS (
+      SELECT vec_id, t.pos AS pos,
+             CAST(floor(CAST(embedding[t.pos + 1] AS DOUBLE) * 1000 + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings, range(64) t(pos))
+    SELECT a.pos AS i, b.pos AS j,
+           CAST(sum(a.qv * b.qv) AS BIGINT) AS gram_q6
+    FROM flat a JOIN flat b USING (vec_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E21] Distributed Gram matrix G = XᵀX over the embedding column —
+    the covariance/PCA/whitening training primitive.  Each Arrow batch
+    computes its PARTIAL d×d product with one vectorized int64 numpy
+    matmul (mapInPandas), so the shuffle carries fixed-size matrix
+    state — #partitions × d² rows of 16 bytes — never vectors; at
+    100 TB the cost is one scan plus a kilobyte-scale merge, the same
+    partial/final shape as an aggregate.  Coordinates are quantized to
+    integer milli-units with floor(x·1000 + 0.5) on DOUBLE (the repo's
+    cross-engine rounding rule — round() half-rules differ between
+    engines), making every product and sum exact integer math:
+    order-independent, bit-identical at any parallelism, and fully
+    DuckDB-oracle-checkable — unusual for a "numeric" ML kernel.
+    The oracle states the same computation as a position self-join
+    (cost |rows|·d² in SQL, the reason the engine path is a matmul).
+    """
+    import pandas as pd
+
+    dim = 64
+
+    def partial_gram(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * 1000.0 + 0.5).astype(np.int64)
+            g = q.T @ q  # exact int64: |qv| ≤ ~2e3 → products ≤ 4e6, rows ≤ 2^40
+            i, j = np.nonzero(np.ones_like(g))
+            yield pd.DataFrame(
+                {"i": i.astype("int32"), "j": j.astype("int32"), "partial": g[i, j]}
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    parts = emb.mapInPandas(partial_gram, schema="i int, j int, partial long")
+    return (
+        parts.groupBy("i", "j")
+        .agg(F.sum("partial").alias("gram_q6"))
+        .orderBy("i", "j")
+    )

@@ -498,3 +498,49 @@ def test_tpch_q19_extracts_disjunction_to_part_scan(spark, sf_dir):
     plan = plan_string(df)
     assert "p_brand" in re.sub(r"ReadSchema:.*", "", plan), plan
     assert_broadcast_join(df)
+
+
+def test_tpch_q8_only_fact_joins_shuffle(spark, sf_dir):
+    """Q8's 8-table tree: every dimension broadcasts, so the only
+    exchanges are the fact-side equi-joins (lineitem⋈orders⋈customer)
+    plus the year aggregate — at most 4 shuffle exchanges, never a
+    dim-side one."""
+    df = q("q_tpch_q8", spark, sf_dir)
+    assert_broadcast_join(df)
+    assert count_exchanges(df) <= 4, plan_string(df)
+
+
+def test_tpch_q12_pushes_date_band_and_prunes(spark, sf_dir):
+    """The shipdate band reaches the lineitem scan, and both scan sides
+    project only join key + one payload column."""
+    df = q("q_tpch_q12", spark, sf_dir)
+    assert_pushed_filter(df, "l_shipdate")
+    plan = plan_string(df)
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    for s in scans:
+        if "lineitem" in s or "l_orderkey" in s:
+            assert "l_extendedprice" not in s, s
+
+
+def test_tpch_q15_single_fact_scan(spark, sf_dir):
+    """The rev view is computed once; the global-max comparison joins the
+    aggregated frame against a broadcast 1-row max — the lineitem file
+    must appear in exactly one scan node."""
+    plan = plan_string(q("q_tpch_q15", spark, sf_dir))
+    assert plan.count("lineitem.parquet") - plan.count("ReusedExchange") <= 2
+    assert_pushed_filter(q("q_tpch_q15", spark, sf_dir), "l_shipdate")
+
+
+def test_tpch_q16_anti_join_broadcasts_exclusion(spark, sf_dir):
+    """The complaints exclusion is a broadcast anti join: the lineitem
+    side must not be exchanged to evaluate it."""
+    plan = plan_string(q("q_tpch_q16", spark, sf_dir))
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+
+
+def test_emb_gram_shuffles_matrix_state_not_vectors(spark, sf_dir):
+    """The Gram matrix's shuffle carries (i, j, partial) int rows —
+    fixed d² state per partition — never the embedding arrays."""
+    df = q("q_emb_gram", spark, sf_dir)
+    for block in exchange_blocks(df):
+        assert "embedding" not in block, block
