@@ -293,22 +293,42 @@ def grain_fanout_rollup(events: DataFrame, lg_k: int = REFERENCE_LG_K) -> DataFr
         )
         .groupBy("m")
         .agg(F.hll_sketch_agg("uid", F.lit(lg_k)).alias("sk"))
-        .persist()  # five rollup branches read it; minutes-sized
     )
-    parts = []
-    for grain in GRAINS:
-        rolled = (
-            minute.groupBy(F.date_trunc(grain, "m").cast("long").alias("timestamp"))
-            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("value"))
-            .select(
-                F.lit(f"{grain}_count").alias("type"), "timestamp", "value"
-            )
-        )
-        parts.append(rolled)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # All five grains in ONE pass over the minute-sketch table via
+    # GROUPING SETS: one Expand (5× the minutes-sized frame — sketches
+    # of near-empty minutes are tens of bytes, sparse mode) feeding one
+    # partial/final union aggregate.  This replaces five separate rollup
+    # jobs + a persist of the minute table with a single two-shuffle
+    # pipeline: raw→minute sketches, minute→all grains.  The minute
+    # grouping set unions each singleton sketch with itself, so minute
+    # estimates stay bit-identical to the direct minute aggregation.
+    keyed = minute.select(
+        "sk",
+        *[
+            F.date_trunc(g, "m").cast("long").alias(f"{g}_ts")
+            for g in GRAINS
+        ],
+    )
+    grain_cols = [f"{g}_ts" for g in GRAINS]
+    # grouping() resolves only inside the aggregate list, so the
+    # which-grain label is computed there.
+    type_col = F.coalesce(
+        *[
+            F.when(F.grouping(c) == 0, F.lit(f"{g}_count"))
+            for g, c in zip(GRAINS, grain_cols)
+        ]
+    )
+    rolled = keyed.groupingSets(
+        [[c] for c in grain_cols], *[F.col(c) for c in grain_cols]
+    ).agg(
+        type_col.alias("type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("value"),
+    )
+    return rolled.select(
+        "type",
+        F.coalesce(*[F.col(c) for c in grain_cols]).alias("timestamp"),
+        "value",
+    )
 
 
 def incremental_sketch_rollup(
