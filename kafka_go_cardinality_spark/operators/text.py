@@ -768,3 +768,49 @@ def textrank_oracle_sql(iters: int = TEXTRANK_ITERS) -> str:
         + f"\n    SELECT node AS token, r AS rank_q FROM r{iters}"
         "\n    ORDER BY rank_q DESC, token"
     )
+
+
+# Hashing-trick classifier geometry: 1024 weight buckets; the "trained"
+# weight vector is a deterministic function of the bucket id (documented
+# stand-in — no labeled data ships with the fixtures), so both engines
+# can materialize the identical model without a side file.
+HCLF_BUCKETS = 1024
+HCLF_MULT = 2654435761  # Knuth multiplicative constant
+HCLF_RANGE = 2001  # weights in [-1000, 1000]
+
+
+def hash_classifier_scores(documents: DataFrame) -> DataFrame:
+    """FastText-style linear classifier INFERENCE via the hashing trick —
+    the quality-filter shape of every large-scale pretraining corpus
+    pipeline (score each doc with a linear model over hashed token
+    features, keep the positive class).
+
+    Token → md5-derived 60-bit hash → weight bucket (mod 1024) → integer
+    weight looked up by pure arithmetic; the doc score is the sum of its
+    token weights, folded IN-ROW with ``aggregate`` over the token
+    array.  No explode, no shuffle, no Python: inference is a narrow map
+    over built-in expressions inside whole-stage codegen, so at 100 TB
+    it costs exactly one scan at full parallelism — the same shape a
+    broadcast real weight vector would have (swap the arithmetic weight
+    for ``element_at(lit(weights), bucket)``).
+
+    Integer weights make the score exact and order-independent, so the
+    whole model is DuckDB-oracle-checkable — unusual for an "ML
+    inference" operator.  The reference has no classification surface
+    at all (its processor computes one HLL estimate,
+    /root/reference/processor/processor.go:80-101).
+    """
+    toks = tokens(F.col("text"))
+    bucket = lambda t: hash64(t, salt="hclf") % HCLF_BUCKETS  # noqa: E731
+    weight = lambda t: (bucket(t) * HCLF_MULT) % HCLF_RANGE - (  # noqa: E731
+        HCLF_RANGE - 1
+    ) // 2
+    score = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + weight(t)
+    )
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        score.alias("score_sum"),
+        (score > 0).cast("int").alias("keep"),
+    )

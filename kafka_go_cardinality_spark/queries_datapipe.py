@@ -974,3 +974,32 @@ def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     solve iterates over that collapsed graph with driver-side rank
     state, kmeans_fit-style (operators/text.textrank)."""
     return tx.textrank(_docs(spark, sf_dir))
+
+
+def _hclf_weight_sql(token_expr: str) -> str:
+    """DuckDB spelling of the arithmetic weight lookup — must mirror
+    operators/text.hash_classifier_scores exactly."""
+    b = f"({hash64_sql(token_expr, salt='hclf')} % {tx.HCLF_BUCKETS})"
+    half = (tx.HCLF_RANGE - 1) // 2
+    return f"(({b} * {tx.HCLF_MULT}) % {tx.HCLF_RANGE} - {half})"
+
+
+@query(
+    "q_text_hash_classifier",
+    f"""
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(list_sum(list_transform(t, x ->
+                {_hclf_weight_sql('x')})), 0) AS BIGINT) AS score_sum,
+           CAST(CAST(coalesce(list_sum(list_transform(t, x ->
+                {_hclf_weight_sql('x')})), 0) AS BIGINT) > 0 AS INT) AS keep
+    FROM (SELECT doc_id, {tokens_sql('text')} AS t FROM documents)
+    """,
+)
+def q_text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22] Hashing-trick linear classifier inference (the FastText
+    quality-filter shape): md5 token hash → 1024 weight buckets →
+    integer weight by pure arithmetic → per-doc score folded IN-ROW.
+    Zero shuffle, zero Python — one codegen'd scan at any scale
+    (operators/text.hash_classifier_scores)."""
+    return tx.hash_classifier_scores(_docs(spark, sf_dir))
