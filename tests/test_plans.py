@@ -357,13 +357,20 @@ def test_zorder_prunes_both_dimensions(spark):
     assert z_cand < z_total, "z-order layout skipped nothing"
 
 
-def test_profile_is_single_scan(spark, sf_dir):
-    """One-pass profiling: exactly ONE parquet scan of orders feeds all
-    per-column measures (multi-count-distinct plans as Expand, not as N
-    re-scans)."""
+def test_profile_two_hash_scans_never_expand_sort(spark, sf_dir):
+    """Profiling is two column-pruned scans, not N per-column re-scans:
+    the distinct counts share one Expand pass that stays in
+    HashAggregate (fixed-width count buffers), and min/max fold in a
+    separate global aggregate — deliberately NOT merged, because a
+    variable-width min(string) buffer would demote the Expand pass to
+    SortAggregate (a sort of 7× the table at scale)."""
     plan = plan_string(q("q_profile_columns", spark, sf_dir), mode="simple")
-    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("FileScan parquet") == 2, plan
     assert "Expand" in plan, plan
+    # The Expand (distinct-count) pass must hash-aggregate: no sort may
+    # sit between Expand and its aggregate.
+    expand_tail = plan[plan.index("Expand") - 2000 : plan.index("Expand")]
+    assert "SortAggregate" not in expand_tail, plan
 
 
 def test_global_enumerate_never_single_partition_sorts_fact(spark, sf_dir):
@@ -544,3 +551,11 @@ def test_emb_gram_shuffles_matrix_state_not_vectors(spark, sf_dir):
     df = q("q_emb_gram", spark, sf_dir)
     for block in exchange_blocks(df):
         assert "embedding" not in block, block
+
+
+def test_hash_classifier_is_shuffle_free_and_pythonless(spark, sf_dir):
+    """Classifier inference is a narrow map: no exchange, no Python
+    evaluation node — the whole model folds inside codegen."""
+    df = q("q_text_hash_classifier", spark, sf_dir)
+    assert count_exchanges(df) == 0, plan_string(df)
+    assert "Python" not in plan_string(df)
