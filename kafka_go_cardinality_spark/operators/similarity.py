@@ -473,40 +473,48 @@ def _centroid_frame(spark, centroids: list[list[int]]) -> DataFrame:
 
 def _assign(df: DataFrame, centroids: list[list[int]]):
     """Nearest-centroid id per row: exact integer squared-L2 against a
-    BROADCAST centroid frame, argmin with ties → lowest cluster id.
+    BROADCAST one-row centroid table, argmin with ties → lowest cluster
+    id — computed entirely IN-ROW, with no aggregation at all.
 
-    Centroids ride as data, not literals, ON PURPOSE: literal centroids
-    change every Lloyd iteration, so each round's plan would be novel
-    codegen — a fresh whole-stage compile per iteration dominated the
-    loop (measured 5×).  With a constant plan shape the compiled code is
-    reused across all iterations and only the broadcast payload changes.
-    The distance stage is a map-side broadcast nested-loop (k rows);
-    the argmin is ``min(struct(d, cluster))`` — lexicographic min gives
-    the low-id tie-break exactly.
+    Two deliberate shapes compose here:
+
+    - Centroids ride as data, not literals: literal centroids change
+      every Lloyd iteration, so each round's plan would be novel
+      codegen — a fresh whole-stage compile per iteration dominated the
+      loop (measured 5×).  The expression references the ``cents``
+      COLUMN, so the compiled code is reused across all iterations and
+      only the broadcast payload changes.
+    - ALL k centroids travel as one ``array<array<bigint>>`` row, so the
+      broadcast join multiplies nothing (1 row ⋈ N rows = N rows) and
+      the argmin folds per row: ``array_min`` over (distance, cluster)
+      structs — lexicographic min gives the low-id tie-break exactly.
+      The previous k-row crossJoin + ``min_by(struct(...))`` groupBy
+      carried the vectors through a variable-width aggregation buffer,
+      demoting the whole E-step to a SortAggregate over N×k rows;
+      in-row argmin makes assignment a pure narrow map — at 100 TB the
+      E-step costs exactly one scan.
     """
-    cents = _centroid_frame(df.sparkSession, centroids)
-    d = F.aggregate(
-        F.zip_with(F.col("vq"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+    spark = df.sparkSession
+    cents_row = spark.createDataFrame(
+        [([[int(x) for x in vec] for vec in centroids],)],
+        "cents array<array<bigint>>",
+    )
+    dist = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("vq"), c, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    scored = df.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "vq", "cluster", d.alias("d")
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c, i: F.struct(
+                dist(c).alias("d"), i.cast("int").alias("cluster")
+            ),
+        )
     )
-    # min_by over (d, cluster) picks the winning cluster AND carries vq
-    # through the same aggregation — no join back to the corpus.
     return (
-        scored.groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.struct("cluster", "vq"), F.struct("d", "cluster")
-            ).alias("best")
-        )
-        .select(
-            "vec_id",
-            F.col("best.vq").alias("vq"),
-            F.col("best.cluster").alias("cluster"),
-        )
+        df.crossJoin(F.broadcast(cents_row))
+        .select("vec_id", "vq", best.getField("cluster").alias("cluster"))
     )
 
 

@@ -1040,15 +1040,36 @@ def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E9] argmax aggregation: per event type, the user holding the max
-    value — ``max_by`` over a (value, event_id) struct, whose
-    lexicographic max makes ties break on the unique event_id (the same
-    total order the oracle's window spells out).  One aggregation with
-    map-side partials; no window, no self-join with max()."""
-    ev = _t(spark, sf_dir, "events")
-    key = F.struct(F.col("value"), F.col("event_id"))
-    return ev.groupBy("event_type").agg(
-        F.max_by(F.col("user_id"), key).alias("top_user"),
-        F.round(F.max("value"), 6).alias("top_value"),
+    value, ties broken by the unique event_id (the same total order the
+    oracle's window spells out).
+
+    Deliberately TWO hash-aggregated passes instead of one
+    ``max_by(user_id, struct(value, event_id))``: a struct ordering key
+    gives max_by a variable-width buffer, which disqualifies
+    HashAggregateExec and demotes the whole aggregation to
+    SortAggregate — a per-partition sort of the ENTIRE events table to
+    produce five groups.  Here pass 1 is a plain max per type (5-row
+    result, broadcast); pass 2 equi-joins the max back and runs
+    ``max_by(user_id, event_id)`` — both BIGINT, fixed-width buffer,
+    pure HashAggregate.  Two scans, zero sorts; the tie-break pass only
+    aggregates the handful of rows that match the per-type maximum."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value", "event_id"
+    )
+    mx = ev.groupBy(F.col("event_type").alias("mx_type")).agg(
+        F.max("value").alias("mx_value")
+    )
+    return (
+        ev.join(
+            F.broadcast(mx),
+            (F.col("event_type") == F.col("mx_type"))
+            & (F.col("value") == F.col("mx_value")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max_by("user_id", "event_id").alias("top_user"),
+            F.round(F.max("value"), 6).alias("top_value"),
+        )
     )
 
 

@@ -559,3 +559,13 @@ def test_hash_classifier_is_shuffle_free_and_pythonless(spark, sf_dir):
     df = q("q_text_hash_classifier", spark, sf_dir)
     assert count_exchanges(df) == 0, plan_string(df)
     assert "Python" not in plan_string(df)
+
+
+def test_argmax_never_sort_aggregates(spark, sf_dir):
+    """argmax must stay in HashAggregate end to end: a struct-keyed
+    max_by has a variable-width buffer that silently demotes the whole
+    aggregation to a SortAggregate over the entire fact table."""
+    df = q("q_argmax", spark, sf_dir)
+    plan = plan_string(df)
+    assert "SortAggregate" not in plan, plan
+    assert_broadcast_join(df)
