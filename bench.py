@@ -99,6 +99,38 @@ def main() -> int:
         )
         if timings.get(key)
     }
+    # Amortized throughput: at sf0.1 a single pass is fixed-overhead-bound
+    # (~1 s of job scheduling against 100k rows), which UNDERSTATES the
+    # engine the way a 1-row benchmark would.  Replicate the events 32×
+    # in-flight (explode over a sequence; user ids offset per replica so
+    # distinct counts scale too — the worst case for the sketch pass) and
+    # run the same 5-grain fan-out: this is the steady-state events/sec a
+    # sustained ingest actually sees, the number comparable to the
+    # reference's msgs/sec loop (processor_test.go:20-50).
+    from pyspark.sql import functions as _F
+
+    from kafka_go_cardinality_spark.operators.cardinality import grain_fanout_rollup
+    from kafka_go_cardinality_spark.sources import load_table
+
+    rep = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "ts",
+            _F.explode(_F.sequence(_F.lit(0), _F.lit(31))).alias("k"),
+            "user_id",
+        )
+        .select(
+            "ts",
+            (_F.col("user_id") + _F.col("k") * 10_000_000).alias("user_id"),
+        )
+    )
+    grain_fanout_rollup(rep).write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    grain_fanout_rollup(rep).write.format("noop").mode("overwrite").save()
+    rep_elapsed = time.perf_counter() - t0
+    throughput["batch_5grain_events_per_sec_32x"] = round(
+        events_rows * 32 / rep_elapsed
+    )
     print(
         json.dumps(
             {

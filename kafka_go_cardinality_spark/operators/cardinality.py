@@ -294,28 +294,33 @@ def grain_fanout_rollup(events: DataFrame, lg_k: int = REFERENCE_LG_K) -> DataFr
         .groupBy("m")
         .agg(F.hll_sketch_agg("uid", F.lit(lg_k)).alias("sk"))
     )
-    # All five grains in ONE pass over the minute-sketch table via
-    # GROUPING SETS: one Expand (5× the minutes-sized frame — sketches
-    # of near-empty minutes are tens of bytes, sparse mode) feeding one
-    # partial/final union aggregate.  This replaces five separate rollup
-    # jobs + a persist of the minute table with a single two-shuffle
-    # pipeline: raw→minute sketches, minute→all grains.  The minute
-    # grouping set unions each singleton sketch with itself, so minute
-    # estimates stay bit-identical to the direct minute aggregation.
+    # Branch 1 — minute estimates are a PROJECTION of the minute sketches:
+    # no union aggregate at all.  Putting the minute grain through a
+    # union (a grouping set of singleton groups) allocates a dense
+    # 2^lg_k union gadget per minute — measured 56 s vs <1 s at 32×
+    # sf0.1, the dominant cost of the whole rollup — to compute sketches
+    # it already has.
+    minute_est = minute.select(
+        F.lit("minute_count").alias("type"),
+        F.col("m").cast("long").alias("timestamp"),
+        F.hll_sketch_estimate("sk").alias("value"),
+    )
+    # Branch 2 — the four coarse grains in ONE grouping-sets pass: one
+    # Expand (4× the minutes-sized sketch frame) feeding one partial/
+    # final union aggregate with only #days+#weeks+#months+#years
+    # groups, so the union gadgets are allocated a handful of times.
+    coarse = [g for g in GRAINS if g != "minute"]
+    grain_cols = [f"{g}_ts" for g in coarse]
     keyed = minute.select(
         "sk",
-        *[
-            F.date_trunc(g, "m").cast("long").alias(f"{g}_ts")
-            for g in GRAINS
-        ],
+        *[F.date_trunc(g, "m").cast("long").alias(f"{g}_ts") for g in coarse],
     )
-    grain_cols = [f"{g}_ts" for g in GRAINS]
     # grouping() resolves only inside the aggregate list, so the
     # which-grain label is computed there.
     type_col = F.coalesce(
         *[
             F.when(F.grouping(c) == 0, F.lit(f"{g}_count"))
-            for g, c in zip(GRAINS, grain_cols)
+            for g, c in zip(coarse, grain_cols)
         ]
     )
     rolled = keyed.groupingSets(
@@ -324,10 +329,17 @@ def grain_fanout_rollup(events: DataFrame, lg_k: int = REFERENCE_LG_K) -> DataFr
         type_col.alias("type"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("value"),
     )
-    return rolled.select(
-        "type",
-        F.coalesce(*[F.col(c) for c in grain_cols]).alias("timestamp"),
-        "value",
+    # Both branches sit in ONE plan, so the minute aggregation's exchange
+    # is deduplicated at runtime (AQE shuffle-stage reuse — measured: the
+    # two-branch union costs ~the minute aggregation alone, not 2×) with
+    # no persist; an explicit .persist() was measured STRICTLY worse here
+    # (erratic materialization stalls on the sketch column).
+    return minute_est.unionByName(
+        rolled.select(
+            "type",
+            F.coalesce(*[F.col(c) for c in grain_cols]).alias("timestamp"),
+            "value",
+        )
     )
 
 
