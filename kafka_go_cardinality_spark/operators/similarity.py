@@ -145,8 +145,8 @@ def ann_lsh_topk(
     vs the exact twin in tests).
 
     Scale shape: candidate generation is an equi-join on (band, band
-    bits) — buckets shuffle ids + vectors once, no cross product
-    anywhere."""
+    bits) over BARE IDS — vectors re-attach only to surviving deduped
+    pairs; no cross product anywhere."""
     base = (
         embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
         .withColumn("sketch", ann_sketch("v"))
@@ -158,10 +158,15 @@ def ann_lsh_topk(
         .persist()
     )
     mask = (1 << ANN_BAND_BITS) - 1
+    # Band expansion over BARE IDS: the candidate join and its dedup
+    # never see a vector.  Deduping (query_id, vec_id) pairs that still
+    # carried qv/v arrays forced a first()-per-column aggregation with
+    # variable-width buffers — a SortAggregate over every banded
+    # candidate; on bare BIGINT pairs the distinct is pure
+    # HashAggregate, and the payloads re-attach afterwards from the
+    # persisted base (once per SURVIVING pair, not per band collision).
     banded = base.select(
         "vec_id",
-        "v",
-        "nrm",
         F.posexplode(
             F.array(
                 *[
@@ -172,18 +177,22 @@ def ann_lsh_topk(
         ).alias("band", "band_bits"),
     )
     queries = banded.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        "band",
-        "band_bits",
+        F.col("vec_id").alias("query_id"), "band", "band_bits"
     )
-    cands = (
+    pairs = (
         queries.join(banded, ["band", "band_bits"])
         .filter(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", "qv", "qn", "vec_id", "v", "nrm")
-        .dropDuplicates(["query_id", "vec_id"])
+        .select("query_id", "vec_id")
+        .distinct()
     )
+    cands = pairs.join(
+        base.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        ),
+        "query_id",
+    ).join(base.select("vec_id", "v", "nrm"), "vec_id")
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),

@@ -569,3 +569,12 @@ def test_argmax_never_sort_aggregates(spark, sf_dir):
     plan = plan_string(df)
     assert "SortAggregate" not in plan, plan
     assert_broadcast_join(df)
+
+
+def test_ann_lsh_dedups_bare_id_pairs(spark, sf_dir):
+    """The LSH candidate dedup must hash-aggregate bare (query_id,
+    vec_id) pairs: vector arrays riding the distinct would give it a
+    variable-width first() buffer and demote it to a SortAggregate over
+    every band collision."""
+    plan = plan_string(q("q_sim_ann_lsh", spark, sf_dir))
+    assert "SortAggregate" not in plan, plan
