@@ -2430,3 +2430,345 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "q_tpch_q9",
+    """
+    WITH flat AS (
+      SELECT ns.n_name AS nation, year(o.o_orderdate) AS o_year,
+             CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                         - 0.5 * p.p_retailprice * l.l_quantity) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%gear%'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey)
+    SELECT nation, o_year, CAST(sum(cents) AS BIGINT) AS profit_cents
+    FROM flat GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q9 shape (product-type profit): the fixture has no
+    partsupp, so unit cost is 0.5·p_retailprice — same 6-table plan
+    shape, same per-row profit arithmetic.  Part (name-filtered),
+    supplier, and nation all broadcast; the fact side shuffles only for
+    the orders join and the (nation, year) aggregate.  Profit quantized
+    to integer cents per row (can be negative — exactness matters more
+    when signs cancel)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf_dir, "supplier")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100
+    ).cast("long")
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nk") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(cents).alias("profit_cents"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q_tpch_q11",
+    """
+    WITH val AS (
+      SELECT ns.n_name AS nation, l.l_partkey,
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS part_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT nation, CAST(sum(part_cents) AS BIGINT) AS nation_cents
+      FROM val GROUP BY nation)
+    SELECT v.nation, v.l_partkey, v.part_cents
+    FROM val v JOIN tot t ON v.nation = t.nation
+    WHERE v.part_cents * 500 > t.nation_cents
+    ORDER BY v.nation, v.part_cents DESC, v.l_partkey
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q11 shape (important stock): per-(nation, part) value
+    kept only when it exceeds 1/500 of that nation's total — the
+    grouped-HAVING-against-a-group-total decorrelation.  The fact
+    aggregates ONCE to the (nation, part) frame; the nation totals
+    re-aggregate that tiny frame and broadcast back onto it, so the
+    threshold compare is an exact integer cross-multiplication (no
+    float fraction) and the fact table is never scanned twice."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    val = (
+        l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nk") == F.col("s_nationkey"))
+        .groupBy("nation", "l_partkey")
+        .agg(F.sum(_CENTS()).alias("part_cents"))
+    )
+    tot = val.groupBy(F.col("nation").alias("t_nation")).agg(
+        F.sum("part_cents").alias("nation_cents")
+    )
+    return (
+        val.join(F.broadcast(tot), F.col("nation") == F.col("t_nation"))
+        .filter(F.col("part_cents") * 500 > F.col("nation_cents"))
+        .select("nation", "l_partkey", "part_cents")
+        .orderBy("nation", F.col("part_cents").desc(), "l_partkey")
+    )
+
+
+@query(
+    "q_tpch_q13",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                            AND o.o_orderpriority <> '5-LOW'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q13 (customer order-count distribution): LEFT OUTER
+    join with a JOIN-CONDITION filter (not a WHERE — customers whose
+    every order is excluded must still appear with count 0), then two
+    stacked aggregations.  The priority predicate pushes into the
+    orders scan (it is null-rejecting on the right side), the first
+    count groups on the join key so it reuses the join's partitioning,
+    and the distribution re-aggregates a #customers-sized frame."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q_tpch_q17",
+    """
+    WITH stats AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS sum_centi,
+             count(*) AS n
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p  ON p.p_partkey = l.l_partkey
+                AND p.p_brand = 'Brand#23' AND p.p_type = 'MEDIUM'
+    JOIN stats s ON s.l_partkey = l.l_partkey
+    WHERE CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * s.n < s.sum_centi
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q17 (small-quantity-order revenue): the correlated
+    "quantity < 0.2 × this part's average" subquery decorrelated into a
+    per-part (sum, count) aggregate joined back — and the 0.2×avg
+    comparison is the exact integer cross-multiplication
+    5·qty·n < Σqty, so no float average ever decides a row.  The stats
+    aggregate combines map-side on partkey; the brand/type predicates
+    prune the broadcast part dim before its join."""
+    l = _t(spark, sf_dir, "lineitem")
+    qcenti = F.round(F.col("l_quantity") * 100).cast("long")
+    stats = l.groupBy(F.col("l_partkey").alias("s_partkey")).agg(
+        F.sum(qcenti).alias("sum_centi"), F.count(F.lit(1)).alias("n")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(stats, F.col("s_partkey") == F.col("l_partkey"))
+        .filter(qcenti * 5 * F.col("n") < F.col("sum_centi"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q20",
+    """
+    WITH shipped AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS supp_centi
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2),
+    part_tot AS (
+      SELECT l_partkey, CAST(sum(supp_centi) AS BIGINT) AS part_centi
+      FROM shipped GROUP BY l_partkey),
+    dominant AS (
+      SELECT DISTINCT s.l_suppkey
+      FROM shipped s
+      JOIN part_tot t ON t.l_partkey = s.l_partkey
+      JOIN part p     ON p.p_partkey = s.l_partkey AND p.p_name LIKE 'blue%'
+      WHERE s.supp_centi * 2 > t.part_centi)
+    SELECT sup.s_suppkey, sup.s_name
+    FROM supplier sup JOIN dominant d ON d.l_suppkey = sup.s_suppkey
+    ORDER BY sup.s_suppkey
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q20 shape (potential part promotion): the fixture has
+    no partsupp availqty, so "holds excess stock" becomes "shipped more
+    than half of a blue part's 1996 volume" — the same nested
+    IN-subquery pipeline: per-(part, supplier) aggregate, per-part
+    total re-aggregated from it (never a second fact scan), an exact
+    2·x > total integer compare, then DISTINCT supplier keys semi-joined
+    to the supplier dim.  Every aggregate combines map-side; the date
+    band is pushed to the one lineitem scan."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    qcenti = F.round(F.col("l_quantity") * 100).cast("long")
+    shipped = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qcenti).alias("supp_centi")
+    )
+    part_tot = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supp_centi").alias("part_centi")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("blue%")).select(
+        "p_partkey"
+    )
+    dominant = (
+        shipped.join(part_tot, F.col("t_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .filter(F.col("supp_centi") * 2 > F.col("part_centi"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(dominant, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_tpch_q2",
+    """
+    WITH cost AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(min(CAST(round(l.l_extendedprice / l.l_quantity * 100)
+                           AS BIGINT)) AS BIGINT) AS unit_cents
+      FROM lineitem l GROUP BY 1, 2),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, ns.n_name
+      FROM supplier s
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      JOIN region r  ON r.r_regionkey = ns.n_regionkey AND r.r_name = 'EUROPE'),
+    best AS (
+      SELECT c.l_partkey, min(c.unit_cents) AS best_cents
+      FROM cost c JOIN eu ON eu.s_suppkey = c.l_suppkey
+      GROUP BY c.l_partkey)
+    SELECT CAST(round(eu.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           eu.s_name, eu.n_name, p.p_partkey, p.p_type, c.unit_cents
+    FROM cost c
+    JOIN eu   ON eu.s_suppkey = c.l_suppkey
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cents = b.best_cents
+    JOIN part p ON p.p_partkey = c.l_partkey
+                AND p.p_size = 15 AND p.p_type = 'LARGE'
+    ORDER BY acctbal_cents DESC, eu.n_name, eu.s_name, p.p_partkey,
+             eu.s_suppkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E6] TPC-H Q2 shape (minimum-cost supplier): the fixture has no
+    partsupp, so supply cost is the minimum observed unit price
+    (extendedprice/quantity, integer cents) per (part, supplier) —
+    same correlated-min-subquery plan: a per-part regional minimum
+    decorrelated into an aggregate of the ALREADY-aggregated cost frame
+    (the fact scans once), equi-joined back on (part, min) to keep
+    every tying supplier deterministically.  The European supplier set
+    and the size/type part filter ride broadcast dims; the final
+    TOP-100 is a TakeOrdered under a total order."""
+    l = _t(spark, sf_dir, "lineitem")
+    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast(
+        "long"
+    )
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(F.min(unit).alias("unit_cents"))
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select(
+                    F.col("n_nationkey").alias("s_nk"), "n_name", "n_regionkey"
+                )
+            ),
+            F.col("s_nk") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_cost = cost.join(
+        F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey")
+    )
+    best = eu_cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cents").alias("best_cents")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        eu_cost.join(
+            best,
+            (F.col("b_partkey") == F.col("l_partkey"))
+            & (F.col("unit_cents") == F.col("best_cents")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            "unit_cents",
+        )
+        .orderBy(
+            F.col("acctbal_cents").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
