@@ -578,3 +578,42 @@ def test_ann_lsh_dedups_bare_id_pairs(spark, sf_dir):
     every band collision."""
     plan = plan_string(q("q_sim_ann_lsh", spark, sf_dir))
     assert "SortAggregate" not in plan, plan
+
+
+# Queries whose DATA PATH legitimately crosses into Python — the three
+# Arrow-batched UDF demonstrations, the multimodal decode stub, the
+# Gram-matrix partial matmul, and the UDTF fan-out.  Everything else
+# must stay JVM-side end to end: a Python eval node appearing anywhere
+# else is a hot-path regression, not a style issue.
+PYTHON_PATH_QUERIES = {
+    "q_udf_pandas_scalar",
+    "q_udf_grouped_agg",
+    "q_udf_grouped_map",
+    "q_udtf_chunks",
+    "q_mm_decode",
+    "q_emb_gram",
+}
+
+PY_MARKERS = (
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "PythonUDTF",
+    "AggregateInPandas",
+)
+
+
+def test_python_stays_off_hot_paths(spark, sf_dir):
+    """Whole-surface invariant: no batch query outside the declared
+    Python-path set may contain a Python evaluation node.  (Streaming
+    queries are exercised by their own tests; building their plans here
+    would start queries.)"""
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        if name.startswith("q_stream") or name in PYTHON_PATH_QUERIES:
+            continue
+        plan = plan_string(fn(spark, sf_dir), mode="simple")
+        if any(m in plan for m in PY_MARKERS):
+            offenders.append(name)
+    assert not offenders, offenders
