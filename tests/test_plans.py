@@ -617,3 +617,29 @@ def test_python_stays_off_hot_paths(spark, sf_dir):
         if any(m in plan for m in PY_MARKERS):
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_exchange_counts_stay_within_budget(spark, sf_dir):
+    """Whole-surface shuffle budget: every batch query's exchange count
+    is snapshotted in tests/exchange_budgets.json (regenerate with the
+    snippet in that file's git history after a DELIBERATE plan change).
+    A query exceeding its recorded budget means a shuffle crept in —
+    the primary scale regression this suite exists to catch."""
+    import json
+    import pathlib
+
+    budgets = json.loads(
+        (pathlib.Path(__file__).parent / "exchange_budgets.json").read_text()
+    )
+    over = {}
+    for name, budget in sorted(budgets.items()):
+        n = count_exchanges(QUERIES[name](spark, sf_dir))
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"exchange budget exceeded (actual, budget): {over}"
+    missing = {
+        n
+        for n in QUERIES
+        if not n.startswith("q_stream") and n not in budgets
+    }
+    assert not missing, f"queries with no exchange budget: {missing}"
