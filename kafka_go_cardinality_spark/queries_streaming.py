@@ -452,3 +452,16 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(versions[-1])
+
+
+@query("q_stream_grain_fanout", oracle=None)  # approx HLL values: rows-only
+def q_stream_grain_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[CORE C4-C8] The whole reference pipeline as ONE streaming query:
+    wire parse → 5-grain explode fan-out → per-(grain, window) sparse
+    HLL state → StatMsg projection (streaming/pipeline.
+    stream_grain_fanout).  The per-grain streaming queries remain the
+    append-mode-capable variants; this is the faithful all-grains-at-
+    once shape of processor.go:60-75."""
+    from kafka_go_cardinality_spark.streaming.pipeline import stream_grain_fanout
+
+    return _replay(spark, sf_dir, stream_grain_fanout, "stream_fanout")

@@ -386,3 +386,44 @@ def interval_join_streams(
         F.col("view_ts").cast("long").alias("view_ts"),
         F.col("click_ts").cast("long").alias("click_ts"),
     )
+
+
+def stream_grain_fanout(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """[CORE C4-C8] The reference's ENTIRE processor as one streaming
+    query: every event feeds all five grain aggregators concurrently
+    (processor.go:60-75 spawns 5 goroutines per message and joins a
+    per-message barrier; here the fan-out is an ``explode`` over grain
+    names and the "barrier" is simply that one micro-batch updates all
+    grains' state transactionally).
+
+    One shuffle keyed by (grain, window start); state is one sparse HLL
+    sketch per open (grain, window) pair, dominated by minutes and
+    bounded by watermark retention.  date_trunc handles all five grains
+    uniformly (calendar month/year included — ``window()`` can't), which
+    constrains the query to update/complete output; the fixed-duration
+    grains' append-mode variants exist as the per-grain queries.
+    """
+    grains_arr = F.array(*[F.lit(g) for g in GRAINS])
+    exploded = events.withWatermark("ts", watermark).select(
+        F.explode(grains_arr).alias("grain"), "ts", "uid"
+    )
+    wstart = F.coalesce(
+        *[
+            F.when(F.col("grain") == g, F.date_trunc(g, "ts"))
+            for g in GRAINS
+        ]
+    )
+    return (
+        exploded.groupBy(
+            F.concat(F.col("grain"), F.lit("_count")).alias("type"),
+            wstart.alias("wstart"),
+        )
+        .agg(_hll_value("uid"))
+        .select(
+            "type",
+            F.unix_timestamp("wstart").cast("long").alias("timestamp"),
+            F.col("value"),
+        )
+    )

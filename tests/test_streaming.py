@@ -312,3 +312,23 @@ def test_transform_with_state_profile(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_stream_grain_fanout_matches_batch_sketches(spark, sf_dir):
+    """The all-grains streaming query must produce every window of every
+    grain, with estimates BIT-IDENTICAL to the batch sketch twins (same
+    DataSketches aggregate, same lg_k — streaming changes scheduling,
+    never the sketch math)."""
+    import __spark_entry__ as m
+
+    rows = m.queries()["q_stream_grain_fanout"](spark, sf_dir).collect()
+    types = {r["type"] for r in rows}
+    assert types == {f"{g}_count" for g in ("minute", "day", "week", "month", "year")}
+    stream_day = {
+        r["timestamp"]: r["value"] for r in rows if r["type"] == "day_count"
+    }
+    batch_day = {
+        r["timestamp"]: r["value"]
+        for r in m.queries()["q_card_day_approx"](spark, sf_dir).collect()
+    }
+    assert stream_day == batch_day
