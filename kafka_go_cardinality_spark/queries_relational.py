@@ -1481,14 +1481,18 @@ def q_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[E6] TPC-H Q5 shape — the 6-table join-reordering showcase:
-    local-supplier revenue per nation within one region.  Catalyst
-    reorders the tree and broadcasts every dimension (region, nation,
-    supplier, customer at this sf), so the only shuffles are the
-    fact-side agg; the region filter prunes nation before any fact row
-    joins.  Revenue is quantized to integer cents PER ROW before the
-    sum — exact integer aggregation, immune to float summation order
-    (the cross-engine determinism rule of SURVEY.md §7.5)."""
+    """[E6] TPC-H Q5 shape: local-supplier revenue per nation within one
+    region.  The tree is written FACT-ANCHORED on purpose: region⋈nation
+    prunes suppliers to the one region FIRST, that ~1/5 supplier set
+    broadcasts into lineitem (cutting the fact before anything
+    expensive), then the single orderkey equi-join attaches orders, and
+    the customer dim broadcasts last with the same-nation residual.
+    Written dim-first (customer⋈orders⋈lineitem), Catalyst's size
+    estimates at fixture scale made LINEITEM the broadcast build side —
+    locally harmless, at 100 TB the one plan that cannot run; anchoring
+    the join order is the fix stats can't drift away from.  Revenue is
+    quantized to integer cents PER ROW before the sum — exact integer
+    aggregation, immune to float summation order (SURVEY.md §7.5)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
@@ -1498,16 +1502,19 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
+    asia_sup = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "n_nationkey", "n_name")
+    )
     joined = (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(F.broadcast(asia_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(
-            n,
-            (F.col("c_nationkey") == F.col("n_nationkey"))
-            & (F.col("s_nationkey") == F.col("n_nationkey")),
+            F.broadcast(c),
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("c_nationkey") == F.col("n_nationkey")),
         )
-        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
     )
     return (
         joined.groupBy("n_name")

@@ -643,3 +643,36 @@ def test_exchange_counts_stay_within_budget(spark, sf_dir):
         if not n.startswith("q_stream") and n not in budgets
     }
     assert not missing, f"queries with no exchange budget: {missing}"
+
+
+def test_fact_table_never_broadcast_in_join_queries(spark, sf_dir):
+    """Tree-aware whole-family invariant: in every TPC-H/join query,
+    lineitem (the fact table) must never sit inside a BroadcastExchange
+    subtree.  Catalyst's size estimates at fixture scale CAN pick the
+    pruned fact as the build side (it did for Q5 as originally written)
+    — locally harmless, at 100 TB the one plan that cannot run."""
+    import json as _json
+
+    def subtree_has_lineitem(nodes, i):
+        node = nodes[i]
+        found = "lineitem.parquet" in _json.dumps(node)
+        j = i + 1
+        for _ in range(node.get("num-children", 0)):
+            j, f = subtree_has_lineitem(nodes, j)
+            found = found or f
+        return j, found
+
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        if not (name.startswith("q_tpch") or name.startswith("q_join")):
+            continue
+        nodes = _json.loads(
+            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toJSON()
+        )
+        for i, node in enumerate(nodes):
+            if "BroadcastExchange" in node.get("class", ""):
+                _, f = subtree_has_lineitem(nodes, i)
+                if f:
+                    offenders.append(name)
+                    break
+    assert not offenders, offenders
