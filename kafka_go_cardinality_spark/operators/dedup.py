@@ -312,12 +312,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
 
     This is the step every dedup pipeline needs after pair generation
     (keep one doc per CLUSTER, not per pair — pairs alone over-delete on
-    chains a-b, b-c).  The loop is the standard large-graph CC iteration
-    (GraphX/connected-components shape): each round every vertex takes the
-    min label among itself and its neighbors; rounds needed = component
-    diameter, and near-dup components are shallow (mutants of a common
-    original), so it converges in 2-3 rounds in practice with
-    ``max_iter`` as the safety bound.
+    chains a-b, b-c).  Each round does (1) the standard min-label
+    propagation — every vertex takes the min label among itself and its
+    neighbors — then (2) a POINTER JUMP: each vertex replaces its label
+    with its label's label (labels only decrease, so label-of-label is
+    always ≤ label).  Propagation alone needs diameter rounds — a
+    50-link chain would exhaust any fixed budget; the jump halves the
+    effective distance each round (the shortcutting half of the
+    large-star/small-star family, Kiveris et al., "Connected Components
+    in MapReduce and Beyond"), giving O(log diameter) convergence:
+    near-dup components are shallow (2-3 rounds), and even pathological
+    chain corpora converge within the default ``max_iter`` — pinned by
+    the planted-50-chain property test (tests/test_properties.py).
 
     Scale notes: the edge list is localCheckpoint-ed once (the loop body
     re-reads it every round; at 100 TB re-deriving pairs per round would
@@ -356,7 +362,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         )
         # Each doc_id contributes exactly one non-null `old` (its own row),
         # so min(old) recovers the previous label without a second join.
-        new_labels = (
+        propagated = (
             labels.select(
                 "doc_id", "cluster_id", F.col("cluster_id").alias("old")
             )
@@ -365,6 +371,22 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             .agg(
                 F.min("cluster_id").alias("cluster_id"),
                 F.min("old").alias("old"),
+            )
+        )
+        # Pointer jump: follow one level of label indirection.  Every
+        # label IS some vertex's doc_id, so the self-join is total; the
+        # left join + coalesce only guards the degenerate empty frame.
+        # This join is labels-sized (vertices, not edges) — cheap next
+        # to the neighbor join above.
+        jump = propagated.select(
+            F.col("doc_id").alias("j_id"), F.col("cluster_id").alias("j_cl")
+        )
+        new_labels = (
+            propagated.join(jump, propagated["cluster_id"] == jump["j_id"], "left")
+            .select(
+                "doc_id",
+                F.coalesce("j_cl", "cluster_id").alias("cluster_id"),
+                "old",
             )
             .localCheckpoint()
         )

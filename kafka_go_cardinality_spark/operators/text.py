@@ -683,12 +683,33 @@ def textrank(documents: DataFrame, iters: int = TEXTRANK_ITERS) -> DataFrame:
       r'(v)        = 150000 + (85 * Σ contrib) div 100
 
     Scale shape: the corpus is touched ONCE — a single shuffle builds
-    the vocab²-bounded edge frame.  Each iteration is one aggregation
-    over that collapsed graph with the rank vector injected as a
-    broadcast literal map (model state driver-side, exactly the
-    kmeans_fit pattern; at web-scale vocabularies swap the literal map
-    for a broadcast join — same plan shape, same semantics).  The 100 TB
-    cost is the bigram count, not the solve."""
+    the vocab²-bounded edge frame, materialized eagerly.  Rank state
+    stays a DataFrame for the whole solve — never collected, never
+    embedded in the plan as a literal — and is broadcast-joined onto
+    the edges each round; the round's only exchange sits ABOVE the
+    partial aggregation, so it moves vocab-bounded partial sums, never
+    edges.  Every round ends in an eager localCheckpoint, the
+    connected_components pattern (operators/dedup.py), so lineage
+    stays O(1) across iterations.  At 100 TB the cost is the bigram
+    count, not the solve."""
+    e, nodes = _textrank_graph(documents)
+    ranks = nodes.select(
+        "token", F.lit(TEXTRANK_Q).cast("long").alias("r")
+    )
+    for _ in range(iters):
+        ranks = _textrank_round(e, nodes, ranks).localCheckpoint(eager=True)
+    return ranks.select("token", F.col("r").alias("rank_q")).orderBy(
+        F.col("rank_q").desc(), "token"
+    )
+
+
+def _textrank_graph(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Collapse the corpus into the weighted bigram graph, materialized
+    eagerly: ``e`` (src, dst, w, ow) and ``nodes`` (token), the
+    vocabulary.  (No pre-partitioning: localCheckpoint does not carry
+    output partitioning through LogicalRDD, so a repartition here would
+    be a dead build-time shuffle — verified empirically; the per-round
+    aggregation map-side-combines instead, see _textrank_round.)"""
     tok = tokens(F.col("text"))
     pairs = documents.select(
         F.explode(
@@ -706,32 +727,32 @@ def textrank(documents: DataFrame, iters: int = TEXTRANK_ITERS) -> DataFrame:
     e = edges.join(out_w, "src").select("src", "dst", "w", "ow")
     # Iterations re-scan this vocab²-bounded frame; materialize it once.
     e = e.localCheckpoint(eager=True)
-    nodes = sorted(
-        r["n"]
-        for r in e.select(F.explode(F.array("src", "dst")).alias("n"))
+    nodes = (
+        e.select(F.explode(F.array("src", "dst")).alias("token"))
         .distinct()
-        .collect()
+        .localCheckpoint(eager=True)
     )
-    ranks = {n: TEXTRANK_Q for n in nodes}
-    for _ in range(iters):
-        rmap = F.create_map(
-            *[F.lit(x) for n in nodes for x in (n, ranks[n])]
-        )
-        s_rows = (
-            e.withColumn("rv", F.element_at(rmap, F.col("src")))
-            .groupBy("dst")
-            .agg(F.sum(F.expr("(rv * w) div ow")).alias("s"))
-            .collect()
-        )
-        s = {r["dst"]: r["s"] for r in s_rows}
-        ranks = {
-            n: TEXTRANK_BASE + (85 * s.get(n, 0)) // 100 for n in nodes
-        }
-    spark = documents.sparkSession
-    out = spark.createDataFrame(
-        [(n, ranks[n]) for n in nodes], "token string, rank_q long"
+    return e, nodes
+
+
+def _textrank_round(e: DataFrame, nodes: DataFrame, ranks: DataFrame) -> DataFrame:
+    """One PageRank round as a pure plan (no checkpoint): ranks broadcast
+    onto the edge frame, contributions partial-aggregated per dst BEFORE
+    the exchange (the one shuffle moves ≤vocab rows per partition, never
+    edges), result left-joined back onto the node set so zero-indegree
+    tokens keep the base rank.  Plan shape pinned in
+    tests/test_plans.py::test_textrank_round_is_broadcast_only."""
+    sums = (
+        e.join(F.broadcast(ranks), e["src"] == ranks["token"])
+        .groupBy("dst")
+        .agg(F.sum(F.expr("(r * w) div ow")).alias("s"))
     )
-    return out.orderBy(F.col("rank_q").desc(), "token")
+    return nodes.join(
+        F.broadcast(sums), nodes["token"] == sums["dst"], "left"
+    ).select(
+        "token",
+        F.expr(f"{TEXTRANK_BASE} + (85 * coalesce(s, 0L)) div 100").alias("r"),
+    )
 
 
 def textrank_oracle_sql(iters: int = TEXTRANK_ITERS) -> str:

@@ -1052,7 +1052,14 @@ def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     result, broadcast); pass 2 equi-joins the max back and runs
     ``max_by(user_id, event_id)`` — both BIGINT, fixed-width buffer,
     pure HashAggregate.  Two scans, zero sorts; the tie-break pass only
-    aggregates the handful of rows that match the per-type maximum."""
+    aggregates the handful of rows that match the per-type maximum.
+
+    The value join is NULL-SAFE (``<=>``): if an event_type's values
+    were ever all NULL, ``max`` yields NULL and a plain equality would
+    drop the group entirely, while the oracle's row_number window still
+    emits one row with NULL top_value.  ``eqNullSafe`` keeps the two
+    semantics identical (NULL rows match the NULL max; a non-null max
+    never matches NULL rows) without assuming fixture non-nullness."""
     ev = _t(spark, sf_dir, "events").select(
         "event_type", "user_id", "value", "event_id"
     )
@@ -1063,7 +1070,7 @@ def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(
             F.broadcast(mx),
             (F.col("event_type") == F.col("mx_type"))
-            & (F.col("value") == F.col("mx_value")),
+            & (F.col("value").eqNullSafe(F.col("mx_value"))),
         )
         .groupBy("event_type")
         .agg(
@@ -1486,7 +1493,11 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes suppliers to the one region FIRST, that ~1/5 supplier set
     broadcasts into lineitem (cutting the fact before anything
     expensive), then the single orderkey equi-join attaches orders, and
-    the customer dim broadcasts last with the same-nation residual.
+    customer joins last with the same-nation residual — UNHINTED: unlike
+    nation/region (fixed 25/5 rows) and the region-pruned supplier set,
+    customer scales with SF, so Catalyst must pick broadcast vs shuffle
+    by measured size (broadcast at fixture scale, shuffle hash at
+    100 TB).  Only the constant-size sides carry hints.
     Written dim-first (customer⋈orders⋈lineitem), Catalyst's size
     estimates at fixture scale made LINEITEM the broadcast build side —
     locally harmless, at 100 TB the one plan that cannot run; anchoring
@@ -1511,7 +1522,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(asia_sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(
-            F.broadcast(c),
+            c,
             (F.col("c_custkey") == F.col("o_custkey"))
             & (F.col("c_nationkey") == F.col("n_nationkey")),
         )

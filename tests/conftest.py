@@ -15,6 +15,14 @@ from kafka_go_cardinality_spark.sources import TABLE_NAMES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
+# The oracle-parity sweep runs at the DRIVER'S checking scale (sf0.01)
+# so scale-sensitive surprises (single-row pruning results, broadcast
+# flips) surface locally first; everything else (plan pins, exchange
+# budgets, accuracy) stays on the sf0.001 quick loop.  Point this env at
+# sf0.001 to speed up an inner dev loop.
+PARITY_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01"
+)
 
 
 @pytest.fixture(scope="session")
@@ -35,6 +43,22 @@ def duck():
     for name in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF_DIR_ORACLE}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="session")
+def parity_sf_dir() -> str:
+    return PARITY_SF_DIR
+
+
+@pytest.fixture(scope="session")
+def parity_duck():
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{PARITY_SF_DIR}/{name}.parquet')"
         )
     yield con
     con.close()

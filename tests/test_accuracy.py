@@ -16,9 +16,16 @@ from kafka_go_cardinality_spark.operators.cardinality import (
 from kafka_go_cardinality_spark.sources import load_table
 
 
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
 @pytest.mark.parametrize("grain", GRAINS)
-def test_approx_within_two_percent_of_exact(spark, sf_dir, grain):
-    err = cardinality_error_bound(load_table(spark, sf_dir, "events"), grain)
+def test_approx_within_two_percent_of_exact(spark, sf, grain):
+    """The reference's one published number (README.md:4, "<1%" HLL
+    error, generous 2% here for a different estimator) — proven at BOTH
+    the quick-loop scale and the driver's checking scale, since sketch
+    error is cardinality-dependent."""
+    err = cardinality_error_bound(load_table(spark, sf, "events"), grain)
     worst = err.agg(F.max("rel_err").alias("m")).collect()[0]["m"]
     assert worst is not None and worst <= 0.02, f"{grain}: worst rel_err {worst}"
 

@@ -28,6 +28,19 @@ def test_connected_components_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_long_chain_converges_within_budget(spark):
+    """Adversarial long-chain corpus (VERDICT r2 item 7): a planted
+    50-link chain — diameter 50, far beyond any plain min-propagation
+    budget — must fully collapse within the DEFAULT max_iter, proving
+    the pointer-jump shortcut delivers O(log diameter) rounds."""
+    pairs = spark.createDataFrame(
+        [(k, k + 1) for k in range(50)], ["doc_a", "doc_b"]
+    )
+    rows = connected_components(pairs).collect()  # default max_iter=10
+    assert len(rows) == 51
+    assert {r["cluster_id"] for r in rows} == {0}
+
+
 def test_connected_components_converges_on_star(spark):
     """A star (all pairs share one hub) converges in one round regardless
     of size; labels equal the hub (the min id)."""

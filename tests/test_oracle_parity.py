@@ -22,18 +22,20 @@ def test_oracle_keys_subset_of_queries():
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracle_parity(name, spark, duck, sf_dir):
+def test_oracle_parity(name, spark, parity_duck, parity_sf_dir):
+    """Runs at the driver's checking scale (sf0.01 by default) — the
+    exact mirror of the CORRECTNESS gate, including its data volume."""
     q = QUERIES[name]
-    spark_pdf = q(spark, sf_dir).toPandas()
-    oracle_pdf = duck.execute(ORACLES[name]).fetchdf()
+    spark_pdf = q(spark, parity_sf_dir).toPandas()
+    oracle_pdf = parity_duck.execute(ORACLES[name]).fetchdf()
     assert_frames_match(spark_pdf, oracle_pdf)
 
 
 @pytest.mark.parametrize(
     "name", sorted(set(QUERIES) - set(ORACLES))
 )
-def test_rows_only_queries_run(name, spark, sf_dir):
-    df = QUERIES[name](spark, sf_dir)
+def test_rows_only_queries_run(name, spark, parity_sf_dir):
+    df = QUERIES[name](spark, parity_sf_dir)
     assert df.columns, f"{name} returned no columns"
     assert df.count() >= 0
 

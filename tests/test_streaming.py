@@ -332,3 +332,20 @@ def test_stream_grain_fanout_matches_batch_sketches(spark, sf_dir):
         for r in m.queries()["q_card_day_approx"](spark, sf_dir).collect()
     }
     assert stream_day == batch_day
+
+
+def test_stream_profile_registration_matches_environment():
+    """q_stream_profile is registered exactly when the
+    transformWithState protocol's google.protobuf dependency exists
+    (queries_streaming._register_stream_profile)."""
+    import __spark_entry__ as entry_mod
+
+    try:
+        import google.protobuf  # noqa: F401
+        has_dep = True
+    except ImportError:
+        has_dep = False
+    registered = "q_stream_profile" in entry_mod.queries()
+    assert registered == has_dep
+    if registered:
+        assert "q_stream_profile" in entry_mod.oracle_sql()
