@@ -44,27 +44,38 @@ def tokens_sql(expr: str) -> str:
     return f"string_split_regex(lower(trim({expr})), '\\s+')"
 
 
-def shingles(tok: Column, n: int = 3) -> Column:
-    """Distinct space-joined word n-grams, in-order construction."""
+def grams(tok: Column, n: int = 3) -> Column:
+    """ALL space-joined word n-grams in position order (duplicates kept —
+    the positional variant substring dedup needs)."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(0)))
-    gram = F.transform(
+    return F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(tok, i + j) for j in range(n)]
         ),
     )
-    return F.array_distinct(gram)
+
+
+def grams_sql(tok_col: str, n: int = 3) -> str:
+    """`tok_col` must be a plain column name (bind the token list in a CTE
+    first) — it is referenced n times per gram."""
+    parts = " || ' ' || ".join(f"{tok_col}[i + {j}]" for j in range(n))
+    return (
+        f"list_transform("
+        f"range(1, greatest(len({tok_col}) - {n - 1}, 0) + 1), "
+        f"i -> {parts})"
+    )
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """Distinct space-joined word n-grams, in-order construction."""
+    return F.array_distinct(grams(tok, n))
 
 
 def shingles_sql(tok_col: str, n: int = 3) -> str:
     """`tok_col` must be a plain column name (bind the token list in a CTE
     first) — it is referenced n times per shingle."""
-    parts = " || ' ' || ".join(f"{tok_col}[i + {j}]" for j in range(n))
-    return (
-        f"list_distinct(list_transform("
-        f"range(1, greatest(len({tok_col}) - {n - 1}, 0) + 1), "
-        f"i -> {parts}))"
-    )
+    return f"list_distinct({grams_sql(tok_col, n)})"
 
 
 # ------------------------------------------------------------ vector math

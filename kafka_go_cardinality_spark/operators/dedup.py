@@ -148,23 +148,10 @@ def _signature(corpus: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """Near-dup pairs via MinHash LSH: band-bucket candidates, then exact
-    Jaccard verification.  Output: (doc_a, doc_b, jaccard) with a < b.
-
-    The signature frame is persisted before use: it feeds FOUR plan
-    branches (both sides of the band self-join, both re-attachment joins),
-    and without a cache boundary Spark recomputes the md5-per-shingle
-    signature stage — the dominant cost — once per branch and compiles its
-    codegen unit once per branch.  One materialization of (doc_id,
-    shingles, 16 longs) is strictly smaller than the corpus and is the
-    standard shape for persisted LSH signature tables at scale."""
-    sig = _signature(corpus).persist()
-    sets = sig.select("doc_id", "shingle_set")
-    # Candidate generation shuffles (band, band_hash, doc_id) ONLY — at
-    # 100 TB the shingle sets (i.e. the documents) must never ride the
-    # LSH self-join; they are re-attached per candidate pair afterwards.
-    bands = sig.select(
+def _band_frame(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) — one row per LSH band bucket entry; the
+    ONLY payload that rides a candidate-generation shuffle."""
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -183,6 +170,25 @@ def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
             )
         ).alias("band", "band_hash"),
     )
+
+
+def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Near-dup pairs via MinHash LSH: band-bucket candidates, then exact
+    Jaccard verification.  Output: (doc_a, doc_b, jaccard) with a < b.
+
+    The signature frame is persisted before use: it feeds FOUR plan
+    branches (both sides of the band self-join, both re-attachment joins),
+    and without a cache boundary Spark recomputes the md5-per-shingle
+    signature stage — the dominant cost — once per branch and compiles its
+    codegen unit once per branch.  One materialization of (doc_id,
+    shingles, 16 longs) is strictly smaller than the corpus and is the
+    standard shape for persisted LSH signature tables at scale."""
+    sig = _signature(corpus).persist()
+    sets = sig.select("doc_id", "shingle_set")
+    # Candidate generation shuffles (band, band_hash, doc_id) ONLY — at
+    # 100 TB the shingle sets (i.e. the documents) must never ride the
+    # LSH self-join; they are re-attached per candidate pair afterwards.
+    bands = _band_frame(sig)
     cands = (
         bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
         .join(
@@ -470,3 +476,231 @@ def ngram_jaccard_pairs(
     return shared.select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+# Exact-substring dedup: window length in tokens.  Real pipelines use
+# ~50 BPE tokens (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better"); the fixture docs are ~30 whitespace tokens,
+# so 8 keeps the statistic non-degenerate while the plan is identical
+# at any W.
+SUBSTR_W = 8
+
+
+def substring_dup_stats(corpus: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """Exact substring-duplication profile per document: every length-``w``
+    token window (positional, duplicates kept — unlike shingles) is
+    hashed; a window is DUPLICATED if its hash occurs ≥ 2 times anywhere
+    in the corpus (other docs or elsewhere in the same doc).  Emits per
+    doc the window count, duplicated-window count, and duplicated
+    fraction — the signal substring-level dedup pipelines threshold on
+    to drop or trim boilerplate-heavy documents.
+
+    Scale shape: windows are hashed IN-ROW (one md5 per window, map
+    side), and the corpus is never self-joined — occurrence totals come
+    from two hash-partitioned aggregations over (window-hash, doc_id)
+    postings, and the per-bucket doc list rides a collect_list bounded
+    by the bucket's own occurrence count (a hot boilerplate window
+    concentrates its postings, the same skew class as the n-gram
+    posting plan).  Three exchanges of 16-byte postings total; document
+    text never shuffles.  Docs shorter than ``w`` tokens have no
+    windows and are absent from the output (contract shared with the
+    oracle).
+    """
+    from kafka_go_cardinality_spark.functions import grams
+
+    # NB: single-arg lambda — transform would bind hash64's `salt`
+    # parameter to the element-index column otherwise.
+    win = F.transform(grams(tokens(F.col("text")), w), lambda g: hash64(g))
+    flat = corpus.select("doc_id", F.explode(win).alias("h"))
+    per_doc = flat.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("k"))
+    buckets = per_doc.groupBy("h").agg(
+        F.sum("k").alias("tot"),
+        F.collect_list(F.struct("doc_id", "k")).alias("pd"),
+    )
+    n_dup = F.sum(F.when(F.col("tot") >= 2, F.col("k")).otherwise(F.lit(0)))
+    return (
+        buckets.select(F.explode("pd").alias("p"), "tot")
+        .select(F.col("p.doc_id").alias("doc_id"), F.col("p.k").alias("k"), "tot")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_windows"),
+            n_dup.alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("n_dup_windows") / F.col("n_windows"), 6)
+        )
+    )
+
+
+def source_overlap(documents: DataFrame) -> DataFrame:
+    """Corpus-level contamination matrix: pairwise shingle-set Jaccard
+    between SOURCES (crawls/dumps/domains) — the audit every multi-source
+    training mix needs before weighting sources (near-identical sources
+    double-count their mass).
+
+    Exact, not sketched, and the corpus is scanned ONCE: distinct
+    (source, shingle-hash) postings collapse into per-shingle source
+    lists (bucket size ≤ |sources| — constants, not data), persisted
+    because both downstream reductions read them.  Source-pair common
+    counts come from in-row pair enumeration over each bucket's sorted
+    source array (C(|sources|, 2) structs max per row — no self-join,
+    no bucket²-row blowup), set sizes from exploding the same buckets;
+    both reductions shuffle rows bounded by |sources|² TOTAL.  At
+    100 TB swap the exact postings for per-source theta sketches
+    (operators/cardinality) when shingle volume outgrows the posting
+    shuffle; the exact plan is the oracle-checkable ground truth.
+    """
+    buckets = (
+        documents.select(
+            F.col("source"),
+            F.explode(shingles(tokens(F.col("text")))).alias("g"),
+        )
+        .select("source", hash64(F.col("g")).alias("h"))
+        .distinct()
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_list("source")).alias("srcs"))
+        .persist()
+    )
+    sizes = (
+        buckets.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("size"))
+    )
+    # Ordered pair enumeration in-row: for each source at index i, pair
+    # it with every later source in the sorted array.
+    pairs = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
+    common = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.source_a").alias("source_a"),
+                 F.col("p.source_b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                     F.col("size").alias("size_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                     F.col("size").alias("size_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a", "source_b", "n_common", "size_a", "size_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def with_incremental_batch(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(corpus, batch) for incremental dedup: corpus = the documents as
+    they stand; batch = a new 'crawl' containing near-duplicates of
+    corpus docs (every 7th doc minus its last token, id+1_000_000 — the
+    with_near_dupes mutation rule) plus genuinely new docs (every 9th
+    doc with its token order REVERSED, id+2_000_000 — in-order 3-gram
+    shingles share almost nothing with the reversed stream, so these
+    must survive the dedup)."""
+    tok = tokens(F.col("text"))
+    mutants = (
+        documents.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn(
+            "text",
+            F.array_join(F.slice(tok, 1, F.greatest(F.size(tok) - 1, F.lit(1))), " "),
+        )
+    )
+    fresh = (
+        documents.filter(F.col("doc_id") % 9 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.array_join(F.reverse(tok), " "))
+    )
+    return documents, mutants.unionByName(fresh)
+
+
+WITH_INCREMENTAL_BATCH_SQL = """
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(list_slice(toks, 1, greatest(len(toks) - 1, 1)), ' ') AS text
+    FROM (SELECT *, string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents)
+    WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           array_to_string(list_reverse(toks), ' ') AS text
+    FROM (SELECT *, string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents)
+    WHERE doc_id % 9 = 0
+"""
+
+
+def minhash_incremental(
+    corpus: DataFrame, batch: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Incremental dedup: screen a NEW batch against an EXISTING corpus
+    without re-pairing the corpus against itself — the production shape
+    of continuous crawl ingestion (the corpus's signature/band table is
+    write-once; each new batch only joins against it).
+
+    Per batch doc: the number of corpus docs with verified shingle
+    Jaccard ≥ threshold (``n_matches``) and the keep decision
+    (``is_dup``).  Candidate generation is a batch-bands ⋈ corpus-bands
+    equi-join on (band, band_hash) — shuffles band keys only, never
+    shingle sets; exact verification re-attaches the two shingle sets
+    per CANDIDATE pair.  At 100 TB the corpus band table is the
+    pre-bucketed asset and the per-batch cost scales with the batch,
+    not the corpus.
+    """
+    sig_c = _signature(corpus).persist()
+    sig_b = _signature(batch).persist()
+    cands = (
+        _band_frame(sig_b)
+        .select(F.col("doc_id").alias("batch_id"), "band", "band_hash")
+        .join(
+            _band_frame(sig_c).select(
+                F.col("doc_id").alias("corpus_id"), "band", "band_hash"
+            ),
+            ["band", "band_hash"],
+        )
+        .select("batch_id", "corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    pairs = cands.join(
+        sig_b.select(F.col("doc_id").alias("batch_id"),
+                     F.col("shingle_set").alias("set_b")),
+        "batch_id",
+    ).join(
+        sig_c.select(F.col("doc_id").alias("corpus_id"),
+                     F.col("shingle_set").alias("set_c")),
+        "corpus_id",
+    )
+    inter = F.size(F.array_intersect("set_b", "set_c")).cast("double")
+    union = (F.size("set_b") + F.size("set_c") - inter).cast("double")
+    matches = (
+        pairs.select(
+            "batch_id", F.round(inter / union, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    return (
+        batch.select(F.col("doc_id"))
+        .join(matches, F.col("doc_id") == F.col("batch_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            (F.coalesce("n_matches", F.lit(0)) > 0).cast("int").alias("is_dup"),
+        )
+    )

@@ -835,3 +835,46 @@ def hash_classifier_scores(documents: DataFrame) -> DataFrame:
         score.alias("score_sum"),
         (score > 0).cast("int").alias("keep"),
     )
+
+
+# Vocabulary induction: table size for the frequency-rank vocab.
+VOCAB_SIZE = 100
+
+
+def vocab_top(documents: DataFrame, v: int = VOCAB_SIZE) -> DataFrame:
+    """Tokenizer vocabulary induction (frequency-rank flavor): the top-V
+    corpus tokens by occurrence count, each assigned a dense token_id in
+    (count desc, token) order — the deterministic id table every
+    tokenize step downstream joins against.
+
+    Scale shape: one explode + hash aggregation for counts (map-side
+    combined — the shuffle carries one row per distinct token per
+    partition), then TakeOrderedAndProject for the top V (never a global
+    sort of the counts), and the row_number window runs over the already
+    -limited V rows — a single partition of MODEL-SIZED state, the same
+    contract as a k-means centroid array.  BPE-style merge induction is
+    iterative and out of scope; frequency-rank is the vocab shape used
+    by classic word-level LMs and count-based filters.
+    """
+    counts = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counts.orderBy(F.col("freq").desc(), "token").limit(v)
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    return top.select(
+        "token", "freq", F.row_number().over(w).alias("token_id")
+    )
+
+
+def vocab_top_oracle_sql(v: int = VOCAB_SIZE) -> str:
+    from kafka_go_cardinality_spark.functions import tokens_sql
+
+    return f"""
+    WITH c AS (SELECT unnest({tokens_sql('text')}) AS token FROM documents),
+    f AS (SELECT token, count(*) AS freq FROM c GROUP BY 1)
+    SELECT token, freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS token_id
+    FROM f ORDER BY freq DESC, token LIMIT {v}
+    """

@@ -1003,3 +1003,155 @@ def q_text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero shuffle, zero Python — one codegen'd scan at any scale
     (operators/text.hash_classifier_scores)."""
     return tx.hash_classifier_scores(_docs(spark, sf_dir))
+
+
+# ------------------------------------------- E20+ substring & corpus audits
+
+
+def _substring_oracle() -> str:
+    from kafka_go_cardinality_spark.functions import grams_sql
+
+    return f"""
+    WITH corpus AS ({dd.WITH_NEAR_DUPES_SQL}),
+    toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM corpus),
+    win AS (SELECT doc_id,
+                   unnest(list_transform({grams_sql('t', dd.SUBSTR_W)},
+                          x -> {hash64_sql('x')})) AS h
+            FROM toks),
+    per_doc AS (SELECT h, doc_id, count(*) AS k FROM win GROUP BY 1, 2),
+    tot AS (SELECT h, sum(k) AS tot FROM per_doc GROUP BY 1)
+    SELECT doc_id,
+           CAST(sum(k) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN tot >= 2 THEN k ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           round(sum(CASE WHEN tot >= 2 THEN k ELSE 0 END)
+                 / CAST(sum(k) AS DOUBLE), 6) AS dup_frac
+    FROM per_doc JOIN tot USING (h)
+    GROUP BY doc_id
+    """
+
+
+@query("q_dedup_substring", _substring_oracle())
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E20+] Exact substring-duplication profile (Lee et al.-style): per
+    doc, the fraction of length-W token windows whose hash occurs ≥ 2
+    times in the corpus — the threshold signal for dropping or trimming
+    boilerplate-heavy documents (operators/dedup.substring_dup_stats).
+    Runs over the near-dup-planted corpus so duplicated runs exist."""
+    return dd.substring_dup_stats(dd.with_near_dupes(_docs(spark, sf_dir)))
+
+
+def _source_overlap_oracle() -> str:
+    return f"""
+    WITH toks AS (SELECT source, {tokens_sql('text')} AS t FROM documents),
+    sets AS (
+      SELECT DISTINCT source,
+             unnest(list_transform({shingles_sql('t')},
+                    x -> {hash64_sql('x')})) AS h
+      FROM toks),
+    sizes AS (SELECT source, count(*) AS size FROM sets GROUP BY 1),
+    common AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+      FROM sets a JOIN sets b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, n_common,
+           sa.size AS size_a, sb.size AS size_b,
+           round(n_common / CAST(sa.size + sb.size - n_common AS DOUBLE), 6)
+             AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.source = common.source_a
+    JOIN sizes sb ON sb.source = common.source_b
+    """
+
+
+@query("q_dedup_source_overlap", _source_overlap_oracle())
+def q_dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E20+] Corpus-level contamination matrix: pairwise shingle-set
+    Jaccard between sources — the audit run before weighting a
+    multi-source training mix (operators/dedup.source_overlap)."""
+    return dd.source_overlap(_docs(spark, sf_dir))
+
+
+
+def _incremental_oracle() -> str:
+    """DuckDB twin of operators/dedup.minhash_incremental — the full
+    two-sided pipeline (signatures, bands, candidate join, exact
+    verification) generated from the same constants."""
+    mh_cols = ",\n           ".join(
+        f"list_min(list_transform(hs, h -> "
+        f"({dd.PERM_A[i]} * (h % {dd.MINHASH_P}) + {dd.PERM_B[i]}) % {dd.MINHASH_P}"
+        f")) AS mh{i}"
+        for i in range(dd.NUM_PERMS)
+    )
+
+    def band_rows(sig_cte: str) -> str:
+        return "\n      UNION ALL\n      ".join(
+            "SELECT doc_id, s, {b} AS band, md5({concat}) AS band_hash FROM {cte}".format(
+                b=b,
+                concat=" || ',' || ".join(
+                    f"CAST(mh{b * dd.BAND_SIZE + r} AS VARCHAR)"
+                    for r in range(dd.BAND_SIZE)
+                ),
+                cte=sig_cte,
+            )
+            for b in range(dd.NUM_BANDS)
+        )
+
+    def side(name: str, corpus_cte: str) -> str:
+        return f"""
+    tok_{name} AS (SELECT doc_id, {tokens_sql('text')} AS t FROM {corpus_cte}),
+    sh_{name} AS (SELECT doc_id, {shingles_sql('t')} AS s FROM tok_{name}),
+    hs_{name} AS (SELECT doc_id, s, list_transform(s, x -> {hash64_sql('x')}) AS hs
+                  FROM sh_{name}),
+    sig_{name} AS (SELECT doc_id, s,
+           {mh_cols}
+    FROM hs_{name}),
+    bands_{name} AS (
+      {band_rows(f'sig_{name}')}
+    )"""
+
+    return f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    batch AS ({dd.WITH_INCREMENTAL_BATCH_SQL}),
+    {side('c', 'corpus')},
+    {side('b', 'batch')},
+    cands AS (
+      SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+                      b.s AS set_b, c.s AS set_c
+      FROM bands_b b JOIN bands_c c
+        ON b.band = c.band AND b.band_hash = c.band_hash
+    ),
+    m AS (
+      SELECT batch_id, count(*) AS n_matches FROM (
+        SELECT batch_id,
+               round(CAST(len(list_intersect(set_b, set_c)) AS DOUBLE)
+                     / (len(set_b) + len(set_c) - len(list_intersect(set_b, set_c))),
+                     6) AS jaccard
+        FROM cands
+      ) WHERE jaccard >= 0.8 GROUP BY batch_id
+    )
+    SELECT d.doc_id, COALESCE(m.n_matches, 0) AS n_matches,
+           CAST(COALESCE(m.n_matches, 0) > 0 AS INT) AS is_dup
+    FROM batch d LEFT JOIN m ON m.batch_id = d.doc_id
+    """
+
+
+@query("q_dedup_incremental", _incremental_oracle())
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E20+] Incremental dedup — screen a new crawl batch against the
+    EXISTING corpus without re-pairing the corpus with itself: batch
+    bands join the corpus's write-once band table, exact Jaccard
+    verifies candidates, each batch doc gets (n_matches, is_dup).  The
+    planted batch mixes near-duplicate mutants (must be flagged) with
+    token-reversed docs (must survive)
+    (operators/dedup.minhash_incremental)."""
+    corpus, batch = dd.with_incremental_batch(_docs(spark, sf_dir))
+    return dd.minhash_incremental(corpus, batch)
+
+
+@query("q_text_vocab", tx.vocab_top_oracle_sql())
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22+] Tokenizer vocabulary induction (frequency-rank): top-V
+    corpus tokens with dense deterministic token_ids — the id table the
+    tokenize step joins against (operators/text.vocab_top)."""
+    return tx.vocab_top(_docs(spark, sf_dir))

@@ -571,3 +571,29 @@ def test_udtf_chunker_semantics(spark):
         (0, "one two three"),
         (1, "four"),
     ]
+
+
+def test_incremental_dedup_flags_mutants_keeps_fresh(spark, sf_dir):
+    """Recall/precision on the planted batch — a contract the oracle
+    can't express (it replicates the algorithm, not the intent): every
+    near-dup mutant must be flagged (LSH at 16 perms / 8 bands of 2 is
+    ~certain at jaccard ≈ 0.97), and every token-reversed doc must
+    survive (in-order 3-gram shingles share ~nothing with the reversed
+    stream)."""
+    from kafka_go_cardinality_spark.operators.dedup import (
+        minhash_incremental,
+        with_incremental_batch,
+    )
+    from kafka_go_cardinality_spark.sources import load_table
+
+    corpus, batch = with_incremental_batch(load_table(spark, sf_dir, "documents"))
+    rows = minhash_incremental(corpus, batch).collect()
+    mutants = [r for r in rows if r["doc_id"] < 2_000_000]
+    fresh = [r for r in rows if r["doc_id"] >= 2_000_000]
+    assert mutants and fresh
+    assert all(r["is_dup"] == 1 for r in mutants), [
+        r for r in mutants if r["is_dup"] != 1
+    ]
+    assert all(r["is_dup"] == 0 for r in fresh), [
+        r for r in fresh if r["is_dup"] != 0
+    ]

@@ -294,6 +294,53 @@ def test_latest_per_key_single_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan_string(df, mode="simple")
 
 
+def test_substring_dedup_never_shuffles_text(spark, sf_dir):
+    """Substring dedup must move 16-byte hashed postings only: no join
+    of any kind, and no exchange may carry the text column — at 100 TB
+    the document bodies never leave their scan partitions."""
+    df = q("q_dedup_substring", spark, sf_dir)
+    plan = plan_string(df, mode="simple")
+    assert "Join" not in plan, plan
+    for block in exchange_blocks(df):
+        assert "text#" not in block, block
+
+
+def test_source_overlap_has_no_self_join(spark, sf_dir):
+    """The source-overlap matrix must come from in-row pair enumeration
+    over per-shingle buckets — never a posting self-join (bucket² rows)
+    or a cartesian of sources; the only joins are the two broadcast
+    size attachments."""
+    plan = plan_string(q("q_dedup_source_overlap", spark, sf_dir), mode="simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "InMemoryRelation" in plan, plan  # corpus scanned once
+
+
+def test_incremental_dedup_bands_carry_no_shingles(spark, sf_dir):
+    """Batch-vs-corpus screening must shuffle band keys only: the
+    (band, band_hash) candidate join never carries a shingle set, and
+    nothing degenerates into a cartesian."""
+    df = q("q_dedup_incremental", spark, sf_dir)
+    plan = plan_string(df, mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for block in exchange_blocks(df):
+        if "band_hash" in block:
+            assert "shingle" not in block and "set_" not in block, block
+
+
+def test_vocab_top_is_takeordered_then_model_sized_window(spark, sf_dir):
+    """Vocabulary induction must TakeOrderedAndProject the counts (never
+    globally sort every distinct token) — the single-partition
+    row_number window is fine because it runs over the already-limited
+    V rows (model-sized state)."""
+    df = q("q_text_vocab", spark, sf_dir)
+    plan = plan_string(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
 def test_textrank_round_is_broadcast_only(spark, sf_dir):
     """Rank state must stay DISTRIBUTED across the PageRank solve: each
     round broadcast-joins the vocab-sized rank frame onto the edge
