@@ -508,10 +508,24 @@ def substring_dup_stats(corpus: DataFrame, w: int = SUBSTR_W) -> DataFrame:
     """
     from kafka_go_cardinality_spark.functions import grams
 
-    # NB: single-arg lambda — transform would bind hash64's `salt`
-    # parameter to the element-index column otherwise.
-    win = F.transform(grams(tokens(F.col("text")), w), lambda g: hash64(g))
-    flat = corpus.select("doc_id", F.explode(win).alias("h"))
+    # Token and gram arrays are bound in their own projections — an
+    # unbound split inside the gram lambda re-runs the regex per
+    # element_at (O(tokens) per window, measured 12× slower; same
+    # pathology _signature documents).  The map stage is CPU-bound
+    # (one md5 per window), so spread it across all cores first.
+    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    flat = (
+        corpus.select("doc_id", tokens(F.col("text")).alias("t"))
+        .select("doc_id", grams(F.col("t"), w).alias("g"))
+        # NB: single-arg lambda — transform would bind hash64's `salt`
+        # parameter to the element-index column otherwise.
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(F.col("g"), lambda g: hash64(g))
+            ).alias("h"),
+        )
+    )
     per_doc = flat.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("k"))
     buckets = per_doc.groupBy("h").agg(
         F.sum("k").alias("tot"),
@@ -550,11 +564,23 @@ def source_overlap(documents: DataFrame) -> DataFrame:
     (operators/cardinality) when shingle volume outgrows the posting
     shuffle; the exact plan is the oracle-checkable ground truth.
     """
+    # Same binding discipline as substring_dup_stats: tokens and
+    # shingles each materialized before the next lambda touches them,
+    # and the md5-heavy map stage spread across all cores.
+    documents = documents.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    )
+    # explode_OUTER + post-filter, not plain explode: Catalyst infers a
+    # `size(shingles) > 0` pre-filter from a non-outer Generate and
+    # pushes it below the repartition INTO THE SCAN — re-evaluating the
+    # whole shingle expression at the parquet file's parallelism (one
+    # task) before the spread; measured 23× slower at sf0.1.  The
+    # null-filter on the exploded column cannot sink below the Generate.
     buckets = (
-        documents.select(
-            F.col("source"),
-            F.explode(shingles(tokens(F.col("text")))).alias("g"),
-        )
+        documents.select("source", tokens(F.col("text")).alias("t"))
+        .select("source", shingles(F.col("t")).alias("s"))
+        .select("source", F.explode_outer("s").alias("g"))
+        .filter(F.col("g").isNotNull())
         .select("source", hash64(F.col("g")).alias("h"))
         .distinct()
         .groupBy("h")

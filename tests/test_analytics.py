@@ -597,3 +597,60 @@ def test_incremental_dedup_flags_mutants_keeps_fresh(spark, sf_dir):
     assert all(r["is_dup"] == 0 for r in fresh), [
         r for r in fresh if r["is_dup"] != 0
     ]
+
+
+def test_substring_dup_stats_hand_computed(spark):
+    """A planted exact copy makes EVERY window of both docs duplicated;
+    a unique doc scores 0; repeated text within ONE doc also counts
+    (corpus-wide occurrence >= 2 includes same-doc repeats)."""
+    from kafka_go_cardinality_spark.operators.dedup import substring_dup_stats
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # exact copy: all windows dup
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),  # unique: 0 dup
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_frac"])
+        for r in substring_dup_stats(docs, w=8).collect()
+    }
+    # 10 tokens, W=8 -> 3 windows each; 9 tokens -> 2 windows
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (3, 3, 1.0)
+    assert got[3] == (2, 0, 0.0)
+
+
+def test_source_overlap_hand_computed(spark):
+    """Identical sources score jaccard 1; disjoint sources share no
+    shingle bucket and emit no row (inner join on the bucket)."""
+    from kafka_go_cardinality_spark.operators.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e", "en", "s1", 9),
+            (2, "a b c d e", "en", "s2", 9),     # identical to s1
+            (3, "x y z q r", "en", "s3", 9),     # disjoint
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {(r["source_a"], r["source_b"]): r for r in source_overlap(docs).collect()}
+    assert set(rows) == {("s1", "s2")}
+    r = rows[("s1", "s2")]
+    assert r["jaccard"] == 1.0 and r["n_common"] == r["size_a"] == r["size_b"] == 3
+
+
+def test_vocab_top_rank_order_and_ties(spark):
+    """Ids follow (freq desc, token asc); ties break alphabetically; the
+    table is capped at V."""
+    from kafka_go_cardinality_spark.operators.text import vocab_top
+
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a c d")], ["doc_id", "text"]
+    )
+    rows = vocab_top(docs, v=3).collect()
+    got = [(r["token"], r["freq"], r["token_id"]) for r in rows]
+    assert sorted(got, key=lambda x: x[2]) == [("a", 3, 1), ("b", 3, 2), ("c", 2, 3)]

@@ -692,6 +692,29 @@ def test_python_stays_off_hot_paths(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_no_higher_order_expressions_in_scan_datafilters(spark, sf_dir):
+    """Whole-surface invariant: no parquet scan may evaluate a
+    higher-order array expression inside its DataFilters.
+    InferFiltersFromGenerate turns a non-outer explode into a
+    ``size(<expr>) > 0`` pre-filter and pushes it below any repartition
+    INTO THE SCAN — so the full tokenize/shingle/hash expression runs at
+    the parquet file's parallelism (one task on a one-file fixture)
+    before the spread the operator asked for; measured 23× on
+    source_overlap at sf0.1.  The fix pattern is explode_outer + an
+    explicit null-filter on the generator OUTPUT (which cannot sink
+    below the Generate)."""
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        if name.startswith("q_stream"):
+            continue
+        plan = plan_string(fn(spark, sf_dir), mode="simple")
+        for line in plan.splitlines():
+            if "DataFilters:" in line and "lambdafunction" in line:
+                offenders.append(name)
+                break
+    assert not offenders, offenders
+
+
 def test_exchange_counts_stay_within_budget(spark, sf_dir):
     """Whole-surface shuffle budget: every batch query's exchange count
     is snapshotted in tests/exchange_budgets.json (regenerate with
