@@ -489,3 +489,66 @@ def global_enumerate(
         )
         .select("event_id", "value", "global_rank")
     )
+
+
+# Markov transition probabilities in exact integer micro-units.
+MARKOV_Q = 1_000_000
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition matrix — the behavioral-analytics
+    primitive behind next-action prediction and journey analysis: for
+    every ordered pair (prev_type, next_type), how many consecutive
+    same-user transitions occurred and the row-normalized probability,
+    in exact integer micro-units (``p_q = c * 1e6 div row_total`` —
+    engine-exact, same discipline as TextRank/bigram_assoc).
+
+    Scale shape: ONE hash exchange on user_id feeds the lag window
+    (per-user ordering is partition-local); transitions then collapse
+    to a |types|²-bounded frame, and the row marginal derives from that
+    collapsed frame via a broadcast join — the raw events are never
+    touched again.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    trans = steps.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    trans = trans.localCheckpoint(eager=True)  # feeds the marginal + the join
+    marg = trans.groupBy(F.col("prev_type").alias("m_type")).agg(
+        F.sum("c").alias("row_total")
+    )
+    return (
+        trans.join(F.broadcast(marg), F.col("prev_type") == F.col("m_type"))
+        .select(
+            "prev_type",
+            "next_type",
+            "c",
+            F.col("row_total"),
+            F.expr(f"(c * {MARKOV_Q}) div row_total").alias("p_q"),
+        )
+    )
+
+
+def markov_transitions_oracle_sql() -> str:
+    return f"""
+    WITH steps AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS c
+      FROM steps WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    marg AS (SELECT prev_type, sum(c) AS row_total FROM trans GROUP BY 1)
+    SELECT t.prev_type, t.next_type, t.c,
+           CAST(m.row_total AS BIGINT) AS row_total,
+           CAST((t.c * {MARKOV_Q}) // m.row_total AS BIGINT) AS p_q
+    FROM trans t JOIN marg m ON t.prev_type = m.prev_type
+    """

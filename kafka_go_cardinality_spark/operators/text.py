@@ -878,3 +878,145 @@ def vocab_top_oracle_sql(v: int = VOCAB_SIZE) -> str:
            CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS token_id
     FROM f ORDER BY freq DESC, token LIMIT {v}
     """
+
+
+# RAG chunking geometry: window length and stride in tokens (overlap =
+# CHUNK_LEN - CHUNK_STRIDE).  Chunk starts advance by stride while they
+# stay inside the document; the last chunks truncate at the end.
+CHUNK_LEN = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_documents(
+    documents: DataFrame, length: int = CHUNK_LEN, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """RAG-style document chunking: overlapping fixed-length token
+    windows per document — the retrieval-side preprocessing every
+    embedding/RAG corpus runs.  Emits (doc_id, chunk_id, start_tok,
+    n_chunk_tokens, chunk_md5); the md5 stands in for the chunk text so
+    the result stays compact while remaining exactly checkable.
+
+    Scale shape: chunk starts, slices, and hashes are all built IN-ROW
+    with higher-order array functions and exploded — a pure map pass,
+    zero shuffle, full scan parallelism; at 100 TB this costs one pass
+    over the corpus like normalize_text.  explode_outer keeps the plan
+    free of an inferred size()>0 scan filter (the DataFilters
+    invariant, tests/test_plans.py)."""
+    tok = tokens(F.col("text"))
+    toks = documents.select("doc_id", tok.alias("t"))
+    n = F.size(F.col("t"))
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    s.alias("start_tok"),
+                    F.slice(F.col("t"), s, length).alias("w"),
+                ),
+            )
+        ).alias("chunk_id", "c"),
+    )
+    return chunks.filter(F.col("c").isNotNull()).select(
+        "doc_id",
+        "chunk_id",
+        F.col("c.start_tok").alias("start_tok"),
+        F.size("c.w").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(F.col("c.w"), " ")).alias("chunk_md5"),
+    )
+
+
+def chunk_documents_oracle_sql(
+    length: int = CHUNK_LEN, stride: int = CHUNK_STRIDE
+) -> str:
+    from kafka_go_cardinality_spark.functions import tokens_sql
+
+    return f"""
+    WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(len(t), 1) + 1, {stride})) AS start_tok,
+             CAST(unnest(range(0, CAST(ceil(greatest(len(t), 1) / {stride}.0) AS BIGINT)))
+                  AS BIGINT) AS chunk_id
+      FROM toks)
+    SELECT doc_id, chunk_id, CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(list_slice(t, start_tok, start_tok + {length} - 1)) AS BIGINT)
+             AS n_chunk_tokens,
+           md5(array_to_string(list_slice(t, start_tok, start_tok + {length} - 1), ' '))
+             AS chunk_md5
+    FROM starts
+    """
+
+
+# Bigram association: minimum pair count and the micro-unit scale for
+# the integer PMI-odds score (the ln is monotone in the ratio, so the
+# exact integer ratio ranks identically and stays engine-exact).
+PMI_MIN_COUNT = 3
+PMI_Q = 1_000_000
+
+
+def bigram_assoc(documents: DataFrame, min_count: int = PMI_MIN_COUNT) -> DataFrame:
+    """Bigram association scores — the PMI-style collocation table
+    word2vec/phrase-mining preprocessing builds.  score_q is the exact
+    integer odds ratio in micro-units::
+
+        score_q = (c_ab * T * 1e6) div (c_a * c_b)
+
+    (T = total bigram tokens; monotone in PMI = ln of the same ratio,
+    kept as an integer so both engines agree bit-for-bit — same
+    micro-unit discipline as TextRank/unigram-NLL).
+
+    Scale shape: one shuffle builds the vocab²-bounded bigram counts;
+    left/right unigram totals derive from the SAME collapsed frame
+    (vocab-sized aggregations), broadcast back onto it; T is a 1-row
+    broadcast.  The corpus is touched once."""
+    tok = tokens(F.col("text"))
+    pairs = documents.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(tok, 1, F.size(tok) - 1).alias("src"),
+                F.slice(tok, 2, F.size(tok) - 1).alias("dst"),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    bi = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c_ab"))
+    bi = bi.localCheckpoint(eager=True)  # feeds four reductions below
+    c_src = bi.groupBy("src").agg(F.sum("c_ab").alias("c_a"))
+    c_dst = bi.groupBy("dst").agg(F.sum("c_ab").alias("c_b"))
+    total = bi.agg(F.sum("c_ab").alias("t_total"))
+    return (
+        bi.join(F.broadcast(c_src), "src")
+        .join(F.broadcast(c_dst), "dst")
+        .join(F.broadcast(total))
+        .filter(F.col("c_ab") >= min_count)
+        .select(
+            "src",
+            "dst",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(f"(c_ab * t_total * {PMI_Q}) div (c_a * c_b)").alias("score_q"),
+        )
+    )
+
+
+def bigram_assoc_oracle_sql(min_count: int = PMI_MIN_COUNT) -> str:
+    from kafka_go_cardinality_spark.functions import tokens_sql
+
+    t = tokens_sql("text")
+    return f"""
+    WITH toks AS (SELECT {t} AS t FROM documents),
+    pairs AS (SELECT t[i] AS src, t[i+1] AS dst
+              FROM toks, unnest(range(1, len(t))) AS r(i)),
+    bi AS (SELECT src, dst, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+    ca AS (SELECT src, sum(c_ab) AS c_a FROM bi GROUP BY 1),
+    cb AS (SELECT dst, sum(c_ab) AS c_b FROM bi GROUP BY 1),
+    tt AS (SELECT sum(c_ab) AS t_total FROM bi)
+    SELECT bi.src, bi.dst, bi.c_ab,
+           CAST(ca.c_a AS BIGINT) AS c_a, CAST(cb.c_b AS BIGINT) AS c_b,
+           CAST((bi.c_ab * tt.t_total * {PMI_Q}) // (ca.c_a * cb.c_b) AS BIGINT)
+             AS score_q
+    FROM bi JOIN ca USING (src) JOIN cb USING (dst) CROSS JOIN tt
+    WHERE bi.c_ab >= {min_count}
+    """

@@ -746,3 +746,18 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("n").alias("n"), (-F.col("user_id")).alias("neg")),
         ).alias("hottest_key"),
     )
+
+
+from kafka_go_cardinality_spark.operators.relational import (  # noqa: E402
+    markov_transitions,
+    markov_transitions_oracle_sql,
+)
+
+
+@query("q_markov_transitions", markov_transitions_oracle_sql())
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E30+] Per-user event-type Markov transition matrix with exact
+    integer micro-unit probabilities: one user-partitioned lag window,
+    then all math on the |types|²-bounded collapsed frame
+    (operators/relational.markov_transitions)."""
+    return markov_transitions(_t(spark, sf_dir, "events"))

@@ -1155,3 +1155,20 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus tokens with dense deterministic token_ids — the id table the
     tokenize step joins against (operators/text.vocab_top)."""
     return tx.vocab_top(_docs(spark, sf_dir))
+
+
+@query("q_text_chunk", tx.chunk_documents_oracle_sql())
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22+] RAG document chunking: overlapping fixed-length token
+    windows (len 32, stride 24) built and hashed in-row — a zero-shuffle
+    map pass (operators/text.chunk_documents)."""
+    return tx.chunk_documents(_docs(spark, sf_dir))
+
+
+@query("q_text_bigram_assoc", tx.bigram_assoc_oracle_sql())
+def q_text_bigram_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22+] Bigram association (PMI-odds) table: exact integer
+    micro-unit scores over the vocab²-bounded bigram frame — the
+    collocation/phrase-mining preprocessing pass
+    (operators/text.bigram_assoc)."""
+    return tx.bigram_assoc(_docs(spark, sf_dir))

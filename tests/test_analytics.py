@@ -654,3 +654,68 @@ def test_vocab_top_rank_order_and_ties(spark):
     rows = vocab_top(docs, v=3).collect()
     got = [(r["token"], r["freq"], r["token_id"]) for r in rows]
     assert sorted(got, key=lambda x: x[2]) == [("a", 3, 1), ("b", 3, 2), ("c", 2, 3)]
+
+
+def test_chunking_covers_every_token_and_overlaps(spark):
+    """Chunk geometry invariants on a hand-built doc: starts advance by
+    stride; consecutive chunks overlap by len-stride; every token index
+    falls inside >=1 chunk; the final chunks truncate at the end."""
+    from kafka_go_cardinality_spark.operators.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(1, 81))  # 80 tokens
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(docs, length=32, stride=24).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    starts = [r["start_tok"] for r in rows]
+    assert starts == [1, 25, 49, 73]
+    assert [r["n_chunk_tokens"] for r in rows] == [32, 32, 32, 8]
+    covered = set()
+    for r in rows:
+        covered |= set(range(r["start_tok"], r["start_tok"] + r["n_chunk_tokens"]))
+    assert covered == set(range(1, 81))
+
+
+def test_bigram_assoc_hand_computed(spark):
+    """score_q on a tiny corpus: 'a b' appears 3x of 6 bigrams total,
+    c_a(src='a')=3, c_b(dst='b')=3 -> odds = (3*6)/(3*3) = 2.0 exactly."""
+    from kafka_go_cardinality_spark.operators.text import bigram_assoc
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b x")], ["doc_id", "text"]
+    )
+    rows = {(r["src"], r["dst"]): r for r in bigram_assoc(docs, min_count=3).collect()}
+    # bigrams: ab bc ca ab bc ca ab bx -> 8 total; ab=3
+    r = rows[("a", "b")]
+    assert r["c_ab"] == 3 and r["c_a"] == 3 and r["c_b"] == 3
+    assert r["score_q"] == (3 * 8 * 1_000_000) // (3 * 3)
+
+
+def test_markov_transitions_hand_computed(spark):
+    """Transition counts follow per-user (ts, event_id) order and never
+    cross users; row probabilities are exact truncated micro-units and
+    sum to within |types| of 1e6 per row."""
+    import datetime as _dt
+
+    from kafka_go_cardinality_spark.operators.relational import markov_transitions
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a -> b
+        (1, t0, 1, "a"), (2, t0 + _dt.timedelta(seconds=1), 1, "b"),
+        (3, t0 + _dt.timedelta(seconds=2), 1, "a"),
+        (4, t0 + _dt.timedelta(seconds=3), 1, "b"),
+        # user 2: b -> c   (no cross-user a->b from user1's tail)
+        (5, t0, 2, "b"), (6, t0 + _dt.timedelta(seconds=5), 2, "c"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {
+        (r["prev_type"], r["next_type"]): (r["c"], r["row_total"], r["p_q"])
+        for r in markov_transitions(ev).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 2, 1_000_000),
+        ("b", "a"): (1, 2, 500_000),
+        ("b", "c"): (1, 2, 500_000),
+    }
