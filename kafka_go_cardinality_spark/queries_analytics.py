@@ -761,3 +761,85 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     then all math on the |types|²-bounded collapsed frame
     (operators/relational.markov_transitions)."""
     return markov_transitions(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "q_ts_resample_ffill",
+    """
+    WITH span AS (
+      SELECT event_type, date_trunc('hour', min(ts)) AS t0,
+             date_trunc('hour', max(ts)) AS t1
+      FROM events GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+      FROM span),
+    u AS (
+      SELECT event_type, ts, event_id, value, 0 AS is_grid FROM events
+      UNION ALL
+      SELECT event_type, ts, NULL, NULL, 1 FROM grid),
+    f AS (
+      SELECT event_type, ts, is_grid,
+             last_value(value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY ts, is_grid, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM u)
+    SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS grid_ts,
+           round(filled, 6) AS value_ffill
+    FROM f WHERE is_grid = 1
+    """,
+)
+def q_ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E28+] Forward-fill resample (LOCF): per event type, an hourly
+    grid over that type's own [min, max] span carrying the last
+    observed ``value`` at or before each grid instant (NULL until the
+    first observation).  The sensor/finance resample primitive that
+    gap-fill-with-zeros can't express.
+
+    ONE shuffle: grid markers union the observations and a single
+    per-type ordered window carries values forward — no join of grid
+    against data, no per-grid-point lookup.  Grid rows order AFTER
+    observations at the same instant (is_grid tie-key), and same-instant
+    observations order by event_id, so the carried value is exactly
+    defined on both engines.  At 100 TB the per-type window becomes the
+    two-level variant (partition by (type, day), carry the per-day
+    closing value forward through a second vocab-sized pass) — the
+    q_card_day_exact_salted pattern applied to ordering instead of
+    distinctness."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    span = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("ts"),
+    )
+    obs = ev.select(
+        "event_type", "ts", "event_id", "value", F.lit(0).alias("is_grid")
+    )
+    markers = grid.select(
+        "event_type",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_grid"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "is_grid", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        obs.unionByName(markers)
+        .withColumn("filled", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("is_grid") == 1)
+        .select(
+            "event_type",
+            F.unix_timestamp("ts").alias("grid_ts"),
+            F.round("filled", 6).alias("value_ffill"),
+        )
+    )

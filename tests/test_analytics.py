@@ -719,3 +719,42 @@ def test_markov_transitions_hand_computed(spark):
         ("b", "a"): (1, 2, 500_000),
         ("b", "c"): (1, 2, 500_000),
     }
+
+
+def test_resample_ffill_carries_and_leads_null(spark, sf_dir):
+    """LOCF semantics on the fixture: per type, every grid value equals
+    the most recent observation at or before that hour; hours before
+    the first observation are NULL; the carried value persists across
+    empty hours."""
+    from pyspark.sql import functions as F
+
+    from kafka_go_cardinality_spark.sources import load_table
+
+    got = {
+        (r["event_type"], r["grid_ts"]): r["value_ffill"]
+        for r in QUERIES["q_ts_resample_ffill"](spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.unix_timestamp("ts").alias("ts_s"),
+            "event_id",
+            "value",
+        )
+        .collect()
+    )
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r)
+    import math
+
+    for (etype, grid_ts), val in got.items():
+        obs = [r for r in by_type[etype] if r["ts_s"] <= grid_ts]
+        if not obs:
+            assert val is None, (etype, grid_ts, val)
+        else:
+            last = max(obs, key=lambda r: (r["ts_s"], r["event_id"]))
+            assert val is not None and math.isclose(
+                val, round(last["value"], 6), rel_tol=1e-9
+            ), (etype, grid_ts, val, last["value"])
