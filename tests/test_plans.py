@@ -728,6 +728,39 @@ def test_python_stays_off_hot_paths(spark, sf_dir):
     assert not offenders, offenders
 
 
+# Queries allowed to contain a KEYED SortAggregate, each with the reason
+# it cannot be hash-aggregated.  Everything else must stay hash-only —
+# a keyed SortAggregate is a per-partition sort of its full input, the
+# silent scale-bug class the round-2 audit (SURVEY §7.7) eliminated.
+SORT_AGG_ALLOWED = {
+    # Spark's BitmapConstructAgg only implements the sort-based
+    # aggregation path (fixed 4 KiB binary buffer, not hash-compatible,
+    # not a TypedImperativeAggregate — verified on a minimal plan).  The
+    # sort keys are (day, bucket) and partial aggregation still combines
+    # map-side; the sort-free exact paths (q_card_*_exact, _salted)
+    # exist alongside.
+    "q_card_day_exact_bitmap",
+}
+
+
+def test_no_keyed_sort_aggregation_outside_allowlist(spark, sf_dir):
+    """Whole-surface invariant pinning the SURVEY §7.7 audit: no query
+    may plan a KEYED SortAggregate (per-partition sort of its input)
+    unless allowlisted with a reason.  Key-less SortAggregate (a global
+    fold — min/max(string) over one group) requires no sort and is
+    fine."""
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        if name.startswith("q_stream") or name in SORT_AGG_ALLOWED:
+            continue
+        plan = plan_string(fn(spark, sf_dir), mode="simple")
+        for m in re.finditer(r"SortAggregate\(key=\[([^\]]*)\]", plan):
+            if m.group(1).strip():
+                offenders.append(name)
+                break
+    assert not offenders, offenders
+
+
 def test_no_higher_order_expressions_in_scan_datafilters(spark, sf_dir):
     """Whole-surface invariant: no parquet scan may evaluate a
     higher-order array expression inside its DataFilters.
