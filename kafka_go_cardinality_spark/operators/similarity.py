@@ -949,3 +949,82 @@ QUANTIZE_INT8_ORACLE_SQL = """
              AS code_sq_norm
     FROM c
 """
+
+
+# k-NN classification: probe selector modulus (2% of vectors are the
+# held-out test set) and the neighbor count.
+KNN_TEST_MOD = 50
+KNN_K = 5
+
+
+def knn_classify(
+    embeddings: DataFrame, k: int = KNN_K, test_mod: int = KNN_TEST_MOD
+) -> DataFrame:
+    """k-NN label prediction — the weak-supervision / eval primitive:
+    vectors with ``vec_id % test_mod == 0`` form a small held-out probe
+    set; each probe takes the majority label of its ``k`` nearest
+    training vectors by exact cosine (ties: higher vote count first,
+    then smaller label).  Output: (vec_id, true_label, predicted,
+    correct).
+
+    Scale shape: the PROBE set broadcasts (it is deliberately a few
+    percent — an eval set, not a second corpus), the training corpus
+    stays partitioned, ranking is one hash shuffle on probe id and the
+    vote/argmax runs on the k·|probes|-bounded frame.  For bulk
+    labeling (probes ≈ corpus) the broadcast flips to the IVF/LSH
+    bucketed candidate plans (ann_lsh_topk / ivf_topk) with this same
+    vote tail."""
+    base = embeddings.select(
+        "vec_id", as_double(F.col("embedding")).alias("v"), "label"
+    )
+    probes = (
+        base.filter(F.col("vec_id") % test_mod == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("label").alias("true_label"),
+        )
+        .select("query_id", "qv", "true_label", norm(F.col("qv")).alias("qn"))
+    )
+    train = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("label").alias("n_label"),
+    ).filter(F.col("neighbor_id") % test_mod != 0).select(
+        "neighbor_id", "cv", "n_label", norm(F.col("cv")).alias("cn")
+    )
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(train)
+        .select(
+            "query_id",
+            "true_label",
+            "n_label",
+            "neighbor_id",
+            cosine_pre(
+                dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    kn = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+    votes = kn.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("n_label")
+    )
+    return (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "true_label",
+            F.col("n_label").alias("predicted"),
+            (F.col("n_label") == F.col("true_label")).cast("int").alias("correct"),
+        )
+    )

@@ -55,7 +55,9 @@ from kafka_go_cardinality_spark import queries_udf  # noqa: E402,F401
 # user exercises hardest), then the rest of the data-pipeline and
 # analytics families — and park the already-proven block at the end.
 # The set is frozen, not recomputed, so the order is deterministic and
-# reviewable in-diff.
+# reviewable in-diff.  Refresh each round with
+# ``python scripts_gen_driver_proven.py`` once the new CORRECTNESS file
+# lands, pasting its output over this literal.
 # ---------------------------------------------------------------------------
 
 DRIVER_PROVEN: frozenset[str] = frozenset({

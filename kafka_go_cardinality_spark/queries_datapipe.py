@@ -1172,3 +1172,37 @@ def q_text_bigram_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     collocation/phrase-mining preprocessing pass
     (operators/text.bigram_assoc)."""
     return tx.bigram_assoc(_docs(spark, sf_dir))
+
+
+@query(
+    "q_sim_knn_classify",
+    f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    tst AS (SELECT * FROM c WHERE vec_id % {sim.KNN_TEST_MOD} = 0),
+    trn AS (SELECT * FROM c WHERE vec_id % {sim.KNN_TEST_MOD} <> 0),
+    scored AS (
+      SELECT t.vec_id, t.label AS true_label, r.label AS n_label,
+             row_number() OVER (
+               PARTITION BY t.vec_id
+               ORDER BY {_cos_sql('t.v', 'r.v')} DESC, r.vec_id) AS rnk
+      FROM tst t CROSS JOIN trn r),
+    votes AS (
+      SELECT vec_id, true_label, n_label, count(*) AS cnt
+      FROM scored WHERE rnk <= {sim.KNN_K} GROUP BY 1, 2, 3),
+    best AS (
+      SELECT vec_id, true_label, n_label AS predicted,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY cnt DESC, n_label) AS r
+      FROM votes)
+    SELECT vec_id, true_label, predicted,
+           CAST(predicted = true_label AS INT) AS correct
+    FROM best WHERE r = 1
+    """,
+)
+def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E21+] k-NN label prediction (weak-supervision/eval primitive):
+    a 2% hash-held-out probe set takes the majority label of its 5
+    nearest training vectors by exact cosine; deterministic vote
+    tie-break (operators/similarity.knn_classify)."""
+    return sim.knn_classify(_emb(spark, sf_dir))

@@ -758,3 +758,22 @@ def test_resample_ffill_carries_and_leads_null(spark, sf_dir):
             assert val is not None and math.isclose(
                 val, round(last["value"], 6), rel_tol=1e-9
             ), (etype, grid_ts, val, last["value"])
+
+
+def test_knn_classify_separable_clusters(spark):
+    """On linearly separable clusters the probe must take its cluster's
+    label: axis-aligned groups, probe ids divisible by the test modulus."""
+    from kafka_go_cardinality_spark.operators.similarity import knn_classify
+
+    rows = []
+    # cluster A along +x (label 1): ids 1..6 train, 50 probe
+    for i, vid in enumerate([1, 2, 3, 4, 5, 6, 50]):
+        rows.append((vid, [10.0 + i, float(i % 2), 0.0, 0.0], 1))
+    # cluster B along +y (label 2): ids 7..12 train, 100 probe
+    for i, vid in enumerate([7, 8, 9, 10, 11, 12, 100]):
+        rows.append((vid, [float(i % 2), 10.0 + i, 0.0, 0.0], 2))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {r["vec_id"]: r for r in knn_classify(emb, k=3, test_mod=50).collect()}
+    assert set(got) == {50, 100}
+    assert got[50]["predicted"] == 1 and got[50]["correct"] == 1
+    assert got[100]["predicted"] == 2 and got[100]["correct"] == 1
