@@ -1020,3 +1020,66 @@ def bigram_assoc_oracle_sql(min_count: int = PMI_MIN_COUNT) -> str:
     FROM bi JOIN ca USING (src) JOIN cb USING (dst) CROSS JOIN tt
     WHERE bi.c_ab >= {min_count}
     """
+
+
+# DSIR-style importance weights: two hashed unigram "models" (target and
+# source) whose integer bucket weights are pure arithmetic functions of
+# the md5 bucket id — the documented stand-in for trained hashed-ngram
+# LMs (no model files ship with the fixtures), same device as the
+# hash classifier.  The log-importance proxy is the integer sum of
+# per-token weight differences.
+DSIR_BUCKETS = 1024
+DSIR_MULT = 2654435761
+DSIR_RANGE = 2001
+
+
+def dsir_weights(documents: DataFrame) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): score each document
+    with the difference of two hashed unigram models (target-domain
+    minus source-domain) and keep the documents the target model
+    prefers.  The deterministic arithmetic weights stand in for the two
+    trained models; the SHAPE — hashed n-gram features, per-doc
+    log-ratio fold, thresholded keep — is the production pipeline's.
+
+    Zero shuffle, zero Python: token hashing and both weight lookups
+    fold IN-ROW with ``aggregate`` over the token array, exactly the
+    hash-classifier plan, so at 100 TB selection costs one scan."""
+    toks = tokens(F.col("text"))
+
+    def weight(t, salt: str):
+        bucket = hash64(t, salt=salt) % DSIR_BUCKETS
+        return (bucket * DSIR_MULT) % DSIR_RANGE - (DSIR_RANGE - 1) // 2
+
+    ratio = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + weight(t, "dsir_tgt") - weight(t, "dsir_src"),
+    )
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        ratio.alias("logratio_q"),
+        (ratio > 0).cast("int").alias("keep"),
+    )
+
+
+def dsir_weights_oracle_sql() -> str:
+    from kafka_go_cardinality_spark.functions import hash64_sql, tokens_sql
+
+    half = (DSIR_RANGE - 1) // 2
+
+    def w(salt: str) -> str:
+        b = f"({hash64_sql('x', salt=salt)} % {DSIR_BUCKETS})"
+        return f"(({b} * {DSIR_MULT}) % {DSIR_RANGE} - {half})"
+
+    return f"""
+    WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(list_sum(list_transform(t, x ->
+                {w('dsir_tgt')} - {w('dsir_src')})), 0) AS BIGINT) AS logratio_q,
+           CAST(coalesce(list_sum(list_transform(t, x ->
+                {w('dsir_tgt')} - {w('dsir_src')})), 0) > 0 AS INT) AS keep
+    FROM toks
+    """

@@ -970,9 +970,10 @@ def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E22] TextRank keyword scoring: 5 fixed PageRank iterations over
     the corpus bigram graph in exact integer micro-units (damping
     85/100, no dangling redistribution — the documented contract).
-    The corpus pays ONE shuffle for the vocab²-bounded edge frame; the
-    solve iterates over that collapsed graph with driver-side rank
-    state, kmeans_fit-style (operators/text.textrank)."""
+    The corpus pays ONE shuffle for the vocab²-bounded edge frame; rank
+    state stays a DataFrame broadcast-joined onto it each round with a
+    per-round localCheckpoint — never collected, never a plan literal
+    (operators/text.textrank; plan pinned in tests/test_plans.py)."""
     return tx.textrank(_docs(spark, sf_dir))
 
 
@@ -1206,3 +1207,12 @@ def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest training vectors by exact cosine; deterministic vote
     tie-break (operators/similarity.knn_classify)."""
     return sim.knn_classify(_emb(spark, sf_dir))
+
+
+@query("q_text_dsir", tx.dsir_weights_oracle_sql())
+def q_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22+] DSIR-shaped data selection: per-doc importance log-ratio
+    from two hashed unigram models (target minus source) folded in-row,
+    thresholded keep — zero-shuffle, zero-Python scan pass
+    (operators/text.dsir_weights)."""
+    return tx.dsir_weights(_docs(spark, sf_dir))
