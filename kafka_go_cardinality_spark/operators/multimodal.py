@@ -193,3 +193,67 @@ def media_neardup_pairs(media: DataFrame) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "phash")
     )
+
+
+# WebDataset-style shard size in bytes (fixture-scaled; a production
+# run uses ~100 MB-1 GB tar shards — the plan is size-independent).
+SHARD_BYTES = 4096
+
+
+def shard_manifest(media: DataFrame, shard_bytes: int = SHARD_BYTES) -> DataFrame:
+    """WebDataset-style shard manifest: per media type, samples
+    concatenate in doc_id order into fixed-byte-budget shards; each
+    sample records the shard it STARTS in and its byte offset there —
+    the layout table a multimodal tar-sharding job writes before
+    packing the actual bytes.
+
+    Scale shape: one hash exchange on media_type feeds a
+    partition-local cumulative-sum window; all arithmetic is BIGINT on
+    the METADATA column, so the manifest is deterministic and
+    resumable — the payload bytes never move until the final per-shard
+    write, which reads this manifest partitioned by (media_type,
+    shard_id).  Skew note: media types are FEW and huge, so at 100 TB
+    the window key becomes (media_type, doc_id range-bucket) with the
+    per-bucket closing offsets composed in a second vocab-sized pass —
+    the same two-level carry q_ts_resample_ffill documents for
+    ordering and q_card_day_exact_salted implements for distinctness.
+    The fixture-scale single-window form is what the oracle checks."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col("meta.media_type")).orderBy("doc_id")
+    start = (
+        F.sum(F.col("meta.payload_len")).over(w) - F.col("meta.payload_len")
+    ).cast("long")
+    return media.select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.payload_len").cast("long").alias("n_bytes"),
+        start.alias("start"),
+    ).select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.expr(f"start div {shard_bytes}").alias("shard_id"),
+        (F.col("start") % shard_bytes).alias("shard_offset"),
+    )
+
+
+def shard_manifest_oracle_sql(shard_bytes: int = SHARD_BYTES) -> str:
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents),
+    c AS (
+      SELECT doc_id, media_type, n_bytes,
+             CAST(sum(n_bytes) OVER (PARTITION BY media_type ORDER BY doc_id)
+                  - n_bytes AS BIGINT) AS start
+      FROM m)
+    SELECT doc_id, media_type, n_bytes,
+           CAST(start // {shard_bytes} AS BIGINT) AS shard_id,
+           CAST(start % {shard_bytes} AS BIGINT) AS shard_offset
+    FROM c
+    """

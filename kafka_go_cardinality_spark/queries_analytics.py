@@ -843,3 +843,54 @@ def q_ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("filled", 6).alias("value_ffill"),
         )
     )
+
+
+@query(
+    "q_anomaly_mad",
+    """
+    WITH med AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+      FROM dev GROUP BY 1)
+    SELECT event_id, d.event_type, value,
+           round((value - d.med) / (1.4826 * mad), 4) AS robust_z
+    FROM dev d JOIN mad USING (event_type)
+    WHERE abs(round((value - d.med) / (1.4826 * mad), 4)) > 2.5
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E31+] Robust outlier filter via median absolute deviation: per
+    type, flag events whose MAD-normalized deviation exceeds 2.5 — the
+    robust twin of q_anomaly_zscore (a few gross outliers cannot drag
+    the threshold the way they drag mean/stddev).  Group medians and
+    MADs are |types|-row frames broadcast back onto the fact; the fact
+    is never shuffled.  Exact percentile keeps the oracle bit-exact at
+    fixture scale; at 100 TB the two median passes swap to
+    approx_percentile (KLL-backed, q_quantile_kll_rollup's machinery)
+    with identical plan shape."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    rz = F.round(
+        (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 4
+    )
+    return (
+        dev.join(F.broadcast(mad), F.col("event_type") == F.col("m_type"))
+        .select("event_id", "event_type", "value", rz.alias("robust_z"))
+        .filter(F.abs(F.col("robust_z")) > 2.5)
+    )

@@ -1216,3 +1216,44 @@ def q_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholded keep — zero-shuffle, zero-Python scan pass
     (operators/text.dsir_weights)."""
     return tx.dsir_weights(_docs(spark, sf_dir))
+
+
+@query("q_mm_shard_manifest", mm.shard_manifest_oracle_sql())
+def q_mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E23+] WebDataset-style shard manifest: per media type, samples
+    pack into fixed-byte-budget shards in doc_id order — the layout
+    table a multimodal tar-sharding job writes; one media_type-keyed
+    window, bytes never move (operators/multimodal.shard_manifest)."""
+    return mm.shard_manifest(mm.as_media(_docs(spark, sf_dir)))
+
+
+@query(
+    "q_text_lang_confusion",
+    f"""
+    SELECT labeled_lang, guessed_lang, count(*) AS n,
+           CAST(sum(count(*)) OVER (PARTITION BY labeled_lang) AS BIGINT)
+             AS n_labeled,
+           round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY labeled_lang)
+                 AS DOUBLE), 6) AS share
+    FROM ( {_langid_oracle()} ) b
+    GROUP BY 1, 2
+    """,
+)
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22+] Language-ID evaluation: confusion matrix of labeled vs
+    guessed language with per-label shares — the eval table any
+    heuristic classifier ships with.  The heavy work is the langid scan
+    pass; the confusion frame is |langs|²-bounded."""
+    from pyspark.sql import Window
+
+    scored = tx.lang_id(_docs(spark, sf_dir)).groupBy(
+        "labeled_lang", "guessed_lang"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("labeled_lang")
+    return scored.select(
+        "labeled_lang",
+        "guessed_lang",
+        "n",
+        F.sum("n").over(w).alias("n_labeled"),
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("share"),
+    )

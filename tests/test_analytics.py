@@ -777,3 +777,34 @@ def test_knn_classify_separable_clusters(spark):
     assert set(got) == {50, 100}
     assert got[50]["predicted"] == 1 and got[50]["correct"] == 1
     assert got[100]["predicted"] == 2 and got[100]["correct"] == 1
+
+
+def test_shard_manifest_spans_and_boundaries(spark):
+    """Shard geometry on hand-built media: offsets accumulate in doc_id
+    order per type, a sample larger than the budget still records the
+    shard it STARTS in, and types never interleave."""
+    import pyspark.sql.functions as F
+
+    from kafka_go_cardinality_spark.operators.multimodal import (
+        as_media,
+        shard_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "x" * 30),   # image, bytes 0-29 -> shard 0 off 0
+            (3, "y" * 80),   # image, starts at 30 -> shard 0 off 30 (spans)
+            (6, "z" * 10),   # image, starts at 110 -> shard 1 off 46
+            (1, "a" * 100),  # audio stream independent: shard 0 off 0
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in shard_manifest(as_media(docs), shard_bytes=64).collect()
+    }
+    assert (rows[0]["shard_id"], rows[0]["shard_offset"]) == (0, 0)
+    assert (rows[3]["shard_id"], rows[3]["shard_offset"]) == (0, 30)
+    assert (rows[6]["shard_id"], rows[6]["shard_offset"]) == (1, 110 - 64)
+    assert (rows[1]["shard_id"], rows[1]["shard_offset"]) == (0, 0)
+    assert rows[1]["media_type"] == "audio"
