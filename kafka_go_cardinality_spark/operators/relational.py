@@ -552,3 +552,84 @@ def markov_transitions_oracle_sql() -> str:
            CAST((t.c * {MARKOV_Q}) // m.row_total AS BIGINT) AS p_q
     FROM trans t JOIN marg m ON t.prev_type = m.prev_type
     """
+
+
+def resample_ffill_two_level(events: DataFrame) -> DataFrame:
+    """The 100 TB form of q_ts_resample_ffill, IMPLEMENTED (not just
+    documented): the per-type LOCF window is split into per-(type, DAY)
+    windows — bounded partitions instead of few-huge per-type ones —
+    plus a day-closing carry composed over the tiny (types × days)
+    closing frame and broadcast back.  Bit-identical to the
+    single-window form by construction: within a day the local window
+    sees the same prefix; across days the carry IS the previous days'
+    last non-null value (pinned by an equality test and by registering
+    this variant against the same oracle).
+
+    Plan: the big shuffle is hash (type, day) — parallelism scales with
+    days, not types; the carry pass runs on the closing frame (one row
+    per (type, day)) and attaches broadcast."""
+    from pyspark.sql import Window
+
+    span = events.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("ts"),
+    )
+    obs = events.select(
+        "event_type", "ts", "event_id", "value", F.lit(0).alias("is_grid")
+    )
+    markers = grid.select(
+        "event_type",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_grid"),
+    )
+    u = obs.unionByName(markers).withColumn("day", F.date_trunc("day", "ts"))
+    w_day = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("ts", "is_grid", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_day_full = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("ts", "is_grid", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    # Both frames share partitioning and ordering, so they run in the
+    # SAME WindowExec pass; `close` (the day's last non-null value) is a
+    # full-frame last, not a max_by(struct) — a struct ordering key
+    # would demote the aggregation to SortAggregate (SURVEY §7.7).
+    local = u.withColumn(
+        "local_fill", F.last("value", ignorenulls=True).over(w_day)
+    ).withColumn("close", F.last("value", ignorenulls=True).over(w_day_full))
+    closing = local.select("event_type", "day", "close").distinct()
+    w_carry = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = closing.select(
+        F.col("event_type").alias("c_type"),
+        F.col("day").alias("c_day"),
+        F.last("close", ignorenulls=True).over(w_carry).alias("prev_fill"),
+    )
+    return (
+        local.filter(F.col("is_grid") == 1)
+        .join(
+            F.broadcast(carry),
+            (F.col("event_type") == F.col("c_type"))
+            & (F.col("day") == F.col("c_day")),
+            "left",
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp("ts").alias("grid_ts"),
+            F.round(
+                F.coalesce("local_fill", "prev_fill"), 6
+            ).alias("value_ffill"),
+        )
+    )

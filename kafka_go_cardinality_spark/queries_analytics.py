@@ -801,10 +801,10 @@ def q_ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     observations at the same instant (is_grid tie-key), and same-instant
     observations order by event_id, so the carried value is exactly
     defined on both engines.  At 100 TB the per-type window becomes the
-    two-level variant (partition by (type, day), carry the per-day
-    closing value forward through a second vocab-sized pass) — the
-    q_card_day_exact_salted pattern applied to ordering instead of
-    distinctness."""
+    two-level variant — IMPLEMENTED and registered against the same
+    oracle as q_ts_resample_ffill_2level (partition by (type, day),
+    carry the per-day closing value forward over the tiny closing
+    frame), bit-equality pinned in tests/test_analytics.py."""
     ev = _t(spark, sf_dir, "events")
     from pyspark.sql import Window
 
@@ -894,3 +894,22 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", rz.alias("robust_z"))
         .filter(F.abs(F.col("robust_z")) > 2.5)
     )
+
+
+from kafka_go_cardinality_spark.queries import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
+
+
+@query("q_ts_resample_ffill_2level", _ORACLE_SQL["q_ts_resample_ffill"])
+def q_ts_resample_ffill_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E28+] The SCALABLE form of q_ts_resample_ffill, registered
+    against the IDENTICAL oracle: per-(type, day) LOCF windows (bounded
+    partitions — parallelism scales with days, not types) + a
+    day-closing carry composed over the tiny (types × days) frame and
+    broadcast back.  Proves the documented two-level fix is real and
+    bit-identical, not aspirational
+    (operators/relational.resample_ffill_two_level)."""
+    from kafka_go_cardinality_spark.operators.relational import (
+        resample_ffill_two_level,
+    )
+
+    return resample_ffill_two_level(_t(spark, sf_dir, "events"))

@@ -808,3 +808,18 @@ def test_shard_manifest_spans_and_boundaries(spark):
     assert (rows[6]["shard_id"], rows[6]["shard_offset"]) == (1, 110 - 64)
     assert (rows[1]["shard_id"], rows[1]["shard_offset"]) == (0, 0)
     assert rows[1]["media_type"] == "audio"
+
+
+def test_resample_two_level_equals_single_window(spark, sf_dir):
+    """The scalable per-(type, day) LOCF + day-closing carry must be
+    BIT-IDENTICAL to the single per-type window — the proof that the
+    documented 100 TB variant is real, not aspirational."""
+    a = {
+        (r["event_type"], r["grid_ts"]): r["value_ffill"]
+        for r in QUERIES["q_ts_resample_ffill"](spark, sf_dir).collect()
+    }
+    b = {
+        (r["event_type"], r["grid_ts"]): r["value_ffill"]
+        for r in QUERIES["q_ts_resample_ffill_2level"](spark, sf_dir).collect()
+    }
+    assert a == b and a
