@@ -913,3 +913,47 @@ def q_ts_resample_ffill_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return resample_ffill_two_level(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "q_sample_balanced",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {hash64_sql("CAST(doc_id AS VARCHAR)", salt="balance")} AS hv
+      FROM documents),
+    counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    tgt AS (SELECT min(n) AS target FROM counts),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+      FROM h)
+    SELECT doc_id, lang FROM r CROSS JOIN tgt WHERE rn <= target
+    """,
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E26+] Class-balanced downsampling: every language keeps exactly
+    the minority class's count, chosen as the docs with the smallest
+    salted id-hash — deterministic, partitioning-invariant, and stable
+    under corpus append (a doc's keep rank only changes if smaller
+    hashes arrive in its class).  The per-label rank window carries the
+    few-huge-labels skew note; at 100 TB the rank becomes a per-label
+    hash-quantile CUTOFF (one approx-quantile pass, broadcast, then a
+    stateless filter) — the q_histogram_equidepth pattern — at the cost
+    of an approximate class size."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    target = counts.agg(F.min("n").alias("target"))
+    h = docs.select(
+        "doc_id", "lang",
+        hash64(F.col("doc_id").cast("string"), salt="balance").alias("hv"),
+    )
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(target))
+        .filter(F.col("rn") <= F.col("target"))
+        .select("doc_id", "lang")
+    )
