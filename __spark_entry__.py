@@ -42,9 +42,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every exact-semantics query key.
 
-    Approximate queries (q_card_*_approx, LSH variants) are deliberately
-    absent — Spark HLL++ / MinHash values can never hash-match another
-    engine's estimator (SURVEY.md §7.3); they get rows-only checks plus
-    in-repo error-bound tests against their exact twins.
+    Estimator-valued queries (q_card_*_approx sketch estimates, seeded
+    sampling, iterative k-means) are deliberately absent — their VALUES
+    can never hash-match another engine (SURVEY.md §7.3); they get
+    rows-only checks plus in-repo error-bound tests against exact
+    twins.  Deterministic-but-approximate pipelines (MinHash LSH,
+    sign-sketch ANN, the decode stub) DO carry full oracles: recall may
+    be < 1 by construction, but every emitted value reproduces exactly
+    from the same md5-seeded constants.
     """
     return dict(ORACLE_SQL)

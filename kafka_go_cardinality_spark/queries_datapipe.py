@@ -285,11 +285,61 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(_emb(spark, sf_dir))
 
 
-@query("q_sim_ann_lsh", oracle=None)  # probabilistic recall: rows-only
+def _ann_lsh_oracle(n_queries: int = 10, k: int = 5) -> str:
+    """DuckDB twin of operators/similarity.ann_lsh_topk, generated from
+    the SAME md5-seeded hyperplanes: sign sketches, 3×4-bit banding,
+    candidate union, exact cosine re-rank.  The per-plane dot is the
+    sequential left fold (bit-identical to functions.dot — adding the
+    0.0 seed is an IEEE identity), so sketch bits, candidate sets, and
+    scores all reproduce exactly."""
+    planes = sim._hyperplanes(64)
+
+    def duck_dot(vec: str, comps) -> str:
+        arr = "[" + ", ".join(sim._dlit(c) for c in comps) + "]"
+        return (
+            f"list_reduce(list_transform(range(1, 65), "
+            f"i -> {vec}[i] * ({arr})[i]), (acc, e) -> acc + e)"
+        )
+
+    sketch = " + ".join(
+        f"(CASE WHEN {duck_dot('v', comps)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, comps in enumerate(planes)
+    )
+    mask = (1 << sim.ANN_BAND_BITS) - 1
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sk AS (SELECT vec_id, CAST({sketch} AS BIGINT) AS sketch FROM c),
+    bands AS (
+      SELECT vec_id, b.band,
+             (sketch >> (b.band * {sim.ANN_BAND_BITS})) & {mask} AS band_bits
+      FROM sk, (SELECT unnest(range(0, {sim.ANN_BANDS})) AS band) b),
+    pairs AS (
+      SELECT DISTINCT q.vec_id AS query_id, t.vec_id
+      FROM bands q JOIN bands t
+        ON q.band = t.band AND q.band_bits = t.band_bits
+      WHERE q.vec_id < {n_queries} AND q.vec_id <> t.vec_id),
+    scored AS (
+      SELECT p.query_id, p.vec_id AS neighbor_id,
+             {_cos_sql('a.v', 'b.v')} AS cos,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY {_cos_sql('a.v', 'b.v')} DESC, p.vec_id) AS rank
+      FROM pairs p
+      JOIN c a ON a.vec_id = p.query_id
+      JOIN c b ON b.vec_id = p.vec_id)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+    FROM scored WHERE rank <= {k}
+    """
+
+
+@query("q_sim_ann_lsh", _ann_lsh_oracle())
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E21] Sign-random-projection LSH ANN: 12 deterministic hyperplanes
-    → 4096 buckets → in-bucket exact re-rank.  Rows-only (recall < 1 by
-    construction); accuracy is asserted against the exact twin in tests."""
+    → banded buckets → in-bucket exact re-rank.  Recall < 1 vs the exact
+    twin by construction (floor asserted in tests), but the PIPELINE is
+    fully deterministic — md5-seeded planes, bit-exact double folds —
+    so the oracle replays sketches, candidate sets, and re-rank exactly
+    (_ann_lsh_oracle, generated from the same constants)."""
     return sim.ann_lsh_topk(_emb(spark, sf_dir))
 
 
@@ -444,11 +494,35 @@ def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_mm_decode", oracle=None)  # mapInPandas plumbing demo: rows-only
+@query(
+    "q_mm_decode",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             CAST(octet_length(encode(text)) AS INT) AS payload_len,
+             CAST(coalesce(list_sum(list_transform(
+                    range(1, least(length(text), 16) + 1),
+                    i -> ord(text[i]))), 0) AS BIGINT) AS h
+      FROM documents)
+    SELECT doc_id, media_type, payload_len,
+           CAST(64 + h % 512 AS INT) AS width,
+           CAST(64 + (h * 7) % 512 AS INT) AS height,
+           CAST(1 + h % 30 AS INT) AS n_frames
+    FROM m
+    """,
+)
 def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E23] Arrow-batched decode pass through mapInPandas; the codec is
     a deterministic STUB (operators/multimodal._fake_decode) — the batch
-    plumbing, schema, and partitioning are the real article."""
+    plumbing, schema, and partitioning are the real article.  The stub's
+    determinism buys a FULL oracle: the byte-sum arithmetic is replayed
+    in SQL (ord-per-char == byte value on the all-ASCII fixture — the
+    oracle itself would fail loudly if non-ASCII text ever appeared), so
+    even the Python mapInPandas path is value-checked cross-engine, not
+    just rows-counted."""
     return mm.decode_media(mm.as_media(_docs(spark, sf_dir)))
 
 
