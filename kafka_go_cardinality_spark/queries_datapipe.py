@@ -277,11 +277,54 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(_emb(spark, sf_dir))
 
 
-@query("q_sim_ann_ivf", oracle=None)  # probabilistic recall: rows-only
+def _ann_ivf_oracle(n_queries: int = 10, k: int = 5) -> str:
+    """DuckDB twin of operators/similarity.ivf_topk.  The centroids are
+    the first n_centroids vectors BY ID, so the oracle derives them from
+    the data instead of literals; cell assignment ties break to the
+    FIRST max index (array_position semantics → cid ASC), probe ranking
+    to cid DESC (reverse of an ascending (cos, cell) sort)."""
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < {sim.IVF_CENTROIDS}),
+    cc AS (
+      SELECT c.vec_id, cent.cid, {_cos_sql('c.v', 'cent.cv')} AS cos
+      FROM c CROSS JOIN cent),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS r
+        FROM cc) WHERE r = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS pr
+        FROM cc WHERE vec_id < {n_queries}) WHERE pr <= {sim.IVF_PROBES}),
+    cands AS (
+      SELECT DISTINCT p.query_id, x.vec_id
+      FROM probes p JOIN cells x ON x.cell = p.cell
+      WHERE x.vec_id <> p.query_id),
+    scored AS (
+      SELECT p.query_id, p.vec_id AS neighbor_id,
+             {_cos_sql('a.v', 'b.v')} AS cos,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY {_cos_sql('a.v', 'b.v')} DESC, p.vec_id) AS rank
+      FROM cands p
+      JOIN c a ON a.vec_id = p.query_id
+      JOIN c b ON b.vec_id = p.vec_id)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+    FROM scored WHERE rank <= {k}
+    """
+
+
+@query("q_sim_ann_ivf", _ann_ivf_oracle())
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E21] IVF ANN: deterministic coarse centroids, map-side cell
     assignment, n_probe-of-n_centroids search with exact re-rank — the
-    partition-the-corpus scale path next to the LSH-bucketed one."""
+    partition-the-corpus scale path next to the LSH-bucketed one.
+    Recall < 1 by construction, but the pipeline is deterministic end to
+    end, so the oracle replays cells, probes, and scores exactly
+    (_ann_ivf_oracle)."""
     return sim.ivf_topk(_emb(spark, sf_dir))
 
 
