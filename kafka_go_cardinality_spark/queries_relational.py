@@ -2790,3 +2790,58 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+@query(
+    "q_asof_join_tolerance",
+    """
+    SELECT p.event_id, p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts,
+           CASE WHEN c.ts IS NOT NULL
+                 AND floor(epoch(p.ts)) - floor(epoch(c.ts)) <= 3600
+                THEN c.event_id END AS click_event_id,
+           CASE WHEN c.ts IS NOT NULL
+                 AND floor(epoch(p.ts)) - floor(epoch(c.ts)) <= 3600
+                THEN CAST(floor(epoch(c.ts)) AS BIGINT) END AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E8+] As-of join with a STALENESS BOUND: each purchase gets the
+    user's most recent prior click ONLY if it happened within the last
+    hour — the trade-quote-expiry semantics (a quote older than the
+    tolerance must not price a trade).  Same single-shuffle
+    union+window plan as q_asof_join; the tolerance is a stateless
+    post-filter that NULLs expired matches while keeping the left row
+    (left-join contract preserved).  DuckDB's ASOF JOIN has no native
+    tolerance either — the oracle applies the identical CASE."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("ts").cast("long").alias("click_ts"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["click_event_id", "click_ts"],
+    )
+    within = F.col("click_ts").isNotNull() & (
+        F.col("ts").cast("long") - F.col("click_ts") <= 3600
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("purchase_ts"),
+        F.when(within, F.col("click_event_id")).alias("click_event_id"),
+        F.when(within, F.col("click_ts")).alias("click_ts"),
+    )
