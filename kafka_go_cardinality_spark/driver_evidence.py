@@ -1,0 +1,72 @@
+"""Driver-side correctness evidence, derived from the CORRECTNESS_r*.json
+artifacts the external harness drops in the repo root each round.
+
+The registry (queries.py) fronts queries the driver has never proven and
+parks — but still periodically re-checks — the proven block, so each
+round's first-N correctness sweep maximizes *new* evidence without letting
+a later regression in a "proven" query go unchecked forever.
+
+A query counts as PROVEN only if its LATEST driver row is green:
+
+- oracled queries: ``err`` is null and ``hash_match`` is true;
+- rows-only queries (estimators/seeded ops that register no oracle):
+  ``err == 'no_oracle'`` and the Spark side returned rows.
+
+A query whose latest row is an ERROR (e.g. the round-1 loader crash that
+hit q_except / q_json_extract before any result row existed) is STALE-RED:
+it must go to the very FRONT of the registry until a green row lands —
+the opposite of the old behavior, which counted any mention in any
+CORRECTNESS file as proof and parked those two queries at the back.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def correctness_files(root: str = _REPO_ROOT) -> list[str]:
+    # Lexicographic sort == round order for the driver's zero-padded
+    # CORRECTNESS_r{NN}.json naming.
+    return sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+
+
+def latest_rows(root: str = _REPO_ROOT) -> dict[str, dict]:
+    """name -> the row from the most recent round that checked it."""
+    rows: dict[str, dict] = {}
+    for path in correctness_files(root):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if isinstance(data, dict):
+            for name, row in data.items():
+                if isinstance(row, dict):
+                    rows[name] = row
+    return rows
+
+
+def is_green(row: dict) -> bool:
+    if row.get("err") == "no_oracle":
+        return row.get("spark_rows") is not None
+    return row.get("err") is None and row.get("hash_match") is True
+
+
+def proven_names(root: str = _REPO_ROOT) -> frozenset[str]:
+    """Queries whose latest driver row is green."""
+    return frozenset(n for n, r in latest_rows(root).items() if is_green(r))
+
+
+def stale_red_names(root: str = _REPO_ROOT) -> frozenset[str]:
+    """Queries the driver has checked but whose latest row is NOT green."""
+    return frozenset(n for n, r in latest_rows(root).items() if not is_green(r))
+
+
+def round_index(root: str = _REPO_ROOT) -> int:
+    """Rounds of driver evidence seen so far — the rotation phase for the
+    periodic re-check of proven queries."""
+    return len(correctness_files(root))
