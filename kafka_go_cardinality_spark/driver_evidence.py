@@ -34,9 +34,10 @@ def correctness_files(root: str = _REPO_ROOT) -> list[str]:
     return sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
 
 
-def latest_rows(root: str = _REPO_ROOT) -> dict[str, dict]:
-    """name -> the row from the most recent round that checked it."""
-    rows: dict[str, dict] = {}
+def _parsed_rounds(root: str = _REPO_ROOT) -> list[dict]:
+    """Per-round row dicts, oldest first — only files that parse count as
+    rounds, so latest_rows() and round_index() agree on what a round is."""
+    rounds: list[dict] = []
     for path in correctness_files(root):
         try:
             with open(path) as fh:
@@ -44,9 +45,17 @@ def latest_rows(root: str = _REPO_ROOT) -> dict[str, dict]:
         except (OSError, json.JSONDecodeError):
             continue
         if isinstance(data, dict):
-            for name, row in data.items():
-                if isinstance(row, dict):
-                    rows[name] = row
+            rounds.append(data)
+    return rounds
+
+
+def latest_rows(root: str = _REPO_ROOT) -> dict[str, dict]:
+    """name -> the row from the most recent round that checked it."""
+    rows: dict[str, dict] = {}
+    for data in _parsed_rounds(root):
+        for name, row in data.items():
+            if isinstance(row, dict):
+                rows[name] = row
     return rows
 
 
@@ -68,5 +77,7 @@ def stale_red_names(root: str = _REPO_ROOT) -> frozenset[str]:
 
 def round_index(root: str = _REPO_ROOT) -> int:
     """Rounds of driver evidence seen so far — the rotation phase for the
-    periodic re-check of proven queries."""
-    return len(correctness_files(root))
+    periodic re-check of proven queries (queries.py uses this to shift the
+    proven block's internal order each round).  Counts only files that
+    parsed, matching latest_rows()."""
+    return len(_parsed_rounds(root))

@@ -31,6 +31,7 @@ import math
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from kafka_go_cardinality_spark.caching import tracked_persist
 from kafka_go_cardinality_spark.functions import (
     as_double,
     cosine,
@@ -147,7 +148,7 @@ def ann_lsh_topk(
     Scale shape: candidate generation is an equi-join on (band, band
     bits) over BARE IDS — vectors re-attach only to surviving deduped
     pairs; no cross product anywhere."""
-    base = (
+    base = tracked_persist(
         embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
         .withColumn("sketch", ann_sketch("v"))
         .withColumn("nrm", norm(F.col("v")))
@@ -155,7 +156,6 @@ def ann_lsh_topk(
         # candidate self-join; without the cache boundary the 12-plane
         # projection runs (and its codegen compiles) once per side.
         # The norm rides along so the re-rank folds one dot per pair.
-        .persist()
     )
     mask = (1 << ANN_BAND_BITS) - 1
     # Band expansion over BARE IDS: the candidate join and its dedup
@@ -272,10 +272,9 @@ def ivf_topk(
             for vec, cn in zip(seed_vecs, cent_norms)
         )
     )
-    scored_cells = (
+    scored_cells = tracked_persist(
         base.select("vec_id", "v", nrm_col.alias("nrm"))
         .select("vec_id", "v", "nrm", cos_arr.alias("ca"))
-        .persist()
     )
     with_cell = scored_cells.select(
         "vec_id",
@@ -370,10 +369,9 @@ def embedding_neardup_pairs(
     # materialization, so the O(N^2/blocks) pair projection is a single
     # dot + divide — 3x less fold work on the quadratic path, identical
     # doubles (see functions.cosine_pre).
-    aug = (
+    aug = tracked_persist(
         with_planted_neighbors(embeddings)
         .withColumn("nrm", norm(F.col("embedding")))
-        .persist()
     )
     a = aug.select(
         F.col("vec_id").alias("vec_a"),
@@ -555,7 +553,7 @@ def kmeans_fit(
     Output: one row per cluster — size, quantized centroid fingerprint —
     plus the iteration count that produced it.
     """
-    q = _quantized(embeddings).persist()
+    q = tracked_persist(_quantized(embeddings))
     seeds = q.filter(F.col("vec_id") < k).collect()
     centroids = [r["vq"] for r in sorted(seeds, key=lambda r: r["vec_id"])]
     sizes: dict[int, int] = {}
@@ -701,7 +699,7 @@ def pq_topk(
             "(x, i) -> named_struct('d', x, 'c', i))).c as int)" % ds
         )
     codes = F.expr("array(%s)" % ", ".join(subspace_exprs))
-    coded = base.select("vec_id", "v", codes.alias("codes")).persist()
+    coded = tracked_persist(base.select("vec_id", "v", codes.alias("codes")))
 
     # Probe LUTs computed driver-side with the same sequential float
     # arithmetic (probe count is tiny; the corpus never re-reads floats).
@@ -802,7 +800,7 @@ def semantic_dedup(
             for vec, cn in zip(seed_vecs, cent_norms)
         )
     )
-    with_cell = (
+    with_cell = tracked_persist(
         base.select("vec_id", "v", norm(F.col("v")).alias("nrm"))
         .select("vec_id", "v", "nrm", cos_arr.alias("ca"))
         .select(
@@ -816,7 +814,6 @@ def semantic_dedup(
         # Feeds both sides of the pair join AND the final flag join:
         # without the cache boundary the 16×64-constant argmax expression
         # compiles and evaluates three times.
-        .persist()
     )
     a = with_cell.select(
         F.col("vec_id").alias("vec_a"),

@@ -16,20 +16,33 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
+
+from kafka_go_cardinality_spark.caching import release_tracked
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None):
-    """Register a query; ``oracle=None`` marks it rows-only (approx ops)."""
+    """Register a query; ``oracle=None`` marks it rows-only (approx ops).
+
+    Entry to any query releases the PREVIOUS query's tracked caches
+    (see caching.py) so persisted intermediates never accumulate across
+    a multi-query sweep."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_tracked()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE_SQL[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 
@@ -49,49 +62,51 @@ from kafka_go_cardinality_spark import queries_udf  # noqa: E402,F401
 #
 # The driver's correctness sweep checks the first N registry entries per
 # round, so insertion order decides which queries accumulate driver-side
-# evidence.  Rounds 1-2 proved the 62 names below (union of
-# CORRECTNESS_r01/r02); we now front-load the never-checked families —
-# near-dup dedup and the TPC-H sweep first (the two surfaces a migrating
-# user exercises hardest), then the rest of the data-pipeline and
-# analytics families — and park the already-proven block at the end.
-# The set is frozen, not recomputed, so the order is deterministic and
-# reviewable in-diff.  Refresh each round with
-# ``python scripts_gen_driver_proven.py`` once the new CORRECTNESS file
-# lands, pasting its output over this literal.
+# evidence.  The ordering is computed from the CORRECTNESS_r*.json
+# artifacts via driver_evidence (latest row per query wins):
+#
+#   rank -1  STALE-RED: driver checked it, latest row is an error — these
+#            go first until a green row lands;
+#   rank 0+  never driver-checked, front-loaded by family (similarity and
+#            multimodal first — zero driver evidence as of round 4 — then
+#            streaming, analytics, and everything else);
+#   rank 99  PROVEN: latest driver row green.  Parked at the back, but
+#            rotated by the round index so once the never-checked pool
+#            drains, each round's sweep re-touches a different slice of
+#            the proven block instead of the same alphabetical head.
 # ---------------------------------------------------------------------------
 
-DRIVER_PROVEN: frozenset[str] = frozenset({
-    "q_agg_q1", "q_asof_join", "q_bloom_membership", "q_card_day_approx",
-    "q_card_day_exact", "q_card_day_exact_bitmap", "q_card_day_exact_salted",
-    "q_card_minute_approx", "q_card_minute_exact", "q_card_month_approx",
-    "q_card_month_exact", "q_card_pcsa_day", "q_card_sketch_incremental",
-    "q_card_sketch_rollup", "q_card_week_approx", "q_card_week_exact",
-    "q_card_year_approx", "q_card_year_exact", "q_cube", "q_distinct",
-    "q_except", "q_filter_pred", "q_freq_cms", "q_grain_fanout",
-    "q_grain_fanout_rollup", "q_grouping_sets", "q_intersect", "q_join3_agg",
-    "q_join_anti", "q_join_broadcast", "q_join_inner", "q_join_left",
-    "q_join_semi", "q_json_extract", "q_json_project", "q_malformed_filter",
-    "q_percentile", "q_percentile_approx", "q_pivot", "q_project_expr",
-    "q_quantile_hist_rollup", "q_quantile_kll_rollup", "q_range_join",
-    "q_retention_theta", "q_rollup", "q_scalar_date", "q_scalar_math",
-    "q_scalar_str", "q_scan_csv", "q_scan_json", "q_scan_orc",
-    "q_scan_parquet", "q_scan_partition_pruned", "q_seg_overlap_exact",
-    "q_seg_overlap_sketch", "q_seg_overlap_theta", "q_stats_shape", "q_topk",
-    "q_union", "q_unpivot", "q_window_frame", "q_window_rank",
-})
+from kafka_go_cardinality_spark import driver_evidence  # noqa: E402
+
+_PROVEN: frozenset[str] = driver_evidence.proven_names()
+_STALE_RED: frozenset[str] = driver_evidence.stale_red_names()
+
+_FAMILY_ORDER = (
+    "q_sim_", "q_mm_", "q_stream_", "q_agg_", "q_window_", "q_join_",
+    "q_sample_", "q_split_", "q_mix_", "q_merge_", "q_scd2_", "q_ts_",
+    "q_anomaly_", "q_dedup_", "q_text_", "q_tpch_",
+)
 
 
-def _presentation_rank(name: str) -> tuple[int, str]:
-    if name in DRIVER_PROVEN:
-        return (9, name)
-    prefix_order = (
-        "q_dedup_", "q_tpch_", "q_text_", "q_sim_", "q_mm_", "q_sample_",
-        "q_mix_", "q_split_",
-    )
-    for i, prefix in enumerate(prefix_order):
+# Rotate the proven block: shift which names sort first by a per-round
+# stride so re-checks cycle through the block over successive rounds
+# rather than always re-proving the same alphabetical head.
+_PROVEN_POS: dict[str, int] = {}
+if _PROVEN:
+    _block = sorted(_PROVEN)
+    _offset = (driver_evidence.round_index() * 25) % len(_block)
+    _PROVEN_POS = {n: (i - _offset) % len(_block) for i, n in enumerate(_block)}
+
+
+def _presentation_rank(name: str) -> tuple[int, int, str]:
+    if name in _STALE_RED:
+        return (-1, 0, name)
+    if name in _PROVEN:
+        return (99, _PROVEN_POS[name], name)
+    for i, prefix in enumerate(_FAMILY_ORDER):
         if name.startswith(prefix):
-            return (i, name)
-    return (8, name)
+            return (i, 0, name)
+    return (50, 0, name)
 
 
 def _reorder_for_driver() -> None:

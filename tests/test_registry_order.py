@@ -1,0 +1,60 @@
+"""The registry's presentation order is what the driver's first-N
+correctness sweep consumes, so it is behavior, not cosmetics: stale-red
+queries (latest driver row is an error) must come first, never-checked
+queries next, and the proven block last — rotated per round so re-checks
+cycle through it instead of re-proving the same head forever."""
+
+from __future__ import annotations
+
+import json
+
+from kafka_go_cardinality_spark import driver_evidence
+from kafka_go_cardinality_spark.queries import QUERIES
+
+
+def test_stale_red_queries_lead_the_registry():
+    stale = driver_evidence.stale_red_names()
+    names = list(QUERIES)
+    assert set(names[: len(stale)]) == stale
+
+
+def test_never_checked_precede_proven():
+    proven = driver_evidence.proven_names()
+    stale = driver_evidence.stale_red_names()
+    names = list(QUERIES)
+    first_proven = min(
+        (i for i, n in enumerate(names) if n in proven), default=len(names)
+    )
+    for i, n in enumerate(names):
+        if n not in proven and n not in stale:
+            assert i < first_proven, f"never-checked {n} sorted after proven block"
+
+
+def test_is_green_semantics():
+    assert driver_evidence.is_green({"err": None, "hash_match": True})
+    assert not driver_evidence.is_green({"err": None, "hash_match": False})
+    assert not driver_evidence.is_green({"err": "boom", "hash_match": None})
+    # rows-only queries: green iff the Spark side actually returned rows
+    assert driver_evidence.is_green({"err": "no_oracle", "spark_rows": 5})
+    assert not driver_evidence.is_green({"err": "no_oracle", "spark_rows": None})
+
+
+def test_round_index_counts_only_parsed_files(tmp_path):
+    good = {"q_x": {"err": None, "hash_match": True}}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(good))
+    (tmp_path / "CORRECTNESS_r02.json").write_text("{not json")
+    root = str(tmp_path)
+    assert driver_evidence.round_index(root) == 1
+    assert driver_evidence.proven_names(root) == frozenset({"q_x"})
+
+
+def test_latest_row_wins(tmp_path):
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_x": {"err": "loader crash"}})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_x": {"err": None, "hash_match": True}})
+    )
+    root = str(tmp_path)
+    assert driver_evidence.proven_names(root) == frozenset({"q_x"})
+    assert driver_evidence.stale_red_names(root) == frozenset()
