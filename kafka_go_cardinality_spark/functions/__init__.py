@@ -46,14 +46,25 @@ def tokens_sql(expr: str) -> str:
 
 def grams(tok: Column, n: int = 3) -> Column:
     """ALL space-joined word n-grams in position order (duplicates kept —
-    the positional variant substring dedup needs)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(0)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tok, i + j) for j in range(n)]
+    the positional variant substring dedup needs).
+
+    Docs shorter than ``n`` tokens yield an EMPTY list, never an error:
+    ``sequence(1, 0)`` in Spark is the DESCENDING ``[1, 0]``, so an
+    unguarded transform would call ``element_at(tok, 0)`` and abort the
+    whole job on the first short document (the reference skips bad
+    records and continues — kafkaio.go:77-81; match that robustness).
+    The matching DuckDB ``range(1, 1)`` is already empty, so the guard
+    also keeps the two engines' values identical."""
+    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    return F.when(
+        F.size(tok) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tok, i + j) for j in range(n)]
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def grams_sql(tok_col: str, n: int = 3) -> str:

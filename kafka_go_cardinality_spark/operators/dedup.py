@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from kafka_go_cardinality_spark.caching import tracked_persist
+from kafka_go_cardinality_spark.partitioning import spread
 from kafka_go_cardinality_spark.functions import hash64, shingles, tokens
 
 # MinHash parameters: 16 permutations in 8 bands of 2 → candidate
@@ -126,7 +128,7 @@ def _signature(corpus: DataFrame) -> DataFrame:
     CPU-bound (one md5 per shingle) and must not inherit a narrow file
     layout.
     """
-    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    corpus = spread(corpus)
     def perm_min(i: int):
         # NB: the transform lambda must stay single-arg — a second arg
         # would be bound to the element INDEX column by Spark.
@@ -150,7 +152,16 @@ def _signature(corpus: DataFrame) -> DataFrame:
 
 def _band_frame(sig: DataFrame) -> DataFrame:
     """(doc_id, band, band_hash) — one row per LSH band bucket entry; the
-    ONLY payload that rides a candidate-generation shuffle."""
+    ONLY payload that rides a candidate-generation shuffle.
+
+    Docs whose shingle set is EMPTY (shorter than the shingle width) are
+    excluded before banding: their MinHash mins are all NULL, so every
+    such doc lands in the identical md5("") bucket in every band — at
+    corpus scale that one bucket goes quadratic in the candidate join.
+    Excluding them is semantics-preserving: Jaccard against an empty set
+    is 0/0 → NaN, which can never pass a ``>= threshold`` verification
+    on either engine."""
+    sig = sig.filter(F.size("shingle_set") > 0)
     return sig.select(
         "doc_id",
         F.posexplode(
@@ -183,7 +194,7 @@ def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
     codegen unit once per branch.  One materialization of (doc_id,
     shingles, 16 longs) is strictly smaller than the corpus and is the
     standard shape for persisted LSH signature tables at scale."""
-    sig = _signature(corpus).persist()
+    sig = tracked_persist(_signature(corpus))
     sets = sig.select("doc_id", "shingle_set")
     # Candidate generation shuffles (band, band_hash, doc_id) ONLY — at
     # 100 TB the shingle sets (i.e. the documents) must never ride the
@@ -234,7 +245,7 @@ def simhash(corpus: DataFrame) -> DataFrame:
     array is bound in its own projection so the fold's lambda reads a
     materialized array (an unbound expression would re-tokenize per
     element)."""
-    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    corpus = spread(corpus)
     hs = corpus.select(
         "doc_id",
         F.transform(tokens(F.col("text")), lambda t: hash64(t, "simhash")).alias(
@@ -277,7 +288,7 @@ def simhash_pairs(corpus: DataFrame, max_hamming: int = 3) -> DataFrame:
     without the cache boundary the 48-sum vote aggregate runs twice AND
     its very large generated-code unit JIT-compiles twice (measured: the
     double compile alone costs more than the whole warm query)."""
-    fp = simhash(corpus).persist()
+    fp = tracked_persist(simhash(corpus))
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = fp.select(
         "doc_id",
@@ -413,7 +424,7 @@ def ngram_jaccard_pairs(
     # cores — a couple of parquet files would otherwise pin it to a
     # couple of tasks (the shuffle moves raw text once; the stage it
     # feeds does ~1000x that work).
-    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    corpus = spread(corpus)
     sh = (
         corpus.select(
             "doc_id",
@@ -513,7 +524,7 @@ def substring_dup_stats(corpus: DataFrame, w: int = SUBSTR_W) -> DataFrame:
     # element_at (O(tokens) per window, measured 12× slower; same
     # pathology _signature documents).  The map stage is CPU-bound
     # (one md5 per window), so spread it across all cores first.
-    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    corpus = spread(corpus)
     flat = (
         corpus.select("doc_id", tokens(F.col("text")).alias("t"))
         .select("doc_id", grams(F.col("t"), w).alias("g"))
@@ -567,16 +578,14 @@ def source_overlap(documents: DataFrame) -> DataFrame:
     # Same binding discipline as substring_dup_stats: tokens and
     # shingles each materialized before the next lambda touches them,
     # and the md5-heavy map stage spread across all cores.
-    documents = documents.repartition(
-        documents.sparkSession.sparkContext.defaultParallelism
-    )
+    documents = spread(documents)
     # explode_OUTER + post-filter, not plain explode: Catalyst infers a
     # `size(shingles) > 0` pre-filter from a non-outer Generate and
     # pushes it below the repartition INTO THE SCAN — re-evaluating the
     # whole shingle expression at the parquet file's parallelism (one
     # task) before the spread; measured 23× slower at sf0.1.  The
     # null-filter on the exploded column cannot sink below the Generate.
-    buckets = (
+    buckets = tracked_persist(
         documents.select("source", tokens(F.col("text")).alias("t"))
         .select("source", shingles(F.col("t")).alias("s"))
         .select("source", F.explode_outer("s").alias("g"))
@@ -585,7 +594,6 @@ def source_overlap(documents: DataFrame) -> DataFrame:
         .distinct()
         .groupBy("h")
         .agg(F.array_sort(F.collect_list("source")).alias("srcs"))
-        .persist()
     )
     sizes = (
         buckets.select(F.explode("srcs").alias("source"))
@@ -688,8 +696,8 @@ def minhash_incremental(
     pre-bucketed asset and the per-batch cost scales with the batch,
     not the corpus.
     """
-    sig_c = _signature(corpus).persist()
-    sig_b = _signature(batch).persist()
+    sig_c = tracked_persist(_signature(corpus))
+    sig_b = tracked_persist(_signature(batch))
     cands = (
         _band_frame(sig_b)
         .select(F.col("doc_id").alias("batch_id"), "band", "band_hash")

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from kafka_go_cardinality_spark.partitioning import spread
+
 from kafka_go_cardinality_spark.functions import hash64, shingles, tokens
 
 # A BPE-ish token regex: letter runs, digit runs, single non-alnum marks.
@@ -225,14 +227,18 @@ def contamination(
     fixture stand-in for a real benchmark suite).
 
     Scale plan: both sides reduce to (doc_id, shingle-hash) postings
-    map-side — 8-byte hashes, never text.  The benchmark side is small by
-    nature (a benchmark suite is MB-scale against a 100 TB corpus), so it
-    is broadcast: the train corpus postings never shuffle; only matched
-    postings reach the pair aggregation."""
+    map-side — 8-byte hashes, never text.  A real benchmark suite is
+    MB-scale against a 100 TB corpus, so its postings broadcast and the
+    train postings never shuffle — but the broadcast is NOT hard-hinted:
+    the fixture's ``% bench_mod`` membership makes the bench side
+    corpus-proportional (1/23 of the corpus), and a hint would pin an
+    executor-OOM plan at scale.  Catalyst/AQE picks broadcast by
+    measured size — fixture-scale plans are pinned unchanged by
+    tests/test_plans.py::test_contamination_broadcasts_bench_side."""
     # Spread the CPU-heavy tokenize/shingle/md5 map across all cores —
     # a couple of parquet files would otherwise pin it to a couple of
     # tasks (see dedup.ngram_jaccard_pairs; measured 11× on this query).
-    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    corpus = spread(corpus)
     sh = corpus.select("doc_id", shingles(tokens(F.col("text")), n).alias("s"))
     # explode_outer: plain explode makes Catalyst infer size(s) > 0 and
     # push the whole tokenize→shingle expression down to the scan (see
@@ -249,7 +255,7 @@ def contamination(
         F.col("doc_id").alias("train_id"), "gh"
     )
     return (
-        train.join(F.broadcast(bench), "gh")
+        train.join(bench, "gh")
         .groupBy("train_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

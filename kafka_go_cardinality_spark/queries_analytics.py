@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from kafka_go_cardinality_spark.partitioning import spread
+
 from kafka_go_cardinality_spark.functions import hash64, hash64_sql
 from kafka_go_cardinality_spark.operators.relational import sessionize
 from kafka_go_cardinality_spark.queries import query
@@ -313,7 +315,7 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small file → one input partition → one task would grind all O(block²)
     # candidate pairs (measured 14× slower).  Round-robin repartition gives
     # every core a slice of the probe rows; the build side broadcasts.
-    a = p.repartition(p.sparkSession.sparkContext.defaultParallelism).alias("a")
+    a = spread(p).alias("a")
     b = F.broadcast(p.alias("b"))
     joined = a.join(
         b,
@@ -863,7 +865,8 @@ def q_ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, d.event_type, value,
            round((value - d.med) / (1.4826 * mad), 4) AS robust_z
     FROM dev d JOIN mad USING (event_type)
-    WHERE abs(round((value - d.med) / (1.4826 * mad), 4)) > 2.5
+    WHERE mad > 0
+      AND abs(round((value - d.med) / (1.4826 * mad), 4)) > 2.5
     """,
 )
 def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -889,8 +892,13 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     rz = F.round(
         (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 4
     )
+    # mad == 0 (any type where ≥ half the values equal the median) makes
+    # robust_z undefined — guard BEFORE the division on both engines, or
+    # a degenerate type is a runtime error here and an Infinity row in
+    # DuckDB (latent job failure + oracle divergence).
     return (
         dev.join(F.broadcast(mad), F.col("event_type") == F.col("m_type"))
+        .filter(F.col("mad") > 0)
         .select("event_id", "event_type", "value", rz.alias("robust_z"))
         .filter(F.abs(F.col("robust_z")) > 2.5)
     )

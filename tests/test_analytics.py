@@ -823,3 +823,37 @@ def test_resample_two_level_equals_single_window(spark, sf_dir):
         for r in QUERIES["q_ts_resample_ffill_2level"](spark, sf_dir).collect()
     }
     assert a == b and a
+
+
+def test_anomaly_mad_constant_type_no_divide_by_zero(spark, tmp_path):
+    """A constant-valued event_type has mad == 0; the robust-z division
+    must be guarded on BOTH engines (round-4 verdict #4) — unguarded,
+    Spark errors at runtime while DuckDB emits Infinity rows."""
+    import duckdb
+
+    from kafka_go_cardinality_spark.queries import ORACLE_SQL, QUERIES
+    from tests.conftest import assert_frames_match
+
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+          USING SAMPLE reservoir(200 ROWS) REPEATABLE (11)
+          UNION ALL
+          SELECT 900000 + i, TIMESTAMP '2024-01-01' + INTERVAL (i) SECOND,
+                 1, 'constant_type', 42.0, '{{}}'
+          FROM range(1, 9) t(i)
+        ) TO '{tmp_path}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    try:
+        spark_pdf = QUERIES["q_anomaly_mad"](spark, str(tmp_path)).toPandas()
+        oracle_pdf = con.execute(ORACLE_SQL["q_anomaly_mad"]).fetchdf()
+        assert_frames_match(spark_pdf, oracle_pdf)
+        assert (spark_pdf["event_type"] != "constant_type").all()
+    finally:
+        con.close()
