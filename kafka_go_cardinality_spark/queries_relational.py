@@ -1519,7 +1519,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "n_nationkey", "n_name")
     )
     joined = (
-        l.join(F.broadcast(asia_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(asia_sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(
             c,
@@ -1868,7 +1868,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     promo = F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.sum(promo).alias("promo_cents"),
             F.sum(cents).alias("total_cents"),
@@ -1969,7 +1969,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long"
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(band)
         .agg(
             F.sum(cents).alias("revenue_cents"),
@@ -2112,7 +2112,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        l.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(n1, F.col("s_nk") == F.col("s_nationkey"))
@@ -2180,12 +2180,12 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total_cents = F.sum(_CENTS())
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(nc), F.col("c_nk") == F.col("c_nationkey"))
         .join(F.broadcast(r), F.col("r_regionkey") == F.col("c_rk"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(ns), F.col("s_nk") == F.col("s_nationkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -2317,8 +2317,8 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
-        .join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(bad, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -2385,7 +2385,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        waiting.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        waiting.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -2490,8 +2490,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 100
     ).cast("long")
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(ns), F.col("s_nk") == F.col("s_nationkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
@@ -2534,7 +2534,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
     )
     val = (
-        l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        l.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(ns), F.col("s_nk") == F.col("s_nationkey"))
         .groupBy("nation", "l_partkey")
         .agg(F.sum(_CENTS()).alias("part_cents"))
@@ -2625,7 +2625,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM")
     )
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(stats, F.col("s_partkey") == F.col("l_partkey"))
         .filter(qcenti * 5 * F.col("n") < F.col("sum_centi"))
         .agg(
@@ -2686,7 +2686,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dominant = (
         shipped.join(part_tot, F.col("t_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
         .filter(F.col("supp_centi") * 2 > F.col("part_centi"))
         .select("l_suppkey")
         .distinct()
@@ -2762,7 +2762,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     eu_cost = cost.join(
-        F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey")
+        eu, F.col("s_suppkey") == F.col("l_suppkey")
     )
     best = eu_cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
         F.min("unit_cents").alias("best_cents")
@@ -2776,7 +2776,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b_partkey") == F.col("l_partkey"))
             & (F.col("unit_cents") == F.col("best_cents")),
         )
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .select(
             F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
             "s_name",

@@ -24,10 +24,17 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at any realistic scale factor.
-# (region/nation are fixed-size in TPC-H; supplier/part/customer grow with sf
-# but stay orders of magnitude under fact tables.)
-BROADCASTABLE = frozenset({"region", "nation", "supplier"})
+# Tables that may carry a HARD broadcast hint: fixed-cardinality dims only
+# (region = 5 rows, nation = 25 rows at every TPC-H scale factor).  A hint
+# is honored regardless of size, so anything that GROWS with sf —
+# supplier, part, customer — must never be hard-hinted: at sf10k supplier
+# is ~15 GB and the hinted plan cannot execute.  Catalyst auto-broadcasts
+# growing dims while they fit under spark.sql.autoBroadcastJoinThreshold
+# (and AQE re-plans at runtime), which is the correct mechanism — size-
+# aware, not declared.  tests/test_plans.py pins both halves: members of
+# this set are sf-invariant, and the un-hinted supplier/part joins still
+# broadcast at fixture scale.
+BROADCASTABLE = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
