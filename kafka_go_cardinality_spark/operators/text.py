@@ -1089,3 +1089,187 @@ def dsir_weights_oracle_sql() -> str:
                 {w('dsir_tgt')} - {w('dsir_src')})), 0) > 0 AS INT) AS keep
     FROM toks
     """
+
+
+# Winnowing (Schleimer, Wilkerson, Aiken — "Winnowing: Local Algorithms
+# for Document Fingerprinting", SIGMOD 2003): hash every k-token gram,
+# slide a w-hash window, keep each window's MINIMUM hash.  Guarantees a
+# shared fingerprint for any match of length >= w + k - 1 tokens while
+# storing only ~2/(w+1) of the gram hashes — the rolling-hash
+# fingerprinting scheme plagiarism/overlap detectors (MOSS) use.
+WINNOW_K = 4  # gram width in tokens
+WINNOW_W = 5  # window of consecutive gram hashes
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """[EXT] Per-document winnowing fingerprint set.
+
+    Entirely IN-ROW (tokenize → gram hash → windowed min → distinct):
+    a pure map pass with zero shuffle — at 100 TB it adds nothing
+    beyond the scan, and the fingerprint set it emits is ~2/(w+1) the
+    size of the gram list, which is the whole point of winnowing over
+    plain shingle postings.  Arrays are bound in their own projections
+    (the per-element lambda re-evaluation discipline _signature
+    documents), and sub-(k+w-1)-token docs yield an EMPTY fingerprint
+    list, never an error (grams() short-doc contract)."""
+    from kafka_go_cardinality_spark.functions import grams
+
+    d = documents.select("doc_id", tokens(F.col("text")).alias("t"))
+    d = d.select("doc_id", grams(F.col("t"), k).alias("g"))
+    d = d.select(
+        "doc_id", F.transform(F.col("g"), lambda s: hash64(s)).alias("gh")
+    )
+    idx = F.sequence(F.lit(1), F.size("gh") - (w - 1))
+    win_min = F.transform(
+        idx, lambda i: F.array_min(F.slice(F.col("gh"), i, w))
+    )
+    fps = (
+        F.when(F.size("gh") >= w, F.array_distinct(win_min))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return d.select("doc_id", fps.alias("fps"))
+
+
+def winnow_pairs(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 2,
+) -> DataFrame:
+    """[EXT] Document pairs sharing >= ``min_shared`` winnowing
+    fingerprints — overlap detection at fingerprint (not shingle) cost.
+
+    Scale shape mirrors ngram_jaccard_pairs' posting-bucket plan but
+    over the winnowed ~2/(w+1) subset: group postings by fingerprint,
+    enumerate ordered pairs IN-ROW from each bucket's sorted doc array
+    (no posting self-join), then count shared fingerprints per pair.
+    The shuffle carries (fingerprint, doc_id) longs only."""
+    fps = winnow_fingerprints(documents, k, w)
+    # explode_outer + null-filter: plain explode infers size(fps) > 0
+    # and pushes the whole fingerprint expression into the scan (the
+    # measured pathology ngram_jaccard_pairs documents).
+    flat = (
+        fps.select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+    buckets = (
+        flat.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select("ds")
+    )
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode_outer(pair_arrays).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("p.*")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# BM25 (Robertson/Spärck Jones; the Lucene "+1 inside the log" idf
+# variant, which keeps idf positive even for terms in over half the
+# corpus — with a small fixture vocabulary every query term is that
+# common).  Scores are quantized to integer micro-units per term before
+# the cross-term sum, the same cross-engine determinism contract
+# tfidf_topk established.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("join", "window", "scan")
+BM25_TOPK = 20
+
+
+def bm25_topk(
+    documents: DataFrame,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """[EXT] BM25 top-k retrieval for a fixed query term set.
+
+    Scale shape: per-term tf and doc length are computed IN-ROW
+    (``size(filter(tokens, = term))`` — no token explode, no (doc,
+    term) shuffle for a |Q|-term query), corpus statistics (N, Σdl,
+    per-term df) are ONE single-row aggregate broadcast back, scoring
+    is map-side, and the top-k is a TakeOrdered — the fact table is
+    scanned once and never shuffled.  Contrast tfidf_topk, which must
+    explode because its term set is the whole vocabulary.
+
+    Determinism: idf is ln-based but quantized to integer micro-units
+    per term; the remaining arithmetic is IEEE mul/div in a fixed
+    parenthesization replicated exactly in the oracle SQL, and the
+    final per-term score is rounded to an integer before the sum —
+    order-free."""
+    d = documents.select("doc_id", tokens(F.col("text")).alias("t"))
+
+    def _eq(term: str):
+        # NB: single-arg lambda — a second parameter (even defaulted)
+        # would be bound to the element INDEX by Spark's HOF arity rule.
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(F.col("t"), _eq(tm))).alias(f"tf_{i}")
+        for i, tm in enumerate(terms)
+    ]
+    base = d.select("doc_id", F.size("t").alias("dl"), *tf_cols)
+    consts = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("dl_sum"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(consts))
+    avgdl = F.col("dl_sum").cast("double") / F.col("n_docs").cast("double")
+
+    def term_score(i: int):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}").cast("double")
+        idf_micro = F.round(
+            F.log(
+                (F.col("n_docs").cast("double") - df + 0.5) / (df + 0.5) + 1.0
+            )
+            * 1e6
+        ).cast("long")
+        denom = tf + k1 * ((1.0 - b) + b * (F.col("dl").cast("double") / avgdl))
+        return F.round(
+            idf_micro.cast("double") * ((tf * (k1 + 1.0)) / denom)
+        ).cast("long")
+
+    score = term_score(0)
+    for i in range(1, len(terms)):
+        score = score + term_score(i)
+    n_hit = sum(
+        (F.col(f"tf_{i}") > 0).cast("int") for i in range(len(terms))
+    ).cast("long")
+    # No n_hit > 0 pre-filter: the predicate's higher-order tf
+    # expressions would be pushed into the scan's DataFilters and the
+    # whole tokenize pass would evaluate TWICE per row (the banned
+    # pathology test_no_higher_order_expressions_in_scan_datafilters
+    # pins).  TakeOrdered ranks zero-score docs last at no extra cost;
+    # they can only surface when the corpus has fewer than k hits, and
+    # n_hit in the output lets consumers drop them.
+    return (
+        scored.select(
+            "doc_id",
+            F.col("dl").cast("long").alias("dl"),
+            n_hit.alias("n_hit"),
+            score.alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(k)
+    )

@@ -1374,3 +1374,139 @@ def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(w).alias("n_labeled"),
         F.round(F.col("n") / F.sum("n").over(w), 6).alias("share"),
     )
+
+
+# ------------------------------------------------- winnowing fingerprints
+
+
+def _winnow_fps_ctes(corpus_sql: str) -> str:
+    """CTE chain producing (doc_id, fps) — the DuckDB twin of
+    operators/text.winnow_fingerprints, generated from the same
+    (WINNOW_K, WINNOW_W) parameters."""
+    k, w = tx.WINNOW_K, tx.WINNOW_W
+    from kafka_go_cardinality_spark.functions import grams_sql
+
+    return f"""
+    corpus AS ({corpus_sql}),
+    tk AS (SELECT doc_id, {tokens_sql('text')} AS t FROM corpus),
+    g AS (SELECT doc_id, {grams_sql('t', k)} AS g FROM tk),
+    gh AS (SELECT doc_id, list_transform(g, x -> {hash64_sql('x')}) AS gh FROM g),
+    fp AS (SELECT doc_id,
+           CASE WHEN len(gh) >= {w}
+                THEN list_distinct(list_transform(
+                       range(1, len(gh) - {w - 1} + 1),
+                       i -> list_min(list_slice(gh, i, i + {w - 1}))))
+                ELSE CAST([] AS BIGINT[]) END AS fps
+           FROM gh)"""
+
+
+@query(
+    "q_text_winnow",
+    f"""
+    WITH {_winnow_fps_ctes("SELECT * FROM documents")}
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fp,
+           CAST(coalesce(list_sum(list_transform(fps, x -> x % 1000000007)), 0)
+                AS BIGINT) AS fp_checksum
+    FROM fp
+    """,
+)
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22+] Winnowing document fingerprints (Schleimer et al., MOSS):
+    k-gram rolling hashes, per-window minimum selection, ~2/(w+1)
+    storage density — pure in-row map, zero shuffle
+    (operators/text.winnow_fingerprints)."""
+    fps = tx.winnow_fingerprints(_docs(spark, sf_dir))
+    checksum = F.aggregate(
+        F.col("fps"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x % 1_000_000_007,
+    )
+    return fps.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fp"),
+        checksum.alias("fp_checksum"),
+    )
+
+
+@query(
+    "q_dedup_winnow",
+    f"""
+    WITH {_winnow_fps_ctes(dd.WITH_NEAR_DUPES_SQL)},
+    flat AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM flat a JOIN flat b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, count(*) AS n_shared
+    FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E20+] Overlap pairs sharing ≥2 winnowing fingerprints over a
+    corpus with planted near-duplicates — fingerprint-cost overlap
+    detection: the posting shuffle carries the winnowed ~2/(w+1)
+    subset of gram hashes, pairs enumerate in-row per bucket
+    (operators/text.winnow_pairs)."""
+    return tx.winnow_pairs(dd.with_near_dupes(_docs(spark, sf_dir)))
+
+
+# ----------------------------------------------------------- BM25 retrieval
+
+
+def _bm25_oracle() -> str:
+    """DuckDB twin of operators/text.bm25_topk — generated from the same
+    (terms, k1, b, k) constants with the IDENTICAL parenthesization, so
+    every IEEE double op runs in the same order on both engines."""
+    terms, k1, b, k = tx.BM25_TERMS, tx.BM25_K1, tx.BM25_B, tx.BM25_TOPK
+    tf_defs = ",\n           ".join(
+        f"len(list_filter(t, x -> x = '{tm}')) AS tf_{i}"
+        for i, tm in enumerate(terms)
+    )
+    df_defs = ",\n           ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(terms))
+    )
+    def term_score(i: int) -> str:
+        idf = (
+            f"CAST(round(ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+            f" * 1e6) AS BIGINT)"
+        )
+        denom = (
+            f"(CAST(tf_{i} AS DOUBLE) + {k1!r} * (({1.0 - b!r}) + {b!r}"
+            f" * (CAST(dl AS DOUBLE) / (dl_sum / n_docs))))"
+        )
+        return (
+            f"CAST(round(CAST({idf} AS DOUBLE) * ((CAST(tf_{i} AS DOUBLE)"
+            f" * ({k1!r} + 1.0)) / {denom})) AS BIGINT)"
+        )
+
+    score = " + ".join(term_score(i) for i in range(len(terms)))
+    n_hit = " + ".join(
+        f"CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms))
+    )
+    return f"""
+    WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+    base AS (SELECT doc_id, len(t) AS dl,
+           {tf_defs}
+    FROM tk),
+    c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) AS dl_sum,
+           {df_defs}
+    FROM base)
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+           CAST({n_hit} AS BIGINT) AS n_hit,
+           {score} AS score_micro
+    FROM base CROSS JOIN c
+    ORDER BY score_micro DESC, doc_id
+    LIMIT {k}
+    """
+
+
+@query("q_text_bm25", _bm25_oracle())
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22+] BM25 top-20 retrieval for a fixed query term set: in-row
+    per-term tf (no token explode), one single-row corpus-stats
+    aggregate broadcast back, map-side scoring with integer micro-unit
+    idf quantization, TakeOrdered top-k — the corpus is scanned once
+    and never shuffled (operators/text.bm25_topk)."""
+    return tx.bm25_topk(_docs(spark, sf_dir))

@@ -857,3 +857,63 @@ def test_anomaly_mad_constant_type_no_divide_by_zero(spark, tmp_path):
         assert (spark_pdf["event_type"] != "constant_type").all()
     finally:
         con.close()
+
+
+def test_winnow_guarantee_shared_fingerprint_on_long_overlap(spark):
+    """Winnowing's correctness property (Schleimer et al. §3): any two
+    documents sharing a run of >= w + k - 1 tokens are GUARANTEED to
+    share at least one fingerprint; docs shorter than k + w - 1 tokens
+    yield an empty set rather than an error."""
+    from kafka_go_cardinality_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    shared_run = " ".join(f"s{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared_run + " gamma delta epsilon zeta"),
+            (2, "one two three four " + shared_run),
+            (3, "totally unrelated words here nine ten eleven twelve"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in winnow_fingerprints(docs).collect()
+    }
+    assert fps[1] & fps[2], "guaranteed shared fingerprint missing"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert fps[4] == set()
+
+
+def test_bm25_ranks_term_stuffed_doc_first(spark):
+    """A document that is nothing but query terms must outrank ordinary
+    docs; docs with zero query terms score 0, carry n_hit = 0, and rank
+    strictly last (no pre-filter — its higher-order predicate would be
+    pushed into the scan's DataFilters and double the tokenize pass);
+    empty docs must not error."""
+    from kafka_go_cardinality_spark.operators.text import BM25_TERMS, bm25_topk
+
+    stuffed = " ".join(BM25_TERMS * 4)
+    docs = spark.createDataFrame(
+        [
+            (1, "filler words only nothing relevant at all"),
+            (2, stuffed),
+            (3, f"one mention of {BM25_TERMS[0]} in a much longer padded document"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = bm25_topk(docs).collect()
+    ids = [r["doc_id"] for r in got]
+    assert ids[0] == 2
+    by_id = {r["doc_id"]: r for r in got}
+    hits = {i for i in ids if by_id[i]["score_micro"] > 0}
+    assert hits == {2, 3}
+    for i in ids:
+        if i not in hits:
+            assert by_id[i]["n_hit"] == 0 and by_id[i]["score_micro"] == 0
+    assert ids.index(2) < ids.index(3) < min(ids.index(1), ids.index(4))

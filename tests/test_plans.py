@@ -899,3 +899,29 @@ def test_broadcastable_set_is_sf_invariant():
             f"{name} row count varies with sf ({counts}) — not hard-hint safe"
         )
     con.close()
+
+
+def test_winnow_fingerprints_is_map_only(spark, sf_dir):
+    """Winnowing is a pure in-row map: zero shuffles beyond the scan."""
+    assert count_exchanges(q("q_text_winnow", spark, sf_dir)) == 0
+
+
+def test_bm25_never_shuffles_the_corpus(spark, sf_dir):
+    """BM25 with a fixed term set: in-row tf, one single-row stats
+    aggregate broadcast back, TakeOrdered top-k — no hash/range
+    exchange anywhere (the stats aggregate is a SinglePartition
+    exchange, not a repartitioning of the corpus)."""
+    df = q("q_text_bm25", spark, sf_dir)
+    assert count_exchanges(df) == 0
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_winnow_pairs_shuffles_postings_only(spark, sf_dir):
+    """The winnow-pair shuffles carry (fingerprint, doc_id) longs — the
+    document text never rides an exchange."""
+    df = q("q_dedup_winnow", spark, sf_dir)
+    assert count_exchanges(df) == 2
+    for block in exchange_blocks(df):
+        assert "text" not in block, block

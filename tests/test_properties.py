@@ -205,6 +205,8 @@ _SHORT_DOC_QUERIES = [
     "q_dedup_substring",
     "q_dedup_incremental",
     "q_text_contamination",
+    "q_text_winnow",
+    "q_dedup_winnow",
 ]
 
 
