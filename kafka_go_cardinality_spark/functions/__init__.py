@@ -105,7 +105,18 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """Cosine similarity, defined as 0.0 when either vector has zero
+    norm: the unguarded division is a DIVIDE_BY_ZERO job abort under
+    ANSI semantics the moment a real corpus contains one zero/padding
+    embedding (same robustness contract as grams() on short docs — the
+    reference never aborts on malformed input).  The oracle twin
+    (_cos_sql) carries the identical CASE guard, so both engines emit
+    exactly 0.0 for degenerate pairs and bit-identical doubles
+    otherwise."""
+    na, nb = F.sqrt(dot(a, a)), F.sqrt(dot(b, b))
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(
+        F.lit(0.0)
+    )
 
 
 def norm(a: Column) -> Column:
@@ -119,5 +130,8 @@ def norm(a: Column) -> Column:
 def cosine_pre(dot_ab: Column, norm_a: Column, norm_b: Column) -> Column:
     """Cosine from a pair dot and two precomputed norms — bit-identical
     to ``cosine`` (hoisting sqrt(dot(a,a)) out of the pair expression
-    changes evaluation site, not arithmetic)."""
-    return dot_ab / (norm_a * norm_b)
+    changes evaluation site, not arithmetic), including the zero-norm
+    guard: 0.0 instead of an ANSI DIVIDE_BY_ZERO abort."""
+    return F.when(
+        (norm_a > 0) & (norm_b > 0), dot_ab / (norm_a * norm_b)
+    ).otherwise(F.lit(0.0))

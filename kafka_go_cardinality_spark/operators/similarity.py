@@ -264,13 +264,22 @@ def ivf_topk(
     nrm_col = norm(F.col("v"))
     # Same arithmetic as cosine_pre(dot(v, c), nrm, cn) — emitted as one
     # generated-SQL array (16 × 64 constants) for the py4j reason
-    # documented on _dot_sql.
+    # documented on _dot_sql.  Zero-norm guard mirrors cosine_pre/
+    # _cos_sql: a zero ROW vector scores 0.0 against every centroid
+    # (deterministic first-cell assignment) instead of aborting the job;
+    # a zero CENTROID (possible only if a seed vector is zero) folds to
+    # a constant 0.0 at build time.
+    def _cell_cos(vec, cn: float) -> str:
+        if not cn > 0:
+            return "0.0D"
+        return "if(nrm > 0, %s / (nrm * %s), 0.0D)" % (
+            _dot_sql("v", vec),
+            _dlit(cn),
+        )
+
     cos_arr = F.expr(
         "array(%s)"
-        % ", ".join(
-            "%s / (nrm * %s)" % (_dot_sql("v", vec), _dlit(cn))
-            for vec, cn in zip(seed_vecs, cent_norms)
-        )
+        % ", ".join(_cell_cos(vec, cn) for vec, cn in zip(seed_vecs, cent_norms))
     )
     scored_cells = tracked_persist(
         base.select("vec_id", "v", nrm_col.alias("nrm"))
@@ -793,12 +802,19 @@ def semantic_dedup(
     seeds = base.filter(F.col("vec_id") < n_cells).collect()
     seed_vecs = [row["v"] for row in sorted(seeds, key=lambda r: r["vec_id"])]
     cent_norms = [_seq_norm_py(vec) for vec in seed_vecs]
+    def _cell_cos(vec, cn: float) -> str:
+        # Zero-norm guard (mirrors cosine_pre / the oracle's CASE): a
+        # zero row vector scores 0.0 everywhere instead of aborting.
+        if not cn > 0:
+            return "0.0D"
+        return "if(nrm > 0, %s / (nrm * %s), 0.0D)" % (
+            _dot_sql("v", vec),
+            _dlit(cn),
+        )
+
     cos_arr = F.expr(
         "array(%s)"
-        % ", ".join(
-            "%s / (nrm * %s)" % (_dot_sql("v", vec), _dlit(cn))
-            for vec, cn in zip(seed_vecs, cent_norms)
-        )
+        % ", ".join(_cell_cos(vec, cn) for vec, cn in zip(seed_vecs, cent_norms))
     )
     with_cell = tracked_persist(
         base.select("vec_id", "v", norm(F.col("v")).alias("nrm"))
@@ -867,7 +883,9 @@ def semantic_dedup_oracle_sql() -> str:
               FROM normed WHERE vec_id < {SEMDEDUP_CELLS}),
     scored AS (
       SELECT n.vec_id, n.v, n.nrm, cents.cell,
-             {dot('n.v', 'cents.c')} / (n.nrm * cents.cnrm) AS cos
+             (CASE WHEN n.nrm > 0 AND cents.cnrm > 0
+                   THEN {dot('n.v', 'cents.c')} / (n.nrm * cents.cnrm)
+                   ELSE 0.0 END) AS cos
       FROM normed n CROSS JOIN cents),
     cells AS (
       SELECT vec_id, v, nrm, cell FROM (
@@ -878,7 +896,9 @@ def semantic_dedup_oracle_sql() -> str:
       SELECT DISTINCT b.vec_id AS vec_b
       FROM cells a JOIN cells b
         ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE {dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= {SEMDEDUP_TAU})
+      WHERE (CASE WHEN a.nrm > 0 AND b.nrm > 0
+                   THEN {dot('a.v', 'b.v')} / (a.nrm * b.nrm)
+                   ELSE 0.0 END) >= {SEMDEDUP_TAU})
     SELECT c.vec_id, c.cell, (r.vec_b IS NULL) AS is_kept
     FROM cells c LEFT JOIN removed r ON c.vec_id = r.vec_b
     """

@@ -243,7 +243,14 @@ def contamination(
     # explode_outer: plain explode makes Catalyst infer size(s) > 0 and
     # push the whole tokenize→shingle expression down to the scan (see
     # dedup.ngram_jaccard_pairs for the measured cost).
-    flat = (
+    # Persisted: the postings feed BOTH the bench and train branches —
+    # without the cache boundary the tokenize→shingle→md5 map (the
+    # dominant cost) evaluates once per branch (two RoundRobin
+    # exchanges in the unpersisted plan).  The cached frame is (long,
+    # long) postings, far smaller than the corpus.
+    from kafka_go_cardinality_spark.caching import tracked_persist
+
+    flat = tracked_persist(
         sh.select("doc_id", F.explode_outer("s").alias("g"))
         .filter(F.col("g").isNotNull())
         .select("doc_id", hash64(F.col("g")).alias("gh"))

@@ -225,14 +225,20 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cos_sql(a: str, b: str) -> str:
     """Explicit sequential-double cosine — bitwise equal to the Spark
     fold (functions.cosine); both verified equal to DuckDB
-    list_cosine_similarity on DOUBLE[]."""
+    list_cosine_similarity on DOUBLE[].  Mirrors cosine()'s zero-norm
+    guard: 0.0 for a degenerate pair (DuckDB would otherwise emit
+    inf/nan where Spark ANSI aborts)."""
     def dot(x: str, y: str) -> str:
         return (
             f"list_reduce(list_transform(range(1, len({x}) + 1), "
             f"i -> {x}[i] * {y}[i]), (acc, v) -> acc + v)"
         )
 
-    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+    return (
+        f"(CASE WHEN sqrt({dot(a, a)}) > 0 AND sqrt({dot(b, b)}) > 0 "
+        f"THEN {dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})) "
+        f"ELSE 0.0 END)"
+    )
 
 
 @query(

@@ -205,3 +205,56 @@ def test_semantic_dedup_drops_planted_copies(spark, sf_dir):
     # 64-d vectors are near-orthogonal (no other pair reaches 0.95).
     originals = {v - 1_000_000 for v in planted}
     assert originals <= kept
+
+
+# ---------------------------------------------------------- zero vectors
+#
+# Round-5 robustness sweep: a single zero (or denormal) embedding used to
+# abort SIX similarity queries with an ANSI DIVIDE_BY_ZERO — the vector
+# twin of the grams() short-doc crash.  cosine()/cosine_pre()/_cos_sql
+# and the generated centroid-score arrays now define cosine as 0.0 for a
+# zero-norm operand on BOTH engines; this test pins full oracle parity
+# on a corpus where the degenerate vectors are PLANTED.
+
+_ZERO_VEC_QUERIES = [
+    "q_sim_cosine_topk",
+    "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
+    "q_sim_knn_classify",
+    "q_dedup_embedding",
+    "q_dedup_semantic",
+]
+
+
+def test_zero_vector_corpus_full_parity(spark, tmp_path_factory):
+    import duckdb
+
+    from kafka_go_cardinality_spark.queries import ORACLE_SQL, QUERIES
+    from tests.conftest import assert_frames_match
+
+    d = tmp_path_factory.mktemp("zerovec")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet')
+          UNION ALL
+          SELECT 900001, CAST(list_transform(range(64), x -> 0.0) AS FLOAT[]), 3
+          UNION ALL
+          SELECT 900002, CAST(list_transform(range(64), x -> 1e-30) AS FLOAT[]), 4
+        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet')"
+    )
+    try:
+        for name in _ZERO_VEC_QUERIES:
+            spark_pdf = QUERIES[name](spark, str(d)).toPandas()
+            oracle_pdf = con.execute(ORACLE_SQL[name]).fetchdf()
+            assert_frames_match(spark_pdf, oracle_pdf)
+        # rows-only ops must at least complete on the degenerate corpus
+        for name in ("q_sim_ann_pq", "q_kmeans"):
+            assert QUERIES[name](spark, str(d)).count() >= 0
+    finally:
+        con.close()
