@@ -1146,8 +1146,14 @@ def kll_quantile_rollup(events: DataFrame) -> DataFrame:
     keep k at the accuracy the product needs (k=200 → ~1.3% rank error,
     ~2 KiB) rather than this fixture-exact k=16,384.
     """
+    # NULL measurements are dropped BEFORE sketching (both engines): a
+    # day whose values are all NULL would produce a NULL sketch, and
+    # kll_sketch_merge/get_quantile on a NULL buffer aborts the job
+    # (KLL_INVALID_INPUT_SKETCH_BUFFER) — n_rows therefore counts
+    # measured rows, matching the oracle's WHERE value IS NOT NULL.
     day = (
-        events.select(F.date_trunc("day", "ts").alias("day"), "value")
+        events.filter(F.col("value").isNotNull())
+        .select(F.date_trunc("day", "ts").alias("day"), "value")
         .groupBy("day")
         .agg(
             F.kll_sketch_agg_double("value", F.lit(KLL_K)).alias("ks"),
@@ -1181,5 +1187,6 @@ KLL_QUANTILE_ORACLE_SQL = """
            quantile_disc(value, 0.9) AS p90,
            quantile_disc(value, 0.99) AS p99
     FROM events
+    WHERE value IS NOT NULL
     GROUP BY 1
 """

@@ -88,9 +88,19 @@ def quality_score(documents: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame
     n_stop = F.size(
         F.filter(tok, lambda t: F.array_contains(en_stop, t))
     )
-    punct_ratio = n_punct.cast("double") / n_chars
-    stop_ratio = n_stop.cast("double") / n_tok
-    avg_tok_len = n_chars.cast("double") / n_tok
+    # Guarded ratios: an empty or NULL document is 0.0 on every signal
+    # on BOTH engines — unguarded, n_chars = 0 is an ANSI DIVIDE_BY_ZERO
+    # job abort here and an inf in DuckDB (the oracles carry the same
+    # CASE guards).
+    punct_ratio = F.when(
+        n_chars > 0, n_punct.cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    avg_tok_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(
+        F.lit(0.0)
+    )
     score = (
         F.lit(0.4) * F.least(stop_ratio * 5, F.lit(1.0))
         + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))

@@ -477,12 +477,12 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(t) AS BIGINT) AS n_tokens,
-           round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
-           round(CAST(n_stop AS DOUBLE) / len(t), 6) AS stopword_ratio,
-           round(0.4 * least(CAST(n_stop AS DOUBLE) / len(t) * 5, 1.0)
-               + 0.3 * (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 10, 1.0))
-               + 0.3 * (CASE WHEN CAST(n_chars AS DOUBLE) / len(t) >= 3
-                              AND CAST(n_chars AS DOUBLE) / len(t) <= 10
+           round((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END), 6) AS punct_ratio,
+           round((CASE WHEN len(t) > 0 THEN CAST(n_stop AS DOUBLE) / len(t) ELSE 0.0 END), 6) AS stopword_ratio,
+           round(0.4 * least((CASE WHEN len(t) > 0 THEN CAST(n_stop AS DOUBLE) / len(t) ELSE 0.0 END) * 5, 1.0)
+               + 0.3 * (1.0 - least((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 10, 1.0))
+               + 0.3 * (CASE WHEN (CASE WHEN len(t) > 0 THEN CAST(n_chars AS DOUBLE) / len(t) ELSE 0.0 END) >= 3
+                              AND (CASE WHEN len(t) > 0 THEN CAST(n_chars AS DOUBLE) / len(t) ELSE 0.0 END) <= 10
                              THEN 1.0 ELSE 0.0 END), 6) AS quality
     FROM base
     """,
@@ -730,7 +730,7 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH rated AS (
       SELECT doc_id, source,
-             CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+             CASE WHEN TRY_CAST(substring(source, 4) AS INT) % 2 = 0
                   THEN 90 ELSE 30 END AS rate
       FROM documents)
     SELECT source, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum
@@ -749,7 +749,11 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_go_cardinality_spark.functions import hash64
 
     docs = _docs(spark, sf_dir)
-    src_idx = F.substring(F.col("source"), 4, 10).cast("int")
+    # try_cast: a source name whose suffix isn't numeric (any real
+    # multi-crawl mix) must take the default rate, not abort the job
+    # with CAST_INVALID_INPUT.  NULL % 2 is NULL -> otherwise(30), the
+    # same ELSE branch the oracle's TRY_CAST takes.
+    src_idx = F.substring(F.col("source"), 4, 10).try_cast("int")
     rate = F.when(src_idx % 2 == 0, F.lit(90)).otherwise(F.lit(30))
     keep = (
         hash64(
@@ -812,10 +816,10 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT doc_id,
              CAST(len(t) AS BIGINT) AS n_tokens,
-             round(0.4 * least(CAST(n_stop AS DOUBLE) / len(t) * 5, 1.0)
-                 + 0.3 * (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 10, 1.0))
-                 + 0.3 * (CASE WHEN CAST(n_chars AS DOUBLE) / len(t) >= 3
-                                AND CAST(n_chars AS DOUBLE) / len(t) <= 10
+             round(0.4 * least((CASE WHEN len(t) > 0 THEN CAST(n_stop AS DOUBLE) / len(t) ELSE 0.0 END) * 5, 1.0)
+                 + 0.3 * (1.0 - least((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 10, 1.0))
+                 + 0.3 * (CASE WHEN (CASE WHEN len(t) > 0 THEN CAST(n_chars AS DOUBLE) / len(t) ELSE 0.0 END) >= 3
+                                AND (CASE WHEN len(t) > 0 THEN CAST(n_chars AS DOUBLE) / len(t) ELSE 0.0 END) <= 10
                                THEN 1.0 ELSE 0.0 END), 6) AS quality
       FROM (
         SELECT doc_id,
@@ -916,10 +920,10 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT doc_id, lang,
-             round(0.4 * least(CAST(n_stop AS DOUBLE) / len(t) * 5, 1.0)
-                 + 0.3 * (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 10, 1.0))
-                 + 0.3 * (CASE WHEN CAST(n_chars AS DOUBLE) / len(t) >= 3
-                                AND CAST(n_chars AS DOUBLE) / len(t) <= 10
+             round(0.4 * least((CASE WHEN len(t) > 0 THEN CAST(n_stop AS DOUBLE) / len(t) ELSE 0.0 END) * 5, 1.0)
+                 + 0.3 * (1.0 - least((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 10, 1.0))
+                 + 0.3 * (CASE WHEN (CASE WHEN len(t) > 0 THEN CAST(n_chars AS DOUBLE) / len(t) ELSE 0.0 END) >= 3
+                                AND (CASE WHEN len(t) > 0 THEN CAST(n_chars AS DOUBLE) / len(t) ELSE 0.0 END) <= 10
                                THEN 1.0 ELSE 0.0 END), 6) AS quality
       FROM base
     ),

@@ -827,8 +827,11 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
-        F.round(F.element_at("embedding", 64).cast("double"), 6).alias("last_val"),
+        # try_element_at, not element_at: a wrong-dimension vector in a
+        # real corpus must yield NULL (DuckDB's out-of-bounds semantics),
+        # not an INVALID_ARRAY_INDEX job abort.
+        F.round(F.try_element_at("embedding", F.lit(1)).cast("double"), 6).alias("first_val"),
+        F.round(F.try_element_at("embedding", F.lit(64)).cast("double"), 6).alias("last_val"),
         F.round(
             F.aggregate(
                 "embedding",

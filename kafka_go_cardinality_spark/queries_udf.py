@@ -117,7 +117,8 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, t.pos AS pos,
              CAST(floor(CAST(embedding[t.pos + 1] AS DOUBLE) * 1000 + 0.5)
                   AS BIGINT) AS qv
-      FROM embeddings, range(64) t(pos))
+      FROM embeddings, range(64) t(pos)
+      WHERE embedding IS NOT NULL AND len(embedding) = 64)
     SELECT a.pos AS i, b.pos AS j,
            CAST(sum(a.qv * b.qv) AS BIGINT) AS gram_q6
     FROM flat a JOIN flat b USING (vec_id)
@@ -148,6 +149,12 @@ def q_emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
+            # Drop NULL / wrong-dimension vectors: np.stack on a ragged
+            # batch raises and aborts the job; the oracle applies the
+            # identical len = dim filter, so exclusion is value-checked.
+            vecs = pdf["embedding"]
+            keep = vecs.map(lambda v: v is not None and len(v) == dim)
+            pdf = pdf[keep]
             if not len(pdf):
                 continue
             x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
