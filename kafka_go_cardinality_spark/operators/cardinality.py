@@ -482,6 +482,13 @@ def segment_overlap_exact(events: DataFrame) -> DataFrame:
     enrichment is a broadcast join of a T²-row frame against itself —
     inclusion-exclusion gives the union and Jaccard for free.
     """
+    # A segment member needs both a user and a type: NULL-keyed rows are
+    # skipped (reference policy, kafkaio.go:77-81), and the oracle's m
+    # CTE carries the same WHERE — without it, DISTINCT keeps a NULL
+    # "user" in the sizes but the intersection join drops it.
+    events = events.filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
     types = F.array_sort(F.collect_set("event_type"))
     pair_rows = (
         events.groupBy("user_id")
@@ -533,7 +540,8 @@ def segment_overlap_exact(events: DataFrame) -> DataFrame:
 
 
 SEGMENT_OVERLAP_ORACLE_SQL = """
-    WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+    WITH m AS (SELECT DISTINCT event_type, user_id FROM events
+               WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
     sizes AS (SELECT event_type, count(*) AS n FROM m GROUP BY 1),
     inter AS (
       SELECT a.event_type AS type_a, b.event_type AS type_b,
@@ -565,6 +573,10 @@ def segment_overlap_sketch(events: DataFrame, lg_k: int = REFERENCE_LG_K) -> Dat
     terms, so tiny overlaps of huge segments are where exact (or
     bitmap) beats sketches — the accuracy test pins the achieved error.
     """
+    # Same NULL-keyed-row skip as the exact twin (and its shared oracle).
+    events = events.filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
     sk = (
         events.groupBy("event_type")
         .agg(
@@ -1029,8 +1041,13 @@ def theta_day_retention(events: DataFrame) -> DataFrame:
     is nil; the win is that the raw-uid shuffle of the exact twin
     (distinct (day, uid) self-joined on uid) disappears entirely.
     """
+    # NULL user/ts rows are skipped on BOTH engines: theta_sketch_agg
+    # already ignores NULL items, but the oracle's DISTINCT would count
+    # a NULL "user" — the shared WHERE keeps active-user semantics
+    # identical (a NULL is not a user; a row without a time has no day).
     day = (
-        events.select(
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
             F.date_trunc("day", "ts").alias("day"),
             F.col("user_id").cast("string").alias("uid"),
         )
@@ -1060,7 +1077,8 @@ THETA_RETENTION_ORACLE_SQL = """
     WITH m AS (
       SELECT DISTINCT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
              user_id
-      FROM events),
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL),
     days AS (SELECT day, count(*) AS n FROM m GROUP BY 1),
     ret AS (
       SELECT b.day AS day, count(*) AS n_ret
@@ -1090,7 +1108,10 @@ def segment_overlap_theta(events: DataFrame) -> DataFrame:
     table → T×T broadcast pairing of kilobyte values; the exact
     version's user-keyed shuffles never happen.
     """
-    sk = events.groupBy("event_type").agg(
+    # Same NULL-keyed-row skip as the exact twin (and its shared oracle).
+    sk = events.filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).groupBy("event_type").agg(
         F.theta_sketch_agg(F.col("user_id").cast("string"), F.lit(THETA_LG_K)).alias(
             "sk"
         )

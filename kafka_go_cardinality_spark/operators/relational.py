@@ -115,6 +115,11 @@ def sessionize(
     must make the per-key ordering total or session numbering is
     non-deterministic under equal timestamps.
     """
+    # A session needs an owner and an instant: NULL key/ts rows are
+    # skipped on BOTH engines (oracle carries the same WHERE).  Unfiltered,
+    # a NULL ts sorts FIRST here but LAST in SQL, splitting sessions
+    # differently — and a NaT "session" means nothing downstream.
+    df = df.filter(F.col(key).isNotNull() & F.col(ts).isNotNull())
     w = Window.partitionBy(key).orderBy(ts, order_tiebreak)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_us = F.lag(F.unix_micros(F.col(ts))).over(w)
@@ -297,7 +302,16 @@ def zscore_outliers(
     is a broadcast hash join, never a shuffle of the 100 TB side.  The
     z value is rounded to 4 decimals on both engines so accumulation-
     order ulps in the double sums can't flip the hash.
+
+    Values beyond ±1e150 are excluded on BOTH engines before the
+    moments: their square overflows IEEE double, which DuckDB surfaces
+    as an out-of-range ERROR while Spark silently degrades to inf — a
+    job abort vs a silent divergence on the same sentinel row.  Real
+    measurements live far inside the guard; anything outside it is a
+    corrupt/sentinel value, exactly what an anomaly filter must not
+    let poison its own baseline.
     """
+    events = events.filter(F.abs(F.col(value_col)) < 1e150)
     stats = events.groupBy(group_col).agg(
         F.avg(value_col).alias("__mu"),
         F.stddev_samp(value_col).alias("__sigma"),
@@ -512,8 +526,17 @@ def markov_transitions(events: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # A transition needs a user, an instant, and a state on both ends:
+    # NULL-keyed rows are skipped up front on BOTH engines.  Unfiltered,
+    # a NULL ts row sorts FIRST in Spark's window but LAST in SQL
+    # (NULLS LAST default), silently shifting every transition after it.
     steps = (
-        events.select("user_id", "ts", "event_id", "event_type")
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("user_id", "ts", "event_id", "event_type")
         .withColumn("prev_type", F.lag("event_type").over(w))
         .filter(F.col("prev_type").isNotNull())
     )
@@ -542,7 +565,9 @@ def markov_transitions_oracle_sql() -> str:
       SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev_type
-      FROM events),
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL),
     trans AS (
       SELECT prev_type, event_type AS next_type, count(*) AS c
       FROM steps WHERE prev_type IS NOT NULL GROUP BY 1, 2),

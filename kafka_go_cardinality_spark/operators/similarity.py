@@ -337,8 +337,15 @@ def with_planted_neighbors(embeddings: DataFrame) -> DataFrame:
     """Corpus ∪ perturbed copies of every 11th vector (id+1_000_000,
     +0.25 on the first component, double space) — guarantees non-trivial
     near-dup pairs in a corpus of otherwise near-orthogonal random
-    vectors."""
-    base = embeddings.select(
+    vectors.
+
+    NULL / wrong-dimension vectors are excluded up front on BOTH engines
+    (same WHERE in the SQL twin): a vector outside the embedding space
+    has no cosine to anything, and one NULL poisons column dtypes all
+    the way to the comparison harness."""
+    base = embeddings.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    ).select(
         "vec_id", as_double(F.col("embedding")).alias("embedding"), "label"
     )
     mutants = (
@@ -357,12 +364,14 @@ def with_planted_neighbors(embeddings: DataFrame) -> DataFrame:
 
 WITH_PLANTED_NEIGHBORS_SQL = """
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = 64
     UNION ALL
     SELECT vec_id + 1000000 AS vec_id,
            list_prepend(CAST(embedding[1] AS DOUBLE) + 0.25,
                         CAST(embedding[2:64] AS DOUBLE[])) AS embedding,
            label
-    FROM embeddings WHERE vec_id % 11 = 0
+    FROM embeddings
+    WHERE vec_id % 11 = 0 AND embedding IS NOT NULL AND len(embedding) = 64
 """
 
 
@@ -920,6 +929,9 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
     Scale shape: a pure per-row map over array columns — zero shuffle,
     whole-stage codegen end to end, embarrassingly parallel.
     """
+    # NULL vectors are skipped on BOTH engines: there is nothing to
+    # quantize, and one NULL row floats the int columns in the harness.
+    embeddings = embeddings.filter(F.col("embedding").isNotNull())
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     s = F.array_max(F.transform(v, F.abs))
     code = F.transform(
@@ -947,7 +959,8 @@ QUANTIZE_INT8_ORACLE_SQL = """
     WITH v AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
-      FROM embeddings),
+      FROM embeddings
+      WHERE embedding IS NOT NULL),
     s AS (
       SELECT vec_id, vv, list_max(list_transform(vv, x -> abs(x))) AS sc
       FROM v),

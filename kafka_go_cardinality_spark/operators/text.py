@@ -844,6 +844,9 @@ def hash_classifier_scores(documents: DataFrame) -> DataFrame:
     at all (its processor computes one HLL estimate,
     /root/reference/processor/processor.go:80-101).
     """
+    # NULL-text docs are skipped on BOTH engines: nothing to score, and
+    # one NULL floats the integer score columns at the harness boundary.
+    documents = documents.filter(F.col("text").isNotNull())
     toks = tokens(F.col("text"))
     bucket = lambda t: hash64(t, salt="hclf") % HCLF_BUCKETS  # noqa: E731
     weight = lambda t: (bucket(t) * HCLF_MULT) % HCLF_RANGE - (  # noqa: E731
@@ -1068,6 +1071,8 @@ def dsir_weights(documents: DataFrame) -> DataFrame:
     Zero shuffle, zero Python: token hashing and both weight lookups
     fold IN-ROW with ``aggregate`` over the token array, exactly the
     hash-classifier plan, so at 100 TB selection costs one scan."""
+    # NULL-text docs skipped on both engines (see hash_classifier_scores).
+    documents = documents.filter(F.col("text").isNotNull())
     toks = tokens(F.col("text"))
 
     def weight(t, salt: str):
@@ -1097,7 +1102,8 @@ def dsir_weights_oracle_sql() -> str:
         return f"(({b} * {DSIR_MULT}) % {DSIR_RANGE} - {half})"
 
     return f"""
-    WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents)
+    WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+                  WHERE text IS NOT NULL)
     SELECT doc_id,
            CAST(len(t) AS BIGINT) AS n_tokens,
            CAST(coalesce(list_sum(list_transform(t, x ->
@@ -1290,3 +1296,4 @@ def bm25_topk(
         .orderBy(F.col("score_micro").desc(), "doc_id")
         .limit(k)
     )
+

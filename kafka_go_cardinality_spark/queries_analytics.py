@@ -42,6 +42,7 @@ SESSION_GAP_SECONDS = 24 * 3600  # fixture events are sparse per user (~11 h med
       SELECT user_id, event_id, ts,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),
     flagged AS (
       SELECT user_id, event_id, ts,
@@ -505,13 +506,16 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_anomaly_zscore",
     """
-    WITH stats AS (
+    WITH safe AS (
+      SELECT * FROM events WHERE abs(value) < 1e150
+    ),
+    stats AS (
       SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
-      FROM events GROUP BY event_type
+      FROM safe GROUP BY event_type
     )
     SELECT event_id, event_type, value,
            round((value - mu) / sigma, 4) AS zscore
-    FROM events JOIN stats USING (event_type)
+    FROM safe JOIN stats USING (event_type)
     WHERE abs(round((value - mu) / sigma, 4)) > 3.0
     """,
 )

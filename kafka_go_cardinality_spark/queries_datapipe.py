@@ -1121,7 +1121,8 @@ def _hclf_weight_sql(token_expr: str) -> str:
                 {_hclf_weight_sql('x')})), 0) AS BIGINT) AS score_sum,
            CAST(CAST(coalesce(list_sum(list_transform(t, x ->
                 {_hclf_weight_sql('x')})), 0) AS BIGINT) > 0 AS INT) AS keep
-    FROM (SELECT doc_id, {tokens_sql('text')} AS t FROM documents)
+    FROM (SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+          WHERE text IS NOT NULL)
     """,
 )
 def q_text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1072,7 +1072,10 @@ def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.join(
             F.broadcast(mx),
-            (F.col("event_type") == F.col("mx_type"))
+            # BOTH keys null-safe: SQL's PARTITION BY keeps a NULL
+            # event_type as a real group, so a plain == on the type
+            # would silently drop it here (and NULL values, above).
+            F.col("event_type").eqNullSafe(F.col("mx_type"))
             & (F.col("value").eqNullSafe(F.col("mx_value"))),
         )
         .groupBy("event_type")
@@ -1215,9 +1218,9 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_map_ops",
     """
     SELECT event_id,
-           array_to_string(list_sort(json_keys(props)), ',') AS keys,
-           CAST(len(json_keys(props)) AS INT) AS n_keys,
-           list_contains(json_keys(props), 'k') AS has_k,
+           coalesce(array_to_string(list_sort(json_keys(props)), ','), '') AS keys,
+           CAST(coalesce(len(json_keys(props)), 0) AS INT) AS n_keys,
+           coalesce(list_contains(json_keys(props), 'k'), FALSE) AS has_k,
            CAST(props ->> '$.k' AS INT) AS k_val
     FROM events
     """,
@@ -1230,11 +1233,19 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,int>")
     keyed = e.select("event_id", m.alias("m"))
+    # Accessors coalesce to DEFINED values on a NULL/unparseable props
+    # map — '' / 0 / false, same as the oracle — so a corrupt payload
+    # degrades to "no keys" instead of a three-way NULL that DuckDB and
+    # Spark stringify differently.  k_val stays NULL (absent ≠ zero).
     return keyed.select(
         "event_id",
-        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys"),
-        F.size("m").alias("n_keys"),
-        F.array_contains(F.map_keys("m"), "k").alias("has_k"),
+        F.coalesce(
+            F.array_join(F.array_sort(F.map_keys("m")), ","), F.lit("")
+        ).alias("keys"),
+        F.coalesce(F.size("m"), F.lit(0)).alias("n_keys"),
+        F.coalesce(
+            F.array_contains(F.map_keys("m"), "k"), F.lit(False)
+        ).alias("has_k"),
         F.col("m")["k"].alias("k_val"),
     )
 

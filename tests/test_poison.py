@@ -1,0 +1,80 @@
+"""Fault-injection regression gate: the queries that once crashed or
+diverged on poisoned input stay crash-free AND oracle-exact on a corpus
+containing every poison class a 100 TB ingest will see — NULL keys,
+NULL/epoch-0/far-future timestamps, ±1e308 measurements, NULL/empty
+documents, non-numeric source names, NULL and wrong-dimension vectors.
+
+The reference never aborts on malformed records (kafkaio.go:77-81 skips
+and continues); every fix asserted here implements that policy with
+DEFINED, oracle-mirrored semantics.  The full-registry sweep lives in
+scripts_poison_audit.py (same poison tables); this test pins its
+formerly-red subset so regressions surface in the fast suite.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from scripts_poison_audit import TABLES, build_poison_dir
+from tests.conftest import assert_frames_match
+
+# Formerly aborted the Spark job outright (ArrayIndexOutOfBounds,
+# DIVIDE_BY_ZERO, CAST_INVALID_INPUT, KLL NULL buffer, ragged np.stack).
+FORMER_CRASHERS = [
+    "q_array_ops",
+    "q_domain_mix",
+    "q_emb_gram",
+    "q_pipeline_curate",
+    "q_quality_topfrac",
+    "q_quantile_kll_rollup",
+    "q_text_quality",
+]
+
+# Formerly hash-diverged from the oracle on poisoned rows (NULL-key
+# ordering/join/grouping semantics, dtype poisoning).
+FORMER_DIVERGERS = [
+    "q_anomaly_zscore",
+    "q_argmax",
+    "q_dedup_semantic",
+    "q_emb_quantize",
+    "q_malformed_filter",
+    "q_map_ops",
+    "q_markov_transitions",
+    "q_retention_theta",
+    "q_seg_overlap_exact",
+    "q_seg_overlap_theta",
+    "q_sessionize_batch",
+    "q_text_dsir",
+    "q_text_hash_classifier",
+]
+
+
+@pytest.fixture(scope="module")
+def poison(spark):
+    con = duckdb.connect()
+    d = build_poison_dir(con)
+    yield d, con
+    con.close()
+
+
+def _registry():
+    import __spark_entry__ as m
+
+    return m.queries(), m.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(set(FORMER_CRASHERS + FORMER_DIVERGERS)))
+def test_poisoned_input_parity(spark, poison, name):
+    d, con = poison
+    qs, os_ = _registry()
+    pdf = qs[name](spark, d).toPandas()  # must not abort
+    if name in os_:
+        assert_frames_match(pdf, con.execute(os_[name]).fetchdf())
+
+
+def test_poison_tables_cover_all_base_tables():
+    assert set(TABLES) == {
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    }
