@@ -33,7 +33,8 @@ POISON = {
         (900001, TIMESTAMP '1970-01-01 00:00:00', NULL, 'click', NULL, NULL),
         (900002, NULL, 7, NULL, 0.0, '{{}}'),
         (900003, TIMESTAMP '2199-12-31 23:59:59', 7, 'click', 1e308, '{{}}'),
-        (900004, TIMESTAMP '2024-01-02 00:00:00', NULL, '', -1e308, NULL)
+        (900004, TIMESTAMP '2024-01-02 00:00:00', NULL, '', -1e308, NULL),
+        (900005, TIMESTAMP '2024-01-03 00:00:00', 9, 'click', CAST('nan' AS DOUBLE), '{{"k": 1}}')
       ) v(event_id, ts, user_id, event_type, value, props)""",
     "documents": """
       SELECT * FROM read_parquet('{src}/documents.parquet')
@@ -47,6 +48,10 @@ POISON = {
       UNION ALL SELECT 920001, NULL, NULL
       UNION ALL SELECT 920002,
                       CAST(list_transform(range(32), x -> 0.5) AS FLOAT[]), 2
+      UNION ALL SELECT 920003,
+                      CAST(list_transform(range(64),
+                           x -> CASE WHEN x = 0 THEN CAST('nan' AS FLOAT)
+                                     ELSE 0.5 END) AS FLOAT[]), 3
     """,
 }
 
