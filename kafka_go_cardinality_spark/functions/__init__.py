@@ -11,8 +11,16 @@ rules are:
 - float folds: cast float→double FIRST, accumulate sequentially in array
   order — bit-identical across engines (verified: Spark ``aggregate`` ==
   DuckDB ``list_cosine_similarity`` on DOUBLE[]).
-- tokenization: ``lower(trim(text))`` split on ``\\s+``; shingles are
+- tokenization: ``fold(trim(text))`` split on ``\\s+``; shingles are
   space-joined n-grams in order.
+- case folding (``fold``/``fold_sql``/``fold_py``): plain ``lower()``
+  DIVERGES between the JVM/CPython (Unicode SpecialCasing: ``İ`` →
+  ``i`` + U+0307, word-final ``Σ`` → ``ς``) and DuckDB's utf8proc
+  (simple mappings: ``İ`` → ``i``, every ``Σ`` → ``σ``) — so md5-token
+  hashes silently disagree on real multilingual text.  The contract is
+  lower() then canonicalize both divergent classes (``i`` + combining
+  dot → ``i``; ``ς`` → ``σ``) on EVERY engine, making the folded string
+  — and every hash derived from it — engine-independent.
 """
 
 from __future__ import annotations
@@ -36,12 +44,44 @@ def hash64_sql(expr: str, salt: str = "") -> str:
 # ------------------------------------------------------------ tokenization
 
 
+# What JVM/CPython ``lower()`` makes of ``İ`` (U+0130): ``i`` + U+0307.
+_DOTTED_I = "i̇"
+
+
+def fold(col: Column) -> Column:
+    """Engine-agnostic case fold (see module docstring): ``lower`` then
+    canonicalize the two classes where JVM SpecialCasing and DuckDB's
+    utf8proc disagree — ``İ``/``i``+U+0307 → ``i``, final sigma ``ς`` →
+    ``σ``.  Literal ``replace``, not regex: stays a cheap in-row JVM
+    expression inside whole-stage codegen."""
+    return F.replace(
+        F.replace(F.lower(col), F.lit(_DOTTED_I), F.lit("i")),
+        F.lit("ς"),
+        F.lit("σ"),
+    )
+
+
+def fold_sql(expr: str) -> str:
+    """DuckDB twin of :func:`fold` — utf8proc's lower() already yields
+    ``i``/``σ`` for İ/Σ, so the replaces only canonicalize literal
+    ``i``+U+0307 / ``ς`` appearing in the input."""
+    return (
+        f"replace(replace(lower({expr}), 'i' || chr(775), 'i'), "
+        f"chr(962), chr(963))"
+    )
+
+
+def fold_py(s: str) -> str:
+    """Python twin of :func:`fold` for pandas-UDF/UDTF paths."""
+    return s.lower().replace(_DOTTED_I, "i").replace("ς", "σ")
+
+
 def tokens(col: Column) -> Column:
-    return F.split(F.lower(F.trim(col)), r"\s+")
+    return F.split(fold(F.trim(col)), r"\s+")
 
 
 def tokens_sql(expr: str) -> str:
-    return f"string_split_regex(lower(trim({expr})), '\\s+')"
+    return f"string_split_regex({fold_sql(f'trim({expr})')}, '\\s+')"
 
 
 def grams(tok: Column, n: int = 3) -> Column:
@@ -90,6 +130,55 @@ def shingles_sql(tok_col: str, n: int = 3) -> str:
 
 
 # ------------------------------------------------------------ vector math
+
+
+def vec_finite(col: Column) -> Column:
+    """True iff the array is non-NULL, non-empty, fully measured (no
+    NULL element), and every element finite — the skip-and-continue
+    contract for embedding columns (reference: kafkaio.go:77-81 drops
+    malformed records).  A NaN/Inf coordinate poisons every downstream
+    integer quantization (``CAST_OVERFLOW`` on Spark, a conversion
+    error in DuckDB), and a NULL coordinate is a hole no dot product or
+    quantizer can interpret — and one that NULL-propagates differently
+    through Spark ``aggregate`` folds (NULL-absorbing) vs DuckDB
+    ``list_sum`` (NULL-skipping) — so both classes are excluded up
+    front on BOTH engines, value-checked by the fault-injection sweep
+    (scripts_poison_audit.py rows 920003/920004) and matching the
+    pandas-UDF paths' ``np.isfinite(...).all()`` (None → NaN → drop).
+
+    Deliberately expressed through ``array_max``/``array_min``/
+    ``array_compact`` — both engines rank NaN above +Inf, so a NaN
+    anywhere surfaces in the max, and a NULL element anywhere shrinks
+    the compacted length — and NOT through a higher-order ``exists``/
+    ``list_filter`` lambda: this predicate sits directly on the scan,
+    and the repo bans lambda-bearing scan DataFilters
+    (tests/test_plans.py — they evaluate outside whole-stage codegen,
+    per row, at every scan).  Empty and all-NULL vectors make the
+    extrema NULL → predicate NULL → row dropped, identically on both
+    engines."""
+    hi, lo = F.array_max(col), F.array_min(col)
+    return (
+        col.isNotNull()
+        & hi.isNotNull()
+        & ~F.isnan(hi)
+        & (hi != F.lit(float("inf")))
+        & (lo != F.lit(float("-inf")))
+        & (F.size(F.array_compact(col)) == F.size(col))
+    )
+
+
+def vec_finite_sql(expr: str) -> str:
+    """DuckDB twin of :func:`vec_finite` (list_max/list_min share
+    Spark's NULL-skipping and NaN-sorts-greatest semantics; the
+    list_filter lambda is DuckDB-side only, where no scan-filter
+    codegen constraint exists)."""
+    return (
+        f"({expr} IS NOT NULL AND list_max({expr}) IS NOT NULL"
+        f" AND NOT isnan(list_max({expr}))"
+        f" AND list_max({expr}) <> 'infinity'::DOUBLE"
+        f" AND list_min({expr}) <> '-infinity'::DOUBLE"
+        f" AND len(list_filter({expr}, x -> x IS NOT NULL)) = len({expr}))"
+    )
 
 
 def as_double(vec: Column) -> Column:

@@ -110,7 +110,9 @@ def make_chunker_udtf():
     @udtf(returnType="pos int, chunk string")
     class Chunker:
         def eval(self, doc_id: int, text: str):
-            toks = text.lower().strip().split()
+            from kafka_go_cardinality_spark.functions import fold_py
+
+            toks = fold_py(text).strip().split()
             for i in range(0, len(toks), 3):
                 yield i // 3, " ".join(toks[i : i + 3])
 

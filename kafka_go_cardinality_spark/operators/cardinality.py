@@ -783,6 +783,11 @@ def quantile_hist_rollup(events: DataFrame) -> DataFrame:
     per window at ANY data scale.
     """
     w = (QHIST_HI - QHIST_LO) / QHIST_BUCKETS
+    # NULL / NaN measurements are excluded by contract on BOTH engines:
+    # neither has a bucket (Spark width_bucket yields NULL, DuckDB's NaN
+    # compares greater-than-everything into the overflow bucket), so one
+    # poisoned row silently shifts every rank readout in its month.
+    events = events.filter(F.col("value").isNotNull() & ~F.isnan(F.col("value")))
     day_table = (
         events.select(
             _window_start(F.col("ts"), "day").alias("day"),
@@ -845,7 +850,9 @@ def quantile_hist_oracle_sql() -> str:
                        ELSE floor((value - {QHIST_LO}) / {w}) + 1 END
                   AS BIGINT) AS bucket,
              count(*) AS cnt
-      FROM events GROUP BY 1, 2),
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+      GROUP BY 1, 2),
     month AS (
       SELECT CAST(epoch(date_trunc('month', to_timestamp(day))) AS BIGINT)
                AS month,
@@ -1167,13 +1174,17 @@ def kll_quantile_rollup(events: DataFrame) -> DataFrame:
     keep k at the accuracy the product needs (k=200 → ~1.3% rank error,
     ~2 KiB) rather than this fixture-exact k=16,384.
     """
-    # NULL measurements are dropped BEFORE sketching (both engines): a
-    # day whose values are all NULL would produce a NULL sketch, and
-    # kll_sketch_merge/get_quantile on a NULL buffer aborts the job
-    # (KLL_INVALID_INPUT_SKETCH_BUFFER) — n_rows therefore counts
-    # measured rows, matching the oracle's WHERE value IS NOT NULL.
+    # NULL / NaN measurements are dropped BEFORE sketching (both
+    # engines): a day whose values are all NULL would produce a NULL
+    # sketch, and kll_sketch_merge/get_quantile on a NULL buffer aborts
+    # the job (KLL_INVALID_INPUT_SKETCH_BUFFER); a NaN is silently
+    # IGNORED by the DataSketches update but RANKED greater-than-
+    # everything by SQL quantile_disc, so one poisoned row shifts every
+    # rank readout in its month — n_rows therefore counts finite
+    # measured rows, matching the oracle's WHERE clause (same contract
+    # as quantile_hist_rollup).
     day = (
-        events.filter(F.col("value").isNotNull())
+        events.filter(F.col("value").isNotNull() & ~F.isnan(F.col("value")))
         .select(F.date_trunc("day", "ts").alias("day"), "value")
         .groupBy("day")
         .agg(
@@ -1208,6 +1219,6 @@ KLL_QUANTILE_ORACLE_SQL = """
            quantile_disc(value, 0.9) AS p90,
            quantile_disc(value, 0.99) AS p99
     FROM events
-    WHERE value IS NOT NULL
+    WHERE value IS NOT NULL AND NOT isnan(value)
     GROUP BY 1
 """

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from kafka_go_cardinality_spark.caching import tracked_persist
 from kafka_go_cardinality_spark.partitioning import spread
-from kafka_go_cardinality_spark.functions import hash64, shingles, tokens
+from kafka_go_cardinality_spark.functions import hash64, shingles, tokens, tokens_sql
 
 # MinHash parameters: 16 permutations in 8 bands of 2 → candidate
 # probability 1-(1-j²)⁸ (≈1 for j≥0.8, ≈.08 for j=0.1).
@@ -89,13 +89,13 @@ def with_near_dupes(documents: DataFrame) -> DataFrame:
     return documents.unionByName(mutants)
 
 
-WITH_NEAR_DUPES_SQL = """
+WITH_NEAR_DUPES_SQL = f"""
     SELECT * FROM documents
     UNION ALL
     SELECT doc_id + 1000000 AS doc_id,
            array_to_string(list_slice(toks, 1, greatest(len(toks) - 1, 1)), ' ') AS text,
            lang, source, n_chars
-    FROM (SELECT *, string_split_regex(lower(trim(text)), '\\s+') AS toks
+    FROM (SELECT *, {tokens_sql('text')} AS toks
           FROM documents)
     WHERE doc_id % 7 = 0
 """
@@ -664,16 +664,16 @@ def with_incremental_batch(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
     return documents, mutants.unionByName(fresh)
 
 
-WITH_INCREMENTAL_BATCH_SQL = """
+WITH_INCREMENTAL_BATCH_SQL = f"""
     SELECT doc_id + 1000000 AS doc_id,
            array_to_string(list_slice(toks, 1, greatest(len(toks) - 1, 1)), ' ') AS text
-    FROM (SELECT *, string_split_regex(lower(trim(text)), '\\s+') AS toks
+    FROM (SELECT *, {tokens_sql('text')} AS toks
           FROM documents)
     WHERE doc_id % 7 = 0
     UNION ALL
     SELECT doc_id + 2000000 AS doc_id,
            array_to_string(list_reverse(toks), ' ') AS text
-    FROM (SELECT *, string_split_regex(lower(trim(text)), '\\s+') AS toks
+    FROM (SELECT *, {tokens_sql('text')} AS toks
           FROM documents)
     WHERE doc_id % 9 = 0
 """

@@ -39,6 +39,8 @@ from kafka_go_cardinality_spark.functions import (
     dot,
     hash64,
     norm,
+    vec_finite,
+    vec_finite_sql,
 )
 
 ANN_PLANES = 12  # 12-bit sign sketch
@@ -344,7 +346,7 @@ def with_planted_neighbors(embeddings: DataFrame) -> DataFrame:
     has no cosine to anything, and one NULL poisons column dtypes all
     the way to the comparison harness."""
     base = embeddings.filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+        vec_finite(F.col("embedding")) & (F.size("embedding") == 64)
     ).select(
         "vec_id", as_double(F.col("embedding")).alias("embedding"), "label"
     )
@@ -362,16 +364,17 @@ def with_planted_neighbors(embeddings: DataFrame) -> DataFrame:
     return base.unionByName(mutants)
 
 
-WITH_PLANTED_NEIGHBORS_SQL = """
+WITH_PLANTED_NEIGHBORS_SQL = f"""
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings
-    WHERE embedding IS NOT NULL AND len(embedding) = 64
+    WHERE {vec_finite_sql('embedding')} AND len(embedding) = 64
     UNION ALL
     SELECT vec_id + 1000000 AS vec_id,
            list_prepend(CAST(embedding[1] AS DOUBLE) + 0.25,
                         CAST(embedding[2:64] AS DOUBLE[])) AS embedding,
            label
     FROM embeddings
-    WHERE vec_id % 11 = 0 AND embedding IS NOT NULL AND len(embedding) = 64
+    WHERE vec_id % 11 = 0 AND {vec_finite_sql('embedding')}
+      AND len(embedding) = 64
 """
 
 
@@ -441,7 +444,9 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     vectors; dims per label is fixed (64), so state is bounded by
     #labels × dims regardless of corpus size.
     """
-    q = embeddings.select(
+    # Non-finite vectors are excluded by contract (functions.vec_finite):
+    # one NaN coordinate would CAST_OVERFLOW the micro-unit quantization.
+    q = embeddings.filter(vec_finite(F.col("embedding"))).select(
         "label", F.posexplode(F.col("embedding")).alias("pos", "v")
     ).select(
         "label",
@@ -479,8 +484,10 @@ KMEANS_Q = 1_000_000
 def _quantized(embeddings: DataFrame) -> DataFrame:
     """(vec_id, vq): embeddings as micro-unit integer arrays.  One exact
     round per coordinate — from here on the trainer is pure integer
-    arithmetic, so results are identical at any parallelism/engine."""
-    return embeddings.select(
+    arithmetic, so results are identical at any parallelism/engine.
+    Non-finite vectors are excluded by contract (functions.vec_finite):
+    a single NaN coordinate would CAST_OVERFLOW the micro-unit round."""
+    return embeddings.filter(vec_finite(F.col("embedding"))).select(
         "vec_id",
         F.transform(
             F.col("embedding"),
@@ -929,9 +936,10 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
     Scale shape: a pure per-row map over array columns — zero shuffle,
     whole-stage codegen end to end, embarrassingly parallel.
     """
-    # NULL vectors are skipped on BOTH engines: there is nothing to
-    # quantize, and one NULL row floats the int columns in the harness.
-    embeddings = embeddings.filter(F.col("embedding").isNotNull())
+    # NULL / non-finite vectors are skipped on BOTH engines: there is
+    # nothing to quantize (NaN would CAST_OVERFLOW the int8 round), and
+    # one NULL row floats the int columns in the harness.
+    embeddings = embeddings.filter(vec_finite(F.col("embedding")))
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     s = F.array_max(F.transform(v, F.abs))
     code = F.transform(
@@ -955,12 +963,12 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
 # the driver stringifies result frames, and engine-native array
 # renderings differ (numpy "[ 1 2 ]" vs Spark "[1, 2]") even when the
 # values are identical.  list_sum yields HUGEINT in DuckDB → cast back.
-QUANTIZE_INT8_ORACLE_SQL = """
+QUANTIZE_INT8_ORACLE_SQL = f"""
     WITH v AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
       FROM embeddings
-      WHERE embedding IS NOT NULL),
+      WHERE {vec_finite_sql('embedding')}),
     s AS (
       SELECT vec_id, vv, list_max(list_transform(vv, x -> abs(x))) AS sc
       FROM v),

@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from kafka_go_cardinality_spark.partitioning import spread
 
-from kafka_go_cardinality_spark.functions import hash64, shingles, tokens
+from kafka_go_cardinality_spark.functions import fold, hash64, shingles, tokens
 
 # A BPE-ish token regex: letter runs, digit runs, single non-alnum marks.
 BPE_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
@@ -147,8 +147,12 @@ def with_dirty_text(documents: DataFrame) -> DataFrame:
     """Corpus with deterministically 'dirtied' text — the raw-crawl
     formatting noise a normalization pass exists to remove.  Every 3rd
     doc: padded, upper-cased, bang-suffixed; every remaining 5th doc:
-    single spaces tripled.  The rule is part of the query definition and
-    is replicated verbatim in the oracle SQL."""
+    single spaces tripled; every remaining 7th doc: a fixed multilingual
+    suffix whose case-folding DIVERGES between engines under plain
+    lower() (Turkish İ, Greek final Σ — see functions.fold), so the
+    normalize oracle check exercises the fold contract on every run.
+    The rule is part of the query definition and is replicated verbatim
+    in the oracle SQL."""
     dirty = (
         F.when(
             F.col("doc_id") % 3 == 0,
@@ -157,6 +161,10 @@ def with_dirty_text(documents: DataFrame) -> DataFrame:
         .when(
             F.col("doc_id") % 5 == 0,
             F.replace(F.col("text"), F.lit(" "), F.lit("   ")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" İstanbul ΣΟΦΟΣ ΑΣ Größe")),
         )
         .otherwise(F.col("text"))
     )
@@ -167,6 +175,7 @@ WITH_DIRTY_TEXT_SQL = """
     SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN '  ' || upper(text) || ' !!!'
                 WHEN doc_id % 5 = 0 THEN replace(text, ' ', '   ')
+                WHEN doc_id % 7 = 0 THEN text || ' İstanbul ΣΟΦΟΣ ΑΣ Größe'
                 ELSE text END AS text,
            lang, source, n_chars
     FROM documents
@@ -182,7 +191,7 @@ def normalize_text(documents: DataFrame) -> DataFrame:
     Pure narrow map over built-in JVM regex expressions: no shuffle, no
     Python, runs inside whole-stage codegen at scan parallelism — at
     100 TB this costs nothing beyond the scan."""
-    lowered = F.lower(F.col("text"))
+    lowered = fold(F.col("text"))
     stripped = F.regexp_replace(lowered, "[^a-z0-9\\s]", " ")
     collapsed = F.trim(F.regexp_replace(stripped, "\\s+", " "))
     return documents.select(
@@ -282,7 +291,7 @@ def contamination(
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercase text —
     the canonical key for exact dedup across formatting variants."""
-    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    normalized = F.regexp_replace(fold(F.trim(F.col("text"))), "\\s+", " ")
     return documents.select(
         "doc_id",
         F.md5(normalized).alias("fingerprint"),

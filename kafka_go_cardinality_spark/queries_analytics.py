@@ -854,14 +854,17 @@ def q_ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_anomaly_mad",
     """
-    WITH med AS (
+    WITH ev AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)),
+    med AS (
       SELECT event_type,
              percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
-      FROM events GROUP BY 1),
+      FROM ev GROUP BY 1),
     dev AS (
       SELECT e.event_id, e.event_type, e.value, m.med,
              abs(e.value - m.med) AS adev
-      FROM events e JOIN med m USING (event_type)),
+      FROM ev e JOIN med m USING (event_type)),
     mad AS (
       SELECT event_type,
              percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
@@ -883,7 +886,14 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture scale; at 100 TB the two median passes swap to
     approx_percentile (KLL-backed, q_quantile_kll_rollup's machinery)
     with identical plan shape."""
-    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # NULL / NaN measurements are excluded by contract on BOTH engines:
+    # a NaN shifts the two medians differently per engine (NaN ordering
+    # rules diverge), silently moving every robust_z in its group.
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter(F.col("value").isNotNull() & ~F.isnan(F.col("value")))
+    )
     med = ev.groupBy("event_type").agg(
         F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
     )

@@ -13,7 +13,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from kafka_go_cardinality_spark.functions import hash64_sql, shingles_sql, tokens_sql
+from kafka_go_cardinality_spark.functions import (
+    fold_sql,
+    hash64_sql,
+    shingles_sql,
+    tokens_sql,
+    vec_finite_sql,
+)
 from kafka_go_cardinality_spark.operators import dedup as dd
 from kafka_go_cardinality_spark.operators import multimodal as mm
 from kafka_go_cardinality_spark.operators import similarity as sim
@@ -502,11 +508,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_text_fingerprint",
-    """
+    f"""
     SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
-           CAST(length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS BIGINT)
-             AS norm_len
+           md5(regexp_replace({fold_sql('trim(text)')}, '\\s+', ' ', 'g'))
+             AS fingerprint,
+           CAST(length(regexp_replace({fold_sql('trim(text)')}, '\\s+', ' ', 'g'))
+             AS BIGINT) AS norm_len
     FROM documents
     """,
 )
@@ -552,9 +559,15 @@ def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN doc_id % 3 = 1 THEN 'audio'
                   ELSE 'video' END AS media_type,
              CAST(octet_length(encode(text)) AS INT) AS payload_len,
+             -- byte values of the UTF-8 payload prefix via hex pairs:
+             -- the stub sums the first 16 RAW BYTES (a real codec sees
+             -- bytes, not characters), so ord-per-char would silently
+             -- diverge on any non-ASCII document
              CAST(coalesce(list_sum(list_transform(
-                    range(1, least(length(text), 16) + 1),
-                    i -> ord(text[i]))), 0) AS BIGINT) AS h
+                    range(1, least(octet_length(encode(text)), 16) + 1),
+                    i -> CAST(('0x' || substr(hex(encode(text)),
+                                              (i-1)*2 + 1, 2)) AS INT))), 0)
+               AS BIGINT) AS h
       FROM documents)
     SELECT doc_id, media_type, payload_len,
            CAST(64 + h % 512 AS INT) AS width,
@@ -568,10 +581,11 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic STUB (operators/multimodal._fake_decode) — the batch
     plumbing, schema, and partitioning are the real article.  The stub's
     determinism buys a FULL oracle: the byte-sum arithmetic is replayed
-    in SQL (ord-per-char == byte value on the all-ASCII fixture — the
-    oracle itself would fail loudly if non-ASCII text ever appeared), so
-    even the Python mapInPandas path is value-checked cross-engine, not
-    just rows-counted."""
+    in SQL over the hex expansion of the UTF-8 payload, byte-for-byte —
+    so it holds on non-ASCII documents too (value-checked by the
+    fault-injection sweep's Unicode rows) and even the Python
+    mapInPandas path is value-checked cross-engine, not just
+    rows-counted."""
     return mm.decode_media(mm.as_media(_docs(spark, sf_dir)))
 
 
@@ -598,9 +612,9 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dirty AS ({tx.WITH_DIRTY_TEXT_SQL})
     SELECT doc_id,
            CAST(length(text) AS INT) AS n_chars_raw,
-           trim(regexp_replace(regexp_replace(lower(text),
+           trim(regexp_replace(regexp_replace({fold_sql('text')},
                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text,
-           CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+           CAST(length(trim(regexp_replace(regexp_replace({fold_sql('text')},
                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS INT)
              AS n_chars_norm
     FROM dirty
@@ -641,12 +655,13 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_emb_centroids",
-    """
+    f"""
     WITH q AS (
       SELECT label, generate_subscripts(embedding, 1) AS pos,
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
                AS qv
-      FROM embeddings),
+      FROM embeddings
+      WHERE {vec_finite_sql('embedding')}),
     s AS (SELECT label, pos, sum(qv) AS sq, count(*) AS n
           FROM q GROUP BY 1, 2)
     SELECT label, max(n) AS n_vectors,

@@ -832,11 +832,20 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         # not an INVALID_ARRAY_INDEX job abort.
         F.round(F.try_element_at("embedding", F.lit(1)).cast("double"), 6).alias("first_val"),
         F.round(F.try_element_at("embedding", F.lit(64)).cast("double"), 6).alias("last_val"),
+        # Fold over array_compact, guarded by a non-empty compacted size:
+        # a bare `aggregate` fold is NULL-absorbing (one NULL element →
+        # NULL sum) while the oracle's list_sum is NULL-skipping (NULL
+        # iff no non-NULL element).  This query deliberately surfaces
+        # every vector unfiltered, so it must carry SQL sum semantics
+        # itself rather than rely on vec_finite upstream.
         F.round(
-            F.aggregate(
-                "embedding",
-                F.lit(0.0).cast("double"),
-                lambda acc, x: acc + x.cast("double"),
+            F.when(
+                F.size(F.array_compact("embedding")) > 0,
+                F.aggregate(
+                    F.array_compact("embedding"),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x.cast("double"),
+                ),
             ),
             6,
         ).alias("vec_sum"),

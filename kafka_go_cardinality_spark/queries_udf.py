@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from kafka_go_cardinality_spark.functions import tokens_sql, vec_finite_sql
 from kafka_go_cardinality_spark.functions.udfs import (
     discounted_price,
     int_total_qty,
@@ -79,14 +80,14 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_udtf_chunks",
-    """
+    f"""
     WITH c AS (
       SELECT doc_id,
              list_transform(
-               range(CAST(ceil(len(string_split_regex(lower(trim(text)), '\\s+')) / 3.0)
+               range(CAST(ceil(len({tokens_sql('text')}) / 3.0)
                      AS BIGINT)),
                i -> array_to_string(
-                 (string_split_regex(lower(trim(text)), '\\s+'))[(i*3)+1:(i+1)*3], ' ')
+                 ({tokens_sql('text')})[(i*3)+1:(i+1)*3], ' ')
              ) AS chunks
       FROM documents WHERE doc_id < 50)
     SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, chunks[i] AS chunk
@@ -112,13 +113,13 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_emb_gram",
-    """
+    f"""
     WITH flat AS (
       SELECT vec_id, t.pos AS pos,
              CAST(floor(CAST(embedding[t.pos + 1] AS DOUBLE) * 1000 + 0.5)
                   AS BIGINT) AS qv
       FROM embeddings, range(64) t(pos)
-      WHERE embedding IS NOT NULL AND len(embedding) = 64)
+      WHERE {vec_finite_sql('embedding')} AND len(embedding) = 64)
     SELECT a.pos AS i, b.pos AS j,
            CAST(sum(a.qv * b.qv) AS BIGINT) AS gram_q6
     FROM flat a JOIN flat b USING (vec_id)
@@ -149,11 +150,17 @@ def q_emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            # Drop NULL / wrong-dimension vectors: np.stack on a ragged
-            # batch raises and aborts the job; the oracle applies the
-            # identical len = dim filter, so exclusion is value-checked.
+            # Drop NULL / wrong-dimension / non-finite vectors: np.stack
+            # on a ragged batch raises and aborts the job, and one NaN
+            # coordinate overflows the int64 quantization; the oracle
+            # applies the identical filter, so exclusion is value-checked
+            # (functions.vec_finite contract).
             vecs = pdf["embedding"]
-            keep = vecs.map(lambda v: v is not None and len(v) == dim)
+            keep = vecs.map(
+                lambda v: v is not None
+                and len(v) == dim
+                and bool(np.isfinite(np.asarray(v, dtype=np.float64)).all())
+            )
             pdf = pdf[keep]
             if not len(pdf):
                 continue

@@ -2,8 +2,10 @@
 
 A 100 TB corpus WILL contain rows the sf* fixtures happen not to have:
 NULL keys, empty documents, epoch-0 / far-future timestamps, +/-1e308
-measurements, NULL and wrong-dimension embedding vectors, non-numeric
-source names.  The reference never aborts on malformed input
+and NaN measurements, NULL / wrong-dimension / NaN-element /
+NULL-element embedding vectors, non-numeric source names, and multilingual text whose case
+folding diverges between engines under plain lower() (Turkish İ, Greek
+final Σ — see functions.fold).  The reference never aborts on malformed input
 (kafkaio.go:77-81 skips and continues); this audit holds every query to
 the same bar, and further demands that the DuckDB oracle AGREES on what
 the poisoned rows mean — i.e. degenerate-input semantics are defined,
@@ -41,7 +43,10 @@ POISON = {
       UNION ALL SELECT * FROM (VALUES
         (910001, NULL, NULL, NULL, NULL),
         (910002, '', 'en', 'crawl_z', 0),
-        (910003, 'one two', NULL, 'crawl_z', 7)
+        (910003, 'one two', NULL, 'crawl_z', 7),
+        (910004, 'Größe STRAßE İstanbul Émile naïve CAFÉ über ÇOCUK',
+         'de', 'crawl_u', 49),
+        (910005, 'ΣΟΦΟΣ ΑΣ ς i̇x İ', 'el', 'crawl_u', 16)
       ) v(doc_id, text, lang, source, n_chars)""",
     "embeddings": """
       SELECT * FROM read_parquet('{src}/embeddings.parquet')
@@ -51,6 +56,10 @@ POISON = {
       UNION ALL SELECT 920003,
                       CAST(list_transform(range(64),
                            x -> CASE WHEN x = 0 THEN CAST('nan' AS FLOAT)
+                                     ELSE 0.5 END) AS FLOAT[]), 3
+      UNION ALL SELECT 920004,
+                      CAST(list_transform(range(64),
+                           x -> CASE WHEN x = 0 THEN NULL
                                      ELSE 0.5 END) AS FLOAT[]), 3
     """,
 }

@@ -24,7 +24,9 @@ from tests.conftest import assert_frames_match
 FORMER_CRASHERS = [
     "q_array_ops",
     "q_domain_mix",
+    "q_emb_centroids",
     "q_emb_gram",
+    "q_kmeans",
     "q_pipeline_curate",
     "q_quality_topfrac",
     "q_quantile_kll_rollup",
@@ -34,6 +36,7 @@ FORMER_CRASHERS = [
 # Formerly hash-diverged from the oracle on poisoned rows (NULL-key
 # ordering/join/grouping semantics, dtype poisoning).
 FORMER_DIVERGERS = [
+    "q_anomaly_mad",
     "q_anomaly_zscore",
     "q_argmax",
     "q_dedup_semantic",
@@ -41,12 +44,18 @@ FORMER_DIVERGERS = [
     "q_malformed_filter",
     "q_map_ops",
     "q_markov_transitions",
+    "q_mm_decode",
+    "q_quantile_hist_rollup",
+    "q_quantile_kll_rollup",
     "q_retention_theta",
     "q_seg_overlap_exact",
     "q_seg_overlap_theta",
     "q_sessionize_batch",
     "q_text_dsir",
+    "q_text_fingerprint",
     "q_text_hash_classifier",
+    "q_text_normalize",
+    "q_text_tokens",
 ]
 
 

@@ -276,3 +276,98 @@ def test_short_doc_corpus_full_parity(spark, tmp_path_factory):
             assert_frames_match(spark_pdf, oracle_pdf)
     finally:
         con.close()
+
+
+# Strings where JVM/CPython Unicode SpecialCasing and DuckDB's utf8proc
+# simple mappings disagree under plain lower(): Turkish İ (one-to-many:
+# i + U+0307), Greek word-final Σ (context-sensitive: ς vs σ), plus the
+# literal post-fold forms and consistently-folding controls.
+_FOLD_CASES = [
+    "İstanbul",
+    "ΣΟΦΟΣ ΑΣ",
+    "ς",
+    "i̇x",
+    "İ",
+    "Größe STRAßE",
+    "Émile naïve CAFÉ über ÇOCUK",
+    "PLAIN ascii Text",
+]
+
+
+def test_fold_cross_engine_parity(spark):
+    """functions.fold / fold_sql / fold_py produce the IDENTICAL string
+    on Spark, DuckDB, and Python for every known lower()-divergent
+    class — the contract every md5-token hash in the repo rests on."""
+    import duckdb
+
+    import kafka_go_cardinality_spark.functions as kf
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(_FOLD_CASES)], "i int, s string")
+    spark_out = {
+        r.i: r.f
+        for r in df.select("i", kf.fold(F.col("s")).alias("f")).collect()
+    }
+    con = duckdb.connect()
+    try:
+        for i, s in enumerate(_FOLD_CASES):
+            (duck,) = con.execute(
+                f"SELECT {kf.fold_sql('?::VARCHAR')}", [s]
+            ).fetchone()
+            assert spark_out[i] == duck == kf.fold_py(s), (s, spark_out[i], duck)
+    finally:
+        con.close()
+
+
+def test_vec_finite_cross_engine_parity(spark):
+    """functions.vec_finite / vec_finite_sql agree on every degenerate
+    vector class — and the expected verdicts are pinned: NULL, empty,
+    all-NULL, any NaN/±Inf element, AND any NULL element excluded
+    (a hole in a vector is malformed — and matches the pandas-UDF
+    paths' np.isfinite(None→NaN) drop); plain finite vectors kept."""
+    import duckdb
+
+    import kafka_go_cardinality_spark.functions as kf
+
+    vecs = [
+        (0, [0.5, 1.0], True),
+        (1, None, False),
+        (2, [float("nan"), 1.0], False),
+        (3, [float("inf"), 1.0], False),
+        (4, [float("-inf"), 1.0], False),
+        (5, [None, 1.0], False),
+        (6, [], False),
+        (7, [None, None], False),
+        (8, [float("nan")], False),
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _ in vecs], "i int, v array<double>"
+    )
+    spark_ok = {
+        r.i: bool(r.ok)
+        for r in df.select(
+            "i", F.coalesce(kf.vec_finite(F.col("v")), F.lit(False)).alias("ok")
+        ).collect()
+    }
+    def _sql_vec(v):
+        # Literal SQL, not a bound parameter: the Python→DuckDB binding
+        # converts NaN elements to NULL, silently changing the case.
+        if v is None:
+            return "NULL::DOUBLE[]"
+        elems = ", ".join(
+            "NULL" if x is None else f"'{x}'::DOUBLE" for x in v
+        )
+        return f"[{elems}]::DOUBLE[]"
+
+    con = duckdb.connect()
+    try:
+        for i, v, expect in vecs:
+            (duck,) = con.execute(
+                "SELECT coalesce(p, FALSE) FROM "
+                f"(SELECT {kf.vec_finite_sql('v')} AS p FROM "
+                f"(SELECT {_sql_vec(v)} AS v))"
+            ).fetchone()
+            assert spark_ok[i] == bool(duck) == expect, (
+                i, v, spark_ok[i], duck, expect,
+            )
+    finally:
+        con.close()
