@@ -1306,3 +1306,146 @@ def bm25_topk(
         .limit(k)
     )
 
+
+
+# --------------------------------------------------- training-data packing
+
+# Tokens per packed training example and doc_id-range buckets for the
+# distributed prefix sum (same decomposition as relational.global_enumerate).
+PACK_SEQ_LEN = 128
+PACK_BUCKETS = 64
+
+
+def seq_pack(documents: DataFrame, seq_len: int = PACK_SEQ_LEN,
+             n_buckets: int = PACK_BUCKETS) -> DataFrame:
+    """Concat-and-chunk sequence packing — the LLM-pretraining writer
+    step: tokenize every document, concatenate the token streams in
+    doc_id order, and cut the global stream into fixed ``seq_len``
+    training examples.  Returns one row per example: how many documents
+    it spans, how many tokens it holds (== seq_len except the tail),
+    and the first/last doc_id feeding it — the manifest a packed-
+    sequence writer emits alongside the shards.
+
+    NULL-id docs are skipped (no stable position in the stream) and
+    NULL/whitespace-only docs contribute zero tokens — the reference's
+    skip-and-continue policy (kafkaio.go:77-81) applied to packing.
+
+    Scale shape: the global token-offset prefix sum NEVER runs a
+    single-partition window over the corpus.  doc_id's min/max (1-row
+    broadcast) split the id range into ``n_buckets`` order-preserving
+    buckets via exact integer arithmetic; per-bucket token totals make
+    an ≤n_buckets-row cumulative frame (constant at ANY scale), and
+    each doc's offset = its bucket's offset + a bucket-local running
+    sum.  The doc→example explode is bounded by cnt/seq_len + 1 rows
+    per doc (output-proportional, never quadratic), and ONE hash
+    exchange on example_id builds the manifest.
+    """
+    d = (
+        documents.filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            F.when(
+                F.col("text").isNull() | (F.trim("text") == ""), F.lit(0)
+            )
+            .otherwise(F.size(tokens(F.col("text"))))
+            .cast("long")
+            .alias("cnt"),
+        )
+    )
+    stats = d.agg(F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax"))
+    bucketed = d.crossJoin(F.broadcast(stats)).withColumn(
+        "bucket",
+        F.expr(
+            f"CAST(((doc_id - dmin) * {n_buckets}) div"
+            " (dmax - dmin + 1) AS INT)"
+        ),
+    )
+    totals = bucketed.groupBy("bucket").agg(F.sum("cnt").alias("btot"))
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    # ≤ n_buckets rows: the unpartitioned window is a constant-size
+    # frame, not the data.
+    offsets = totals.withColumn(
+        "boff", F.coalesce(F.sum("btot").over(cum), F.lit(0).cast("long"))
+    ).select("bucket", "boff")
+    loc = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "off",
+            F.col("boff")
+            + F.coalesce(F.sum("cnt").over(loc), F.lit(0).cast("long")),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    spans = placed.select(
+        "doc_id",
+        "cnt",
+        "off",
+        F.explode(
+            F.sequence(
+                F.expr(f"off div {seq_len}"),
+                F.expr(f"(off + cnt - 1) div {seq_len}"),
+            )
+        ).alias("example_id"),
+    )
+    contrib = F.least(
+        (F.col("example_id") + 1) * seq_len, F.col("off") + F.col("cnt")
+    ) - F.greatest(F.col("example_id") * seq_len, F.col("off"))
+    return (
+        spans.groupBy("example_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(contrib).alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select(
+            F.col("example_id").cast("long").alias("example_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "first_doc",
+            "last_doc",
+        )
+    )
+
+
+# Shard count for the deterministic corpus shuffle.
+SHUFFLE_SHARDS = 16
+
+
+def shuffle_shards(documents: DataFrame, n_shards: int = SHUFFLE_SHARDS) -> DataFrame:
+    """Seeded deterministic corpus shuffle + sharding — the "globally
+    shuffle the training set and write N shards" step.  Every doc gets
+    a reproducible md5-derived sort key; shard = key mod n_shards and
+    position-in-shard = rank of the key within the shard.  Reading the
+    shards in (shard, pos) order replays one fixed pseudorandom
+    permutation of the corpus — byte-identical across engines, runs,
+    and cluster sizes, unlike rand()-based shuffles.
+
+    Scale shape: NO global total order is materialized — that is the
+    point.  The key assignment is a zero-shuffle map; ONE hash exchange
+    on shard co-locates each shard, and the rank window is
+    partition-local sort within a shard (exactly the sort a shard
+    writer performs anyway).  Shards are hash-balanced (±O(√(n/N))), so
+    no shard becomes a straggler at 100 TB.
+    """
+    keyed = (
+        documents.filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            hash64(F.col("doc_id").cast("string"), salt="shuffle").alias(
+                "skey"
+            ),
+        )
+        .withColumn("shard", (F.col("skey") % n_shards).cast("int"))
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("int").alias("pos"),
+    )

@@ -1536,3 +1536,80 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf quantization, TakeOrdered top-k — the corpus is scanned once
     and never shuffled (operators/text.bm25_topk)."""
     return tx.bm25_topk(_docs(spark, sf_dir))
+
+
+# ------------------------------------------------ training-data packing
+
+
+def _pack_oracle(seq_len: int = tx.PACK_SEQ_LEN) -> str:
+    """DuckDB twin of operators/text.seq_pack, generated from the same
+    seq_len so the two can't drift.  The oracle replays the SEMANTICS
+    (global prefix sum over doc_id order → chunk into seq_len examples)
+    with a plain single-partition window — the oracle doesn't need to
+    scale; the Spark side's bucket-decomposed prefix sum must only
+    MATCH it."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len({tokens_sql('text')}) END AS cnt
+      FROM documents WHERE doc_id IS NOT NULL),
+    placed AS (
+      SELECT doc_id, CAST(cnt AS BIGINT) AS cnt,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+      FROM toks),
+    spans AS (
+      SELECT doc_id, cnt, off,
+             unnest(generate_series(off // {seq_len},
+                                    (off + cnt - 1) // {seq_len}))
+               AS example_id
+      FROM placed WHERE cnt > 0)
+    SELECT CAST(example_id AS BIGINT) AS example_id,
+           count(*) AS n_docs,
+           CAST(sum(least((example_id + 1) * {seq_len}, off + cnt)
+                    - greatest(example_id * {seq_len}, off)) AS BIGINT)
+             AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM spans GROUP BY 1
+    """
+
+
+@query("q_text_pack", _pack_oracle())
+def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22+] Concat-and-chunk sequence packing: cut the doc_id-ordered
+    global token stream into fixed 128-token training examples and emit
+    the per-example manifest (docs spanned, tokens held, first/last
+    doc).  Complements q_seq_pack (per-doc layout over 8 independent
+    packing streams): this packs ONE global stream, which is only
+    scale-possible because the token-offset prefix sum is
+    bucket-decomposed (operators/text.seq_pack) — never a
+    single-partition window over the corpus."""
+    return tx.seq_pack(_docs(spark, sf_dir))
+
+
+def _shuffle_oracle(n_shards: int = tx.SHUFFLE_SHARDS) -> str:
+    """DuckDB twin of operators/text.shuffle_shards, generated from the
+    same shard count and md5 key derivation."""
+    key = hash64_sql("CAST(doc_id AS VARCHAR)", "shuffle")
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, {key} AS skey
+      FROM documents WHERE doc_id IS NOT NULL)
+    SELECT doc_id,
+           CAST(skey % {n_shards} AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY skey % {n_shards}
+                                   ORDER BY skey, doc_id) AS INT) AS pos
+    FROM keyed
+    """
+
+
+@query("q_shuffle_shards", _shuffle_oracle())
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E26+] Seeded deterministic corpus shuffle into 16 balanced
+    shards: md5 sort key → shard = key mod N, position = rank within
+    shard.  Replays one fixed permutation at any cluster size with no
+    global sort (operators/text.shuffle_shards)."""
+    return tx.shuffle_shards(_docs(spark, sf_dir))

@@ -925,3 +925,27 @@ def test_winnow_pairs_shuffles_postings_only(spark, sf_dir):
     assert count_exchanges(df) == 2
     for block in exchange_blocks(df):
         assert "text" not in block, block
+
+
+def test_seq_pack_never_single_partition_sums_corpus(spark, sf_dir):
+    """The packing prefix sum must run per doc_id bucket: the only
+    SinglePartition exchange feeds the ≤64-row bucket-totals frame
+    (bucket, btot) — the corpus (doc_id, cnt) rows never collapse to
+    one task."""
+    df = q("q_text_pack", spark, sf_dir)
+    blocks = exchange_blocks(df)
+    single = [b for b in blocks if "SinglePartition" in b]
+    assert single, "expected the constant-size offset frame exchange"
+    for b in single:
+        assert "cnt" not in b and "doc_id" not in b, b
+    assert any("hashpartitioning(bucket" in b for b in blocks), blocks
+
+
+def test_shuffle_shards_single_exchange_on_shard(spark, sf_dir):
+    """The corpus shuffle is ONE hash exchange on shard; the rank
+    window is partition-local (no global sort, no SinglePartition)."""
+    df = q("q_shuffle_shards", spark, sf_dir)
+    blocks = exchange_blocks(df)
+    assert not any("SinglePartition" in b for b in blocks), blocks
+    assert count_exchanges(df) == 1, blocks
+    assert any("hashpartitioning(shard" in b for b in blocks), blocks
