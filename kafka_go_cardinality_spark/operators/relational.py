@@ -616,12 +616,22 @@ def resample_ffill_two_level(events: DataFrame) -> DataFrame:
     u = obs.unionByName(markers).withColumn("day", F.date_trunc("day", "ts"))
     w_day = (
         Window.partitionBy("event_type", "day")
-        .orderBy("ts", "is_grid", "event_id")
+        .orderBy(
+            "ts",
+            "is_grid",
+            F.col("event_id").asc_nulls_last(),
+            F.col("value").asc_nulls_last(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_day_full = (
         Window.partitionBy("event_type", "day")
-        .orderBy("ts", "is_grid", "event_id")
+        .orderBy(
+            "ts",
+            "is_grid",
+            F.col("event_id").asc_nulls_last(),
+            F.col("value").asc_nulls_last(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     # Both frames share partitioning and ordering, so they run in the

@@ -48,6 +48,27 @@ ANN_BANDS = 3  # banded at 3x4 bits: candidates share ANY band
 ANN_BAND_BITS = ANN_PLANES // ANN_BANDS
 
 
+def _dedup_rows_by_id(rows, vec_field: str) -> list:
+    """Deterministic driver-side model state under DUPLICATE vec_ids:
+    per id keep the row whose vector is lexicographically smallest
+    (pure numeric comparison — engine- and partition-order-
+    independent), then sort by id.  ``collect()`` order depends on
+    task scheduling, and a re-crawled corpus WILL deliver the same
+    vec_id twice — without this rule every collect()-seeded model
+    (IVF centroids, k-means init, PQ sample/probes, SemDeDup cells)
+    silently becomes a function of partition timing.  Mirrored in the
+    data-derived oracles as ``row_number() OVER (PARTITION BY vec_id
+    ORDER BY v) = 1`` (DuckDB list ordering is the same elementwise
+    lexicographic comparison)."""
+    by_id: dict = {}
+    for r in rows:
+        t = tuple(r[vec_field])
+        k = r["vec_id"]
+        if k not in by_id or t < tuple(by_id[k][vec_field]):
+            by_id[k] = r
+    return [by_id[k] for k in sorted(by_id)]
+
+
 def cosine_topk(
     embeddings: DataFrame, n_queries: int = 10, k: int = 5
 ) -> DataFrame:
@@ -58,6 +79,12 @@ def cosine_topk(
     # the per-pair expression is then a single dot + divide instead of
     # three folds — same IEEE ops in the same order, so the DuckDB
     # oracle still matches bit-for-bit.
+    # Non-finite / NULL-element vectors are excluded at EVERY embedding
+    # ingress (functions.vec_finite contract): a NaN coordinate makes
+    # cell/rank placement engine-divergent (Spark argmax yields no cell,
+    # SQL NaN-sorts-greatest yields one) — skip-and-continue, mirrored
+    # in the oracle.
+    embeddings = embeddings.filter(vec_finite(F.col("embedding")))
     queries = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
     ).select("query_id", "qv", norm(F.col("qv")).alias("qn"))
@@ -150,6 +177,12 @@ def ann_lsh_topk(
     Scale shape: candidate generation is an equi-join on (band, band
     bits) over BARE IDS — vectors re-attach only to surviving deduped
     pairs; no cross product anywhere."""
+    # Non-finite / NULL-element vectors are excluded at EVERY embedding
+    # ingress (functions.vec_finite contract): a NaN coordinate makes
+    # cell/rank placement engine-divergent (Spark argmax yields no cell,
+    # SQL NaN-sorts-greatest yields one) — skip-and-continue, mirrored
+    # in the oracle.
+    embeddings = embeddings.filter(vec_finite(F.col("embedding")))
     base = tracked_persist(
         embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
         .withColumn("sketch", ann_sketch("v"))
@@ -242,9 +275,15 @@ def ivf_topk(
     Rows-only (recall < 1 by construction); planted-recall floor pinned
     in tests like the LSH variant.
     """
+    # Non-finite / NULL-element vectors are excluded at EVERY embedding
+    # ingress (functions.vec_finite contract): a NaN coordinate makes
+    # cell/rank placement engine-divergent (Spark argmax yields no cell,
+    # SQL NaN-sorts-greatest yields one) — skip-and-continue, mirrored
+    # in the oracle.
+    embeddings = embeddings.filter(vec_finite(F.col("embedding")))
     base = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
     seeds = base.filter(F.col("vec_id") < n_centroids).collect()
-    seed_vecs = [row["v"] for row in sorted(seeds, key=lambda r: r["vec_id"])]
+    seed_vecs = [row["v"] for row in _dedup_rows_by_id(seeds, "v")]
     # Centroid norms are driver-side constants (same sequential
     # fold-then-sqrt as functions.norm, so identical doubles); the row
     # norm folds once instead of once per centroid — 16 dots per row for
@@ -305,7 +344,19 @@ def ivf_topk(
     )
     # explode_outer: plain explode lets Catalyst infer a size()>0 filter
     # that duplicates the full 16-struct centroid ranking per row.
-    probes = scored_cells.filter(F.col("vec_id") < n_queries).select(
+    # The probe SET is keyed by id: one physical row per query id (the
+    # lexicographic-min rule, same as _dedup_rows_by_id / the oracle's
+    # rid = 1) — a duplicate-id corpus must not make a query's result
+    # the merge of two different probe vectors.  The rank window runs
+    # over ≤ n_queries ids of duplicates — model-sized, not the corpus.
+    pw = Window.partitionBy("vec_id").orderBy("v")
+    probe_rows = (
+        scored_cells.filter(F.col("vec_id") < n_queries)
+        .withColumn("rid", F.row_number().over(pw))
+        .filter(F.col("rid") == 1)
+        .drop("rid")
+    )
+    probes = probe_rows.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
@@ -580,7 +631,7 @@ def kmeans_fit(
     """
     q = tracked_persist(_quantized(embeddings))
     seeds = q.filter(F.col("vec_id") < k).collect()
-    centroids = [r["vq"] for r in sorted(seeds, key=lambda r: r["vec_id"])]
+    centroids = [r["vq"] for r in _dedup_rows_by_id(seeds, "vq")]
     sizes: dict[int, int] = {}
     for _ in range(n_iter):
         assigned = _assign(q, centroids)
@@ -672,6 +723,12 @@ def pq_topk(
     quality floor (PQ-selected neighbors are genuinely closer than
     average) is pinned in tests/test_similarity.py.
     """
+    # Non-finite / NULL-element vectors are excluded at EVERY embedding
+    # ingress (functions.vec_finite contract): a NaN coordinate makes
+    # cell/rank placement engine-divergent (Spark argmax yields no cell,
+    # SQL NaN-sorts-greatest yields one) — skip-and-continue, mirrored
+    # in the oracle.
+    embeddings = embeddings.filter(vec_finite(F.col("embedding")))
     base = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
     # Train per-subspace codebooks with Lloyd iterations on a driver-side
     # SAMPLE (first 256 vectors by id — deterministic), then ship them as
@@ -680,9 +737,7 @@ def pq_topk(
     # sees the encode pass.
     import numpy as np
 
-    sample = sorted(
-        base.filter(F.col("vec_id") < 256).collect(), key=lambda r: r["vec_id"]
-    )
+    sample = _dedup_rows_by_id(base.filter(F.col("vec_id") < 256).collect(), "v")
     sample_mat = np.asarray([row["v"] for row in sample], dtype=np.float64)
     codebooks = []
     for j in range(PQ_SUBSPACES):
@@ -728,9 +783,8 @@ def pq_topk(
 
     # Probe LUTs computed driver-side with the same sequential float
     # arithmetic (probe count is tiny; the corpus never re-reads floats).
-    probes = sorted(
-        coded.filter(F.col("vec_id") < n_queries).collect(),
-        key=lambda r: r["vec_id"],
+    probes = _dedup_rows_by_id(
+        coded.filter(F.col("vec_id") < n_queries).collect(), "v"
     )
 
     def _lut(pv):
@@ -816,7 +870,7 @@ def semantic_dedup(
     aug = with_planted_neighbors(embeddings)
     base = aug.select("vec_id", as_double(F.col("embedding")).alias("v"))
     seeds = base.filter(F.col("vec_id") < n_cells).collect()
-    seed_vecs = [row["v"] for row in sorted(seeds, key=lambda r: r["vec_id"])]
+    seed_vecs = [row["v"] for row in _dedup_rows_by_id(seeds, "v")]
     cent_norms = [_seq_norm_py(vec) for vec in seed_vecs]
     def _cell_cos(vec, cn: float) -> str:
         # Zero-norm guard (mirrors cosine_pre / the oracle's CASE): a
@@ -894,11 +948,17 @@ def semantic_dedup_oracle_sql() -> str:
     return f"""
     WITH aug AS ({WITH_PLANTED_NEIGHBORS_SQL}),
     vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM aug),
-    normed AS (SELECT vec_id, v, sqrt({dot('v', 'v')}) AS nrm FROM vecs),
+    -- rid identifies the PHYSICAL row under duplicate vec_ids (ORDER BY
+    -- v = elementwise lexicographic, the _dedup_rows_by_id mirror): the
+    -- unit of dedup is the row, and seeds take rid = 1 per id.
+    normed AS (SELECT vec_id, v, sqrt({dot('v', 'v')}) AS nrm,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY v)
+                        AS rid
+               FROM vecs),
     cents AS (SELECT CAST(vec_id AS INT) AS cell, v AS c, nrm AS cnrm
-              FROM normed WHERE vec_id < {SEMDEDUP_CELLS}),
+              FROM normed WHERE vec_id < {SEMDEDUP_CELLS} AND rid = 1),
     scored AS (
-      SELECT n.vec_id, n.v, n.nrm, cents.cell,
+      SELECT n.vec_id, n.rid, n.v, n.nrm, cents.cell,
              (CASE WHEN n.nrm > 0 AND cents.cnrm > 0
                    THEN {dot('n.v', 'cents.c')} / (n.nrm * cents.cnrm)
                    ELSE 0.0 END) AS cos
@@ -906,7 +966,7 @@ def semantic_dedup_oracle_sql() -> str:
     cells AS (
       SELECT vec_id, v, nrm, cell FROM (
         SELECT *, row_number() OVER (
-          PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+          PARTITION BY vec_id, rid ORDER BY cos DESC, cell) AS rn
         FROM scored) WHERE rn = 1),
     removed AS (
       SELECT DISTINCT b.vec_id AS vec_b
@@ -1012,6 +1072,12 @@ def knn_classify(
     labeling (probes ≈ corpus) the broadcast flips to the IVF/LSH
     bucketed candidate plans (ann_lsh_topk / ivf_topk) with this same
     vote tail."""
+    # Non-finite / NULL-element vectors are excluded at EVERY embedding
+    # ingress (functions.vec_finite contract): a NaN coordinate makes
+    # cell/rank placement engine-divergent (Spark argmax yields no cell,
+    # SQL NaN-sorts-greatest yields one) — skip-and-continue, mirrored
+    # in the oracle.
+    embeddings = embeddings.filter(vec_finite(F.col("embedding")))
     base = embeddings.select(
         "vec_id", as_double(F.col("embedding")).alias("v"), "label"
     )

@@ -786,7 +786,7 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     f AS (
       SELECT event_type, ts, is_grid,
              last_value(value IGNORE NULLS) OVER (
-               PARTITION BY event_type ORDER BY ts, is_grid, event_id
+               PARTITION BY event_type ORDER BY ts, is_grid, event_id, value
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
       FROM u)
     SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS grid_ts,
@@ -804,9 +804,12 @@ def q_ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE shuffle: grid markers union the observations and a single
     per-type ordered window carries values forward — no join of grid
     against data, no per-grid-point lookup.  Grid rows order AFTER
-    observations at the same instant (is_grid tie-key), and same-instant
-    observations order by event_id, so the carried value is exactly
-    defined on both engines.  At 100 TB the per-type window becomes the
+    observations at the same instant (is_grid tie-key), same-instant
+    observations order by event_id, and duplicate event_ids (an
+    at-least-once source delivering the same key twice at the same
+    instant) tie-break by the measurement itself — the largest value
+    wins: an arbitrary but DEFINED choice, explicit nulls-last so both
+    engines agree.  At 100 TB the per-type window becomes the
     two-level variant — IMPLEMENTED and registered against the same
     oracle as q_ts_resample_ffill_2level (partition by (type, day),
     carry the per-day closing value forward over the tiny closing
@@ -836,7 +839,12 @@ def q_ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("event_type")
-        .orderBy("ts", "is_grid", "event_id")
+        .orderBy(
+            "ts",
+            "is_grid",
+            F.col("event_id").asc_nulls_last(),
+            F.col("value").asc_nulls_last(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (

@@ -271,7 +271,8 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sim_cosine_topk",
     f"""
-    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE {vec_finite_sql('embedding')})
     SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (
       SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
              {_cos_sql('q.v', 't.v')} AS cos,
@@ -294,25 +295,38 @@ def _ann_ivf_oracle(n_queries: int = 10, k: int = 5) -> str:
     the first n_centroids vectors BY ID, so the oracle derives them from
     the data instead of literals; cell assignment ties break to the
     FIRST max index (array_position semantics → cid ASC), probe ranking
-    to cid DESC (reverse of an ascending (cos, cell) sort)."""
+    to cid DESC (reverse of an ascending (cos, cell) sort).
+
+    Physical-row discipline under DUPLICATE vec_ids (rid = row_number
+    per id ORDER BY v — the _dedup_rows_by_id mirror): centroids and
+    the probe set take rid = 1 per id (model state is a function of the
+    corpus, not of scheduling), while the CORPUS side stays per
+    physical row — every ingested vector gets its own cell and its own
+    candidacy, exactly as the Spark pipeline assigns cells row-wise."""
     return f"""
-    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < {sim.IVF_CENTROIDS}),
+    WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE {vec_finite_sql('embedding')}),
+    c AS (SELECT vec_id, v,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY v) AS rid
+          FROM c0),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM c
+             WHERE vec_id < {sim.IVF_CENTROIDS} AND rid = 1),
     cc AS (
-      SELECT c.vec_id, cent.cid, {_cos_sql('c.v', 'cent.cv')} AS cos
+      SELECT c.vec_id, c.rid, cent.cid, {_cos_sql('c.v', 'cent.cv')} AS cos
       FROM c CROSS JOIN cent),
     cells AS (
-      SELECT vec_id, cid AS cell FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS r
+      SELECT vec_id, rid, cid AS cell FROM (
+        SELECT vec_id, rid, cid,
+               row_number() OVER (PARTITION BY vec_id, rid
+                                  ORDER BY cos DESC, cid ASC) AS r
         FROM cc) WHERE r = 1),
     probes AS (
       SELECT vec_id AS query_id, cid AS cell FROM (
         SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS pr
-        FROM cc WHERE vec_id < {n_queries}) WHERE pr <= {sim.IVF_PROBES}),
+        FROM cc WHERE vec_id < {n_queries} AND rid = 1) WHERE pr <= {sim.IVF_PROBES}),
     cands AS (
-      SELECT DISTINCT p.query_id, x.vec_id
+      SELECT p.query_id, x.vec_id, x.rid
       FROM probes p JOIN cells x ON x.cell = p.cell
       WHERE x.vec_id <> p.query_id),
     scored AS (
@@ -322,8 +336,8 @@ def _ann_ivf_oracle(n_queries: int = 10, k: int = 5) -> str:
                PARTITION BY p.query_id
                ORDER BY {_cos_sql('a.v', 'b.v')} DESC, p.vec_id) AS rank
       FROM cands p
-      JOIN c a ON a.vec_id = p.query_id
-      JOIN c b ON b.vec_id = p.vec_id)
+      JOIN c a ON a.vec_id = p.query_id AND a.rid = 1
+      JOIN c b ON b.vec_id = p.vec_id AND b.rid = p.rid)
     SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
     FROM scored WHERE rank <= {k}
     """
@@ -362,7 +376,8 @@ def _ann_lsh_oracle(n_queries: int = 10, k: int = 5) -> str:
     )
     mask = (1 << sim.ANN_BAND_BITS) - 1
     return f"""
-    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE {vec_finite_sql('embedding')}),
     sk AS (SELECT vec_id, CAST({sketch} AS BIGINT) AS sketch FROM c),
     bands AS (
       SELECT vec_id, b.band,
@@ -1322,7 +1337,7 @@ def q_text_bigram_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sim_knn_classify",
     f"""
     WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
-               FROM embeddings),
+               FROM embeddings WHERE {vec_finite_sql('embedding')}),
     tst AS (SELECT * FROM c WHERE vec_id % {sim.KNN_TEST_MOD} = 0),
     trn AS (SELECT * FROM c WHERE vec_id % {sim.KNN_TEST_MOD} <> 0),
     scored AS (

@@ -114,15 +114,25 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_emb_gram",
     f"""
-    WITH flat AS (
-      SELECT vec_id, t.pos AS pos,
+    WITH keyed AS (
+      -- rid identifies the PHYSICAL row: G = Σ_rows v vᵀ sums each
+      -- row's own outer product, so the self-join must pair a row with
+      -- ITSELF — joining on vec_id alone would cross-multiply the two
+      -- different vectors of a duplicate id (ORDER BY embedding is the
+      -- deterministic elementwise-lexicographic identity).
+      SELECT vec_id, embedding,
+             row_number() OVER (PARTITION BY vec_id ORDER BY embedding)
+               AS rid
+      FROM embeddings
+      WHERE {vec_finite_sql('embedding')} AND len(embedding) = 64),
+    flat AS (
+      SELECT vec_id, rid, t.pos AS pos,
              CAST(floor(CAST(embedding[t.pos + 1] AS DOUBLE) * 1000 + 0.5)
                   AS BIGINT) AS qv
-      FROM embeddings, range(64) t(pos)
-      WHERE {vec_finite_sql('embedding')} AND len(embedding) = 64)
+      FROM keyed, range(64) t(pos))
     SELECT a.pos AS i, b.pos AS j,
            CAST(sum(a.qv * b.qv) AS BIGINT) AS gram_q6
-    FROM flat a JOIN flat b USING (vec_id)
+    FROM flat a JOIN flat b USING (vec_id, rid)
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )

@@ -5,7 +5,10 @@ NULL keys, empty documents, epoch-0 / far-future timestamps, +/-1e308
 and NaN measurements, NULL / wrong-dimension / NaN-element /
 NULL-element embedding vectors, non-numeric source names, and multilingual text whose case
 folding diverges between engines under plain lower() (Turkish İ, Greek
-final Σ — see functions.fold).  The reference never aborts on malformed input
+final Σ — see functions.fold), and DUPLICATE business keys — the same
+event_id/doc_id/vec_id ingested twice (a re-crawl, an at-least-once
+source), including the fully-tied case: same key, same ordering
+columns, different payload.  The reference never aborts on malformed input
 (kafkaio.go:77-81 skips and continues); this audit holds every query to
 the same bar, and further demands that the DuckDB oracle AGREES on what
 the poisoned rows mean — i.e. degenerate-input semantics are defined,
@@ -36,7 +39,9 @@ POISON = {
         (900002, NULL, 7, NULL, 0.0, '{{}}'),
         (900003, TIMESTAMP '2199-12-31 23:59:59', 7, 'click', 1e308, '{{}}'),
         (900004, TIMESTAMP '2024-01-02 00:00:00', NULL, '', -1e308, NULL),
-        (900005, TIMESTAMP '2024-01-03 00:00:00', 9, 'click', CAST('nan' AS DOUBLE), '{{"k": 1}}')
+        (900005, TIMESTAMP '2024-01-03 00:00:00', 9, 'click', CAST('nan' AS DOUBLE), '{{"k": 1}}'),
+        (900010, TIMESTAMP '2024-01-04 00:00:00', 11, 'click', 1.0, '{{}}'),
+        (900010, TIMESTAMP '2024-01-04 00:00:00', 11, 'click', 2.0, '{{}}')
       ) v(event_id, ts, user_id, event_type, value, props)""",
     "documents": """
       SELECT * FROM read_parquet('{src}/documents.parquet')
@@ -46,7 +51,9 @@ POISON = {
         (910003, 'one two', NULL, 'crawl_z', 7),
         (910004, 'Größe STRAßE İstanbul Émile naïve CAFÉ über ÇOCUK',
          'de', 'crawl_u', 49),
-        (910005, 'ΣΟΦΟΣ ΑΣ ς i̇x İ', 'el', 'crawl_u', 16)
+        (910005, 'ΣΟΦΟΣ ΑΣ ς i̇x İ', 'el', 'crawl_u', 16),
+        (910010, 'first crawl of a re-crawled page', 'en', 'crawl_a', 32),
+        (910010, 'second crawl same id with different and longer bytes', 'en', 'crawl_b', 52)
       ) v(doc_id, text, lang, source, n_chars)""",
     "embeddings": """
       SELECT * FROM read_parquet('{src}/embeddings.parquet')
@@ -61,6 +68,12 @@ POISON = {
                       CAST(list_transform(range(64),
                            x -> CASE WHEN x = 0 THEN NULL
                                      ELSE 0.5 END) AS FLOAT[]), 3
+      UNION ALL SELECT 920010,
+                      CAST(list_transform(range(64), x -> 0.25) AS FLOAT[]), 1
+      UNION ALL SELECT 920010,
+                      CAST(list_transform(range(64), x -> -0.25) AS FLOAT[]), 2
+      UNION ALL SELECT 3,
+                      CAST(list_transform(range(64), x -> 0.125) AS FLOAT[]), 0
     """,
 }
 

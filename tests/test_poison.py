@@ -2,7 +2,9 @@
 diverged on poisoned input stay crash-free AND oracle-exact on a corpus
 containing every poison class a 100 TB ingest will see — NULL keys,
 NULL/epoch-0/far-future timestamps, ±1e308 measurements, NULL/empty
-documents, non-numeric source names, NULL and wrong-dimension vectors.
+documents, non-numeric source names, NULL and wrong-dimension vectors,
+and DUPLICATE business keys (re-crawled doc_ids, at-least-once event
+delivery with fully-tied ordering columns, duplicate seed vec_ids).
 
 The reference never aborts on malformed records (kafkaio.go:77-81 skips
 and continues); every fix asserted here implements that policy with
@@ -40,6 +42,7 @@ FORMER_DIVERGERS = [
     "q_anomaly_zscore",
     "q_argmax",
     "q_dedup_semantic",
+    "q_emb_gram",
     "q_emb_quantize",
     "q_malformed_filter",
     "q_map_ops",
@@ -56,6 +59,8 @@ FORMER_DIVERGERS = [
     "q_text_hash_classifier",
     "q_text_normalize",
     "q_text_tokens",
+    "q_ts_resample_ffill",
+    "q_ts_resample_ffill_2level",
 ]
 
 
