@@ -83,7 +83,7 @@ _STALE_RED: frozenset[str] = driver_evidence.stale_red_names()
 
 _FAMILY_ORDER = (
     "q_sim_", "q_mm_", "q_stream_", "q_agg_", "q_window_", "q_join_",
-    "q_sample_", "q_split_", "q_mix_", "q_merge_", "q_scd2_", "q_ts_",
+    "q_sample_", "q_shuffle_", "q_split_", "q_mix_", "q_merge_", "q_scd2_", "q_ts_",
     "q_anomaly_", "q_dedup_", "q_text_", "q_tpch_",
 )
 
