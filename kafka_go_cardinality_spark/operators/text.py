@@ -1367,9 +1367,14 @@ def seq_pack(documents: DataFrame, seq_len: int = PACK_SEQ_LEN,
     offsets = totals.withColumn(
         "boff", F.coalesce(F.sum("btot").over(cum), F.lit(0).cast("long"))
     ).select("bucket", "boff")
+    # Stream order is (doc_id, cnt), not doc_id alone: duplicate ids
+    # with DIFFERENT token counts would otherwise take engine-arbitrary
+    # offsets, shifting which example a boundary-straddling row feeds.
+    # Equal (doc_id, cnt) rows are interchangeable — identical
+    # contribution pattern — so the order is total where it matters.
     loc = (
         Window.partitionBy("bucket")
-        .orderBy("doc_id")
+        .orderBy("doc_id", "cnt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     placed = (

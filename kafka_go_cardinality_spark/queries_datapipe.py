@@ -1570,8 +1570,10 @@ def _pack_oracle(seq_len: int = tx.PACK_SEQ_LEN) -> str:
                   ELSE len({tokens_sql('text')}) END AS cnt
       FROM documents WHERE doc_id IS NOT NULL),
     placed AS (
+      -- (doc_id, cnt) order, the seq_pack tie contract: duplicate ids
+      -- with different token counts take deterministic offsets
       SELECT doc_id, CAST(cnt AS BIGINT) AS cnt,
-             CAST(coalesce(sum(cnt) OVER (ORDER BY doc_id
+             CAST(coalesce(sum(cnt) OVER (ORDER BY doc_id, cnt
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS BIGINT) AS off
       FROM toks),

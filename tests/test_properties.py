@@ -174,7 +174,7 @@ def test_order_pinned_queries_stable_across_parallelism(spark, sf_dir):
     qs = entry_mod.queries()
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     names = ["q_text_inverted_index", "q_text_textrank", "q_skew_profile",
-             "q_global_enumerate"]
+             "q_global_enumerate", "q_text_pack", "q_shuffle_shards"]
     try:
         results = {}
         for parts in ("1", "32"):
@@ -371,3 +371,68 @@ def test_vec_finite_cross_engine_parity(spark):
             )
     finally:
         con.close()
+
+
+# ------------------------------------------------------------- seq packing
+
+
+def _pack_model(docs, seq_len):
+    """10-line reference model of operators/text.seq_pack: one global
+    token stream in (doc_id, cnt) order, cut into seq_len examples."""
+    out = {}
+    off = 0
+    for doc_id, cnt in sorted(docs):
+        if cnt <= 0:
+            continue
+        for e in range(off // seq_len, (off + cnt - 1) // seq_len + 1):
+            lo = max(e * seq_len, off)
+            hi = min((e + 1) * seq_len, off + cnt)
+            d = out.setdefault(e, [0, 0, doc_id, doc_id])
+            d[0] += 1
+            d[1] += hi - lo
+            d[2] = min(d[2], doc_id)
+            d[3] = max(d[3], doc_id)
+        off += cnt
+    return {
+        e: (n, t, lo_id, hi_id) for e, (n, t, lo_id, hi_id) in out.items()
+    }
+
+
+def test_seq_pack_matches_python_model_on_adversarial_corpus(spark):
+    """The bucket-decomposed distributed prefix sum equals the plain
+    sequential model on a corpus built to break it: duplicate doc_ids
+    with different token counts straddling an example boundary,
+    zero-token and NULL docs, NULL ids, and more buckets than docs in
+    some id ranges — at several seq_len/n_buckets settings including
+    n_buckets = 1 (degenerate single bucket) and 64 (more buckets than
+    docs)."""
+    from kafka_go_cardinality_spark.operators.text import seq_pack
+
+    rows = [
+        (1, "a b c d e f g"),          # 7 tokens
+        (2, None),                      # NULL text -> 0 tokens
+        (3, "  "),                      # whitespace-only -> 0 tokens
+        (4, " ".join(["t"] * 15)),      # 15 tokens, crosses a boundary
+        (5, "x y z"),                   # 3 tokens
+        (5, " ".join(["d"] * 9)),       # DUP id, different cnt
+        (None, "q r s"),                # NULL id -> skipped
+        (90, " ".join(["w"] * 21)),     # far id: empty buckets between
+        (91, "one"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    model_docs = [
+        (d, 0 if t is None or not t.strip() else len(t.split()))
+        for d, t in rows
+        if d is not None
+    ]
+    for seq_len, n_buckets in ((8, 4), (8, 1), (5, 64), (3, 7)):
+        got = {
+            r["example_id"]: (
+                r["n_docs"], r["n_tokens"], r["first_doc"], r["last_doc"]
+            )
+            for r in seq_pack(
+                docs, seq_len=seq_len, n_buckets=n_buckets
+            ).collect()
+        }
+        want = _pack_model(model_docs, seq_len)
+        assert got == want, (seq_len, n_buckets, got, want)
