@@ -87,6 +87,16 @@ def _state_partitions(wire_path: str, ceiling: int) -> int:
     return max(1, min(ceiling, -(-total // _WIRE_BYTES_PER_STATE_PARTITION)))
 
 
+# Latest memory-sink table per replay prefix: a memory sink pins its
+# result rows in DRIVER memory for the life of the session, so a
+# 197-query bench (×2 passes) would otherwise accumulate hundreds of
+# dead sinks — dropping the previous one on re-invocation bounds the
+# footprint to one live table per query.  The prior invocation's
+# returned DataFrame becomes invalid at that point; every caller
+# (driver, bench, tests) consumes the frame before re-invoking.
+_LAST_REPLAY_TABLE: dict[str, str] = {}
+
+
 def _replay(
     spark: SparkSession, sf_dir: str, build, prefix: str, output_mode: str = "complete"
 ) -> DataFrame:
@@ -101,6 +111,10 @@ def _replay(
         replay_to_memory(build(parsed), table, output_mode=output_mode)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    old = _LAST_REPLAY_TABLE.get(prefix)
+    if old is not None:
+        spark.catalog.dropTempView(old)
+    _LAST_REPLAY_TABLE[prefix] = table
     return spark.table(table)
 
 
