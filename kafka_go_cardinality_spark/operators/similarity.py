@@ -284,6 +284,18 @@ def ivf_topk(
     base = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
     seeds = base.filter(F.col("vec_id") < n_centroids).collect()
     seed_vecs = [row["v"] for row in _dedup_rows_by_id(seeds, "v")]
+    if not seed_vecs:
+        # Empty seed set (empty corpus, or no id below n_centroids): no
+        # cell exists, so nothing is retrievable — same as the oracle's
+        # CROSS JOIN against an empty centroid frame.  Typed empty
+        # frame, not a crash (array() of zero centroid scores has no
+        # type and array_max aborts analysis).
+        return base.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0.0).cast("double").alias("cos"),
+            F.lit(0).cast("int").alias("rank"),
+        ).limit(0)
     # Centroid norms are driver-side constants (same sequential
     # fold-then-sqrt as functions.norm, so identical doubles); the row
     # norm folds once instead of once per centroid — 16 dots per row for
@@ -632,6 +644,12 @@ def kmeans_fit(
     q = tracked_persist(_quantized(embeddings))
     seeds = q.filter(F.col("vec_id") < k).collect()
     centroids = [r["vq"] for r in _dedup_rows_by_id(seeds, "vq")]
+    if not centroids:
+        # Empty init set (empty corpus, or no id below k): no model can
+        # be fit — typed empty cluster table, not an IndexError.
+        return q.sparkSession.createDataFrame(
+            [], "cluster bigint, n_vectors bigint, centroid_q6 string, n_iter int"
+        )
     sizes: dict[int, int] = {}
     for _ in range(n_iter):
         assigned = _assign(q, centroids)
@@ -738,6 +756,12 @@ def pq_topk(
     import numpy as np
 
     sample = _dedup_rows_by_id(base.filter(F.col("vec_id") < 256).collect(), "v")
+    if not sample:
+        # Empty training sample: no codebook exists, nothing encodes —
+        # typed empty result, not a numpy shape error.
+        return base.sparkSession.createDataFrame(
+            [], "query_id int, vec_id bigint, est_dist double"
+        )
     sample_mat = np.asarray([row["v"] for row in sample], dtype=np.float64)
     codebooks = []
     for j in range(PQ_SUBSPACES):
@@ -871,6 +895,14 @@ def semantic_dedup(
     base = aug.select("vec_id", as_double(F.col("embedding")).alias("v"))
     seeds = base.filter(F.col("vec_id") < n_cells).collect()
     seed_vecs = [row["v"] for row in _dedup_rows_by_id(seeds, "v")]
+    if not seed_vecs:
+        # No cells exist → no pair can form and no row is emitted — the
+        # oracle's empty-cents CROSS JOIN yields the same empty result.
+        return base.select(
+            "vec_id",
+            F.lit(None).cast("int").alias("cell"),
+            F.lit(True).alias("is_kept"),
+        ).limit(0)
     cent_norms = [_seq_norm_py(vec) for vec in seed_vecs]
     def _cell_cos(vec, cn: float) -> str:
         # Zero-norm guard (mirrors cosine_pre / the oracle's CASE): a

@@ -89,11 +89,10 @@ def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     opened (``.explain`` shows it as PartitionFilters with a 1-of-30
     partition count; pinned in tests/test_plans.py).  At 100 TB this is
     the difference between reading ~3 TB and reading everything."""
-    from kafka_go_cardinality_spark.sources.tables import partitioned_events_path
+    from kafka_go_cardinality_spark.sources.tables import read_partitioned_events
 
-    path = partitioned_events_path(spark, sf_dir)
     return (
-        spark.read.parquet(path)
+        read_partitioned_events(spark, sf_dir)
         .filter(F.col("event_date") == F.lit("2024-01-15").cast("date"))
         .groupBy("event_date")
         .agg(
@@ -426,11 +425,18 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    HAVING count(*) > 0
     """,
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E11] Hierarchical rollup: (flag, status), (flag), () grand total.
-    Spark expands rollups into a single Expand+Aggregate — one pass."""
+    Spark expands rollups into a single Expand+Aggregate — one pass.
+
+    Empty-input contract (all three grouping-set shapes): ZERO input
+    rows materialize ZERO groups.  ANSI aggregation gives the empty
+    grouping set one n=0 row over empty input (DuckDB does); Spark's
+    Expand emits nothing — the oracles pin Spark's behavior with
+    ``HAVING count(*) > 0``, a no-op on any nonempty input."""
     return (
         _t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -447,6 +453,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority, count(*) AS n
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING count(*) > 0
     """,
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,6 +470,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    HAVING count(*) > 0
     """,
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1355,10 +1363,10 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     data, not hardcoded dates."""
     from kafka_go_cardinality_spark.sources.tables import (
         date_dim_path,
-        partitioned_events_path,
+        read_partitioned_events,
     )
 
-    fact = spark.read.parquet(partitioned_events_path(spark, sf_dir))
+    fact = read_partitioned_events(spark, sf_dir)
     dim = spark.read.parquet(date_dim_path(spark, sf_dir)).filter(F.col("dow") >= 6)
     return (
         fact.join(F.broadcast(dim.select("event_date")), "event_date")

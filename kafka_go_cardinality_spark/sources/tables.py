@@ -114,6 +114,23 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def read_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the date-partitioned events layout with its EXPLICIT schema.
+    An empty source (a brand-new ingest partition, a fully filtered
+    backfill) writes ZERO part files, and schema inference over an
+    empty directory aborts the read (UNABLE_TO_INFER_SCHEMA) — but the
+    layout's schema is a function of the events table, not of which
+    days happen to contain data, so the reader must never depend on
+    files existing."""
+    path = partitioned_events_path(spark, sf_dir)
+    schema = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .schema
+    )
+    return spark.read.schema(schema).parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -1,0 +1,109 @@
+"""Empty-corpus audit: run every registered query over ZERO-row tables.
+
+An empty source is a normal production state — a brand-new ingest
+partition, a fully filtered backfill, a tenant with no data yet — and a
+100 TB pipeline hits it on day one.  The reference idles gracefully on
+an empty topic (kafkaio.go:59-75 just keeps polling); this audit holds
+every batch query to the same bar: no crash, and the DuckDB oracle
+agrees on what zero input means.
+
+Classes this audit caught (all fixed, pinned in tests/test_poison.py):
+- collect()-seeded models (IVF centroids, k-means init, PQ codebooks,
+  SemDeDup cells) built ``array()`` of zero scores (NULL-type analysis
+  abort) or indexed an empty numpy sample — now typed empty results;
+- the date-partitioned events layout wrote ZERO part files (partitioned
+  writes skip empty partitions) and schema inference over the empty
+  directory aborted the read — reads now carry the explicit schema
+  (sources/tables.read_partitioned_events);
+- rollup/cube/grouping-sets: ANSI gives the empty grouping set one n=0
+  row over empty input (DuckDB does); Spark's Expand emits nothing —
+  the contract is Spark's (zero rows → zero groups), pinned in the
+  oracles with ``HAVING count(*) > 0``.
+
+Usage:
+    python3 scripts_empty_audit.py            # summary over all queries
+    python3 scripts_empty_audit.py q_kmeans   # one query
+
+Streaming queries are excluded (they replay fixed file fixtures).
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+import duckdb
+
+from scripts_poison_audit import SRC, TABLES
+
+
+def build_empty_dir(con: duckdb.DuckDBPyConnection) -> str:
+    d = tempfile.mkdtemp(prefix="empty_")
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+            f" WHERE false) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    return d
+
+
+def norm(p):
+    p = p[sorted(p.columns)]
+    return p.astype(str).sort_values(by=list(p.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    from kafka_go_cardinality_spark.session import get_spark
+
+    import __spark_entry__ as m
+
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    spark = get_spark(app_name="empty-audit", shuffle_partitions="8")
+    qs, os_ = m.queries(), m.oracle_sql()
+    con = duckdb.connect()
+    d = build_empty_dir(con)
+
+    crashes, oracle_crashes, mismatches, ok = [], [], [], 0
+    names = [only] if only else sorted(qs)
+    for name in names:
+        if name.startswith("q_stream"):
+            continue
+        try:
+            s = qs[name](spark, d).toPandas()
+        except Exception as e:  # noqa: BLE001 — audit collects, never raises
+            crashes.append(
+                (name, type(e).__name__, str(e)[:110].replace("\n", " "))
+            )
+            continue
+        if name not in os_:
+            ok += 1
+            continue
+        try:
+            o = con.execute(os_[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            oracle_crashes.append((name, str(e)[:80].replace("\n", " ")))
+            continue
+        # Zero-vs-zero short-circuits the dtype comparison: an empty
+        # pandas frame's column dtypes depend on the engine's empty-
+        # result conventions, not on the data contract.
+        if (len(s) == 0 and len(o) == 0) or norm(s).equals(norm(o)):
+            ok += 1
+        else:
+            mismatches.append((name, len(s), len(o)))
+    print("OK:", ok)
+    print("SPARK CRASHES:")
+    for c in crashes:
+        print(" ", c)
+    print("ORACLE CRASHES:")
+    for c in oracle_crashes:
+        print(" ", c)
+    print("MISMATCHES:", mismatches)
+    spark.stop()
+    return 1 if crashes else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -92,3 +92,48 @@ def test_poison_tables_cover_all_base_tables():
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
     }
+
+
+# Formerly crashed or hash-diverged on a ZERO-row corpus (empty-seed
+# models, partitioned layouts with no files, grouping-set grand totals)
+# — scripts_empty_audit.py is the full-registry sweep; this pins its
+# formerly-red subset in the fast suite.
+EMPTY_FORMER_RED = [
+    "q_cube",
+    "q_dedup_semantic",
+    "q_grouping_sets",
+    "q_kmeans",
+    "q_rollup",
+    "q_scan_dpp",
+    "q_scan_partition_pruned",
+    "q_sim_ann_ivf",
+    "q_sim_ann_pq",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir():
+    from scripts_empty_audit import build_empty_dir
+
+    con = duckdb.connect()
+    d = build_empty_dir(con)
+    yield d, con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMPTY_FORMER_RED)
+def test_empty_corpus_former_red(name, spark, empty_dir):
+    """Every formerly-red query runs on the all-empty corpus and, when
+    oracled, matches DuckDB (zero-vs-zero counts as a match — empty
+    frames carry engine-convention dtypes, not data)."""
+    import __spark_entry__ as m
+
+    d, con = empty_dir
+    qs, os_ = m.queries(), m.oracle_sql()
+    s = qs[name](spark, d).toPandas()
+    if name not in os_:
+        return
+    o = con.execute(os_[name]).fetchdf()
+    if len(s) == 0 and len(o) == 0:
+        return
+    assert_frames_match(s, o)
