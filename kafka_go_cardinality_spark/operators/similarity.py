@@ -664,7 +664,10 @@ def kmeans_fit(
             by_cluster.setdefault(r["cluster"], {})[r["pos"]] = (r["sx"], r["n"])
         new_centroids = []
         sizes = {}
-        for ci in range(k):
+        # Effective k = the init set's size: a corpus with fewer than k
+        # vectors fits a smaller model (range(k) would index past the
+        # centroid list and abort on a tiny-but-nonempty source).
+        for ci in range(len(centroids)):
             dims = by_cluster.get(ci)
             if not dims:  # empty cluster keeps its previous centroid
                 new_centroids.append(centroids[ci])

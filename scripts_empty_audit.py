@@ -20,8 +20,16 @@ Classes this audit caught (all fixed, pinned in tests/test_poison.py):
   the contract is Spark's (zero rows → zero groups), pinned in the
   oracles with ``HAVING count(*) > 0``.
 
+The ``--rows N`` variant runs the same sweep over an N-row corpus (one
+row per table) — the SINGLETON class: every group a singleton, every
+model fit from fewer vectors than its seed count, every self-join a
+single candidate.  Caught: k-means indexing past a seed list shorter
+than k (operators/similarity.kmeans_fit — the effective k is the init
+set's size).
+
 Usage:
-    python3 scripts_empty_audit.py            # summary over all queries
+    python3 scripts_empty_audit.py            # zero-row corpus, all queries
+    python3 scripts_empty_audit.py --rows 1   # singleton corpus
     python3 scripts_empty_audit.py q_kmeans   # one query
 
 Streaming queries are excluded (they replay fixed file fixtures).
@@ -37,12 +45,16 @@ import duckdb
 from scripts_poison_audit import SRC, TABLES
 
 
-def build_empty_dir(con: duckdb.DuckDBPyConnection) -> str:
-    d = tempfile.mkdtemp(prefix="empty_")
+def build_empty_dir(con: duckdb.DuckDBPyConnection, rows: int = 0) -> str:
+    """Write a corpus of ``rows`` rows per table (0 = empty) and register
+    the DuckDB views over it — both engines then read the SAME files, so
+    row selection can't diverge."""
+    d = tempfile.mkdtemp(prefix="empty_" if rows == 0 else f"tiny{rows}_")
     for t in TABLES:
+        clause = "WHERE false" if rows == 0 else f"LIMIT {rows}"
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
-            f" WHERE false) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            f" {clause}) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
         )
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
@@ -60,11 +72,17 @@ def main() -> int:
 
     import __spark_entry__ as m
 
-    only = sys.argv[1] if len(sys.argv) > 1 else None
+    argv = sys.argv[1:]
+    rows = 0
+    if "--rows" in argv:
+        i = argv.index("--rows")
+        rows = int(argv[i + 1])
+        del argv[i : i + 2]
+    only = argv[0] if argv else None
     spark = get_spark(app_name="empty-audit", shuffle_partitions="8")
     qs, os_ = m.queries(), m.oracle_sql()
     con = duckdb.connect()
-    d = build_empty_dir(con)
+    d = build_empty_dir(con, rows)
 
     crashes, oracle_crashes, mismatches, ok = [], [], [], 0
     names = [only] if only else sorted(qs)

@@ -147,6 +147,32 @@ def test_kmeans_matches_pure_python_model(spark):
     assert got == expected
 
 
+def test_kmeans_corpus_smaller_than_k(spark):
+    """A corpus with fewer than k vectors fits a smaller model instead of
+    indexing past the seed list: 1 vector -> exactly 1 cluster whose
+    centroid is that vector's quantization (fixed point of the mean)."""
+    from kafka_go_cardinality_spark.operators.similarity import (
+        KMEANS_Q,
+        kmeans_fit,
+    )
+    import decimal
+
+    vec = [0.5, -0.25, 0.125]
+    emb = spark.createDataFrame(
+        [(0, vec)], "vec_id bigint, embedding array<double>"
+    )
+    rows = kmeans_fit(emb).collect()
+    assert len(rows) == 1
+    q6 = lambda x: int(  # noqa: E731
+        decimal.Decimal(float(x) * KMEANS_Q).quantize(
+            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+    assert rows[0]["cluster"] == 0
+    assert rows[0]["n_vectors"] == 1
+    assert rows[0]["centroid_q6"] == ",".join(str(q6(x)) for x in vec)
+
+
 def test_pq_selected_neighbors_beat_average(spark, sf_dir):
     """PQ/ADC ranking-quality floor: for every probe, the mean TRUE
     squared L2 distance of the PQ-selected top-k must be well below the
