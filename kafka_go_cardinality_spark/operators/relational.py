@@ -310,13 +310,22 @@ def zscore_outliers(
     measurements live far inside the guard; anything outside it is a
     corrupt/sentinel value, exactly what an anomaly filter must not
     let poison its own baseline.
+
+    A zero-dispersion group (every value identical — sigma exactly 0)
+    has no anomalies BY CONTRACT, same as the mad=0 guard in
+    q_anomaly_mad: under ANSI the bare division is a job abort on the
+    first such group, and a 100 TB corpus always has one (a constant
+    heartbeat metric).  Mirrored in the oracle with ``sigma > 0``.
     """
     events = events.filter(F.abs(F.col(value_col)) < 1e150)
     stats = events.groupBy(group_col).agg(
         F.avg(value_col).alias("__mu"),
         F.stddev_samp(value_col).alias("__sigma"),
     )
-    z = F.round((F.col(value_col) - F.col("__mu")) / F.col("__sigma"), 4)
+    z = F.when(
+        F.col("__sigma") > 0,
+        F.round((F.col(value_col) - F.col("__mu")) / F.col("__sigma"), 4),
+    )
     return (
         events.join(F.broadcast(stats), group_col)
         .withColumn("zscore", z)

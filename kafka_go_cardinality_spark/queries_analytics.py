@@ -516,7 +516,7 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, event_type, value,
            round((value - mu) / sigma, 4) AS zscore
     FROM safe JOIN stats USING (event_type)
-    WHERE abs(round((value - mu) / sigma, 4)) > 3.0
+    WHERE sigma > 0 AND abs(round((value - mu) / sigma, 4)) > 3.0
     """,
 )
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:

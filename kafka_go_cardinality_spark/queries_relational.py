@@ -883,7 +883,10 @@ def q_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            round(stddev_samp(l_quantity), 6) AS std_qty,
            round(var_samp(l_discount), 6) AS var_disc,
-           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice)
+                 / nullif(stddev_samp(l_quantity)
+                          * stddev_samp(l_extendedprice), 0), 6)
+             AS corr_qty_price,
            round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
            count(*) AS n
     FROM lineitem
@@ -896,12 +899,27 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     declarative aggregates with partial merge (sum/sum-of-squares/cross
     moments), so the shuffle carries one moment tuple per group per
     partition, never rows.  The reference's only statistic is an HLL
-    estimate (/root/reference/processor/processor.go:93)."""
+    estimate (/root/reference/processor/processor.go:93).
+
+    Correlation is the guarded moment ratio covar/(sx*sy), NOT the
+    built-in ``corr``: under ANSI Spark's corr aborts the job with
+    DIVIDE_BY_ZERO the moment any group's variable is constant (every
+    value identical — inevitable in some slice of a 100 TB corpus),
+    where DuckDB's returns NULL.  ``try_divide``/``nullif(.., 0)``
+    define corr = NULL on zero variance identically on both engines;
+    the ratio is algebraically corr's own formula, so non-degenerate
+    groups round to the same 6 decimals."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(
+            F.try_divide(
+                F.covar_samp("l_quantity", "l_extendedprice"),
+                F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
+            ),
+            6,
+        ).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
             "covar_qty_price"
         ),

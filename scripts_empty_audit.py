@@ -27,10 +27,19 @@ single candidate.  Caught: k-means indexing past a seed list shorter
 than k (operators/similarity.kmeans_fit — the effective k is the init
 set's size).
 
+The ``--clones N`` variant is the ALL-IDENTICAL corpus: N copies of one
+row per table with distinct business keys but byte-identical payloads —
+the densest possible duplicate clique (every doc a near-dup of every
+other, one giant group per aggregation key, every event the same user
+at the same instant).  Dedup ops must flag the full clique, pair
+enumeration must stay key-tie-broken, and single-group skew must not
+diverge between engines.
+
 Usage:
-    python3 scripts_empty_audit.py            # zero-row corpus, all queries
-    python3 scripts_empty_audit.py --rows 1   # singleton corpus
-    python3 scripts_empty_audit.py q_kmeans   # one query
+    python3 scripts_empty_audit.py              # zero-row corpus, all queries
+    python3 scripts_empty_audit.py --rows 1     # singleton corpus
+    python3 scripts_empty_audit.py --clones 40  # all-identical corpus
+    python3 scripts_empty_audit.py q_kmeans     # one query
 
 Streaming queries are excluded (they replay fixed file fixtures).
 """
@@ -62,6 +71,45 @@ def build_empty_dir(con: duckdb.DuckDBPyConnection, rows: int = 0) -> str:
     return d
 
 
+# Business-key columns overridden with 0..N-1 in --clones mode; every
+# other column is a byte-identical copy of the table's first row.
+CLONE_KEYS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def build_clone_dir(con: duckdb.DuckDBPyConnection, n: int) -> str:
+    """N distinct-keyed copies of each table's first row."""
+    d = tempfile.mkdtemp(prefix=f"clone{n}_")
+    for t in TABLES:
+        cols = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+        ).fetchall()
+        keys = set(CLONE_KEYS[t])
+        sel = ", ".join(
+            f'CAST(g.i AS {typ}) AS "{name}"' if name in keys else f'b."{name}"'
+            for name, typ, *_ in cols
+        )
+        con.execute(
+            f"COPY (SELECT {sel} FROM (SELECT * FROM "
+            f"read_parquet('{SRC}/{t}.parquet') LIMIT 1) b "
+            f"CROSS JOIN range({n}) g(i)) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    return d
+
+
 def norm(p):
     p = p[sorted(p.columns)]
     return p.astype(str).sort_values(by=list(p.columns)).reset_index(drop=True)
@@ -73,16 +121,20 @@ def main() -> int:
     import __spark_entry__ as m
 
     argv = sys.argv[1:]
-    rows = 0
+    rows, clones = 0, 0
     if "--rows" in argv:
         i = argv.index("--rows")
         rows = int(argv[i + 1])
+        del argv[i : i + 2]
+    if "--clones" in argv:
+        i = argv.index("--clones")
+        clones = int(argv[i + 1])
         del argv[i : i + 2]
     only = argv[0] if argv else None
     spark = get_spark(app_name="empty-audit", shuffle_partitions="8")
     qs, os_ = m.queries(), m.oracle_sql()
     con = duckdb.connect()
-    d = build_empty_dir(con, rows)
+    d = build_clone_dir(con, clones) if clones else build_empty_dir(con, rows)
 
     crashes, oracle_crashes, mismatches, ok = [], [], [], 0
     names = [only] if only else sorted(qs)

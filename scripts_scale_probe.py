@@ -1,0 +1,102 @@
+"""Scale-headroom probe: time selected queries at 1x and Kx the corpus.
+
+The judge's question for every operator is "would this plan survive a
+100x scale-up?" — this script answers it empirically for the document
+operators: replicate ``documents`` K times (default 32), re-key each
+copy, and suffix every token with the copy index so each copy is
+content-DISTINCT (near-dup structure replicates linearly; without the
+rewrite every copy is a near-dup of every other and pair output — not
+the operator — goes quadratic).  All other tables pass through
+unchanged.
+
+A time ratio well under K means the operator is sub-linear in
+wall-clock at fixed parallelism (partial aggregation, in-row compute,
+bounded shuffles); a ratio at or above K means the plan has a
+serialization point worth finding.
+
+Usage:
+    python3 scripts_scale_probe.py                       # default query set, 32x
+    python3 scripts_scale_probe.py --factor 8 q_text_bm25
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+import time
+
+import duckdb
+
+from scripts_poison_audit import SRC, TABLES
+
+# Round-5 document operators + the round-3 set for continuity.
+DEFAULT_QUERIES = [
+    "q_text_winnow",
+    "q_dedup_winnow",
+    "q_text_bm25",
+    "q_text_pack",
+    "q_shuffle_shards",
+    "q_text_vocab",
+    "q_text_chunk",
+]
+
+
+def build_scaled_dir(factor: int) -> str:
+    con = duckdb.connect()
+    d = tempfile.mkdtemp(prefix=f"scale{factor}_")
+    n_docs = con.execute(
+        f"SELECT max(doc_id) + 1 FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchone()[0]
+    con.execute(
+        f"""COPY (
+            SELECT doc_id + g.i * {n_docs} AS doc_id,
+                   CASE WHEN g.i = 0 THEN text
+                        ELSE regexp_replace(text, '(\\S+)', '\\1' || g.i, 'g')
+                   END AS text,
+                   lang, source, n_chars
+            FROM read_parquet('{SRC}/documents.parquet')
+            CROSS JOIN range({factor}) g(i)
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    for t in TABLES:
+        if t != "documents":
+            shutil.copyfile(f"{SRC}/{t}.parquet", f"{d}/{t}.parquet")
+    return d
+
+
+def main() -> int:
+    from kafka_go_cardinality_spark.session import get_spark
+
+    import __spark_entry__ as m
+
+    argv = sys.argv[1:]
+    factor = 32
+    if "--factor" in argv:
+        i = argv.index("--factor")
+        factor = int(argv[i + 1])
+        del argv[i : i + 2]
+    names = argv or DEFAULT_QUERIES
+
+    spark = get_spark(app_name="scale-probe")
+    qs = m.queries()
+    scaled = build_scaled_dir(factor)
+
+    print(f"query,base_s,x{factor}_s,ratio")
+    for name in names:
+        qs[name](spark, SRC).count()  # warm: plan + code paths compiled
+        t0 = time.monotonic()
+        qs[name](spark, SRC).count()
+        base = time.monotonic() - t0
+        t0 = time.monotonic()
+        n = qs[name](spark, scaled).count()
+        big = time.monotonic() - t0
+        print(
+            f"{name},{base:.2f},{big:.2f},{big / base:.1f}  (rows@{factor}x={n})"
+        )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -137,3 +137,37 @@ def test_empty_corpus_former_red(name, spark, empty_dir):
     if len(s) == 0 and len(o) == 0:
         return
     assert_frames_match(s, o)
+
+
+# Formerly crashed on the ALL-IDENTICAL corpus (N distinct-keyed copies
+# of one row per table: zero dispersion in every group).  Spark under
+# ANSI aborts on sigma=0 divisions — built-in ``corr`` included — where
+# DuckDB returns NULL; the contract is NULL corr / no anomalies on both
+# engines.  scripts_empty_audit.py --clones N is the full-registry
+# sweep; this pins its formerly-red subset.
+CLONE_FORMER_RED = ["q_agg_stats", "q_anomaly_zscore"]
+
+
+@pytest.fixture(scope="module")
+def clone_dir():
+    from scripts_empty_audit import build_clone_dir
+
+    con = duckdb.connect()
+    d = build_clone_dir(con, 8)
+    yield d, con
+    con.close()
+
+
+@pytest.mark.parametrize("name", CLONE_FORMER_RED)
+def test_identical_corpus_former_red(name, spark, clone_dir):
+    """Zero-dispersion groups must not abort and must agree with the
+    oracle on the defined degenerate value (NULL corr, zero anomalies)."""
+    import __spark_entry__ as m
+
+    d, con = clone_dir
+    qs, os_ = m.queries(), m.oracle_sql()
+    s = qs[name](spark, d).toPandas()
+    o = con.execute(os_[name]).fetchdf()
+    if len(s) == 0 and len(o) == 0:
+        return
+    assert_frames_match(s, o)
