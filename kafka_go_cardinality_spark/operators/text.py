@@ -967,6 +967,11 @@ def chunk_documents_oracle_sql(
 ) -> str:
     from kafka_go_cardinality_spark.functions import tokens_sql
 
+    # Chunk tokens by DIRECT indexing (list_transform(range(s, ..), j ->
+    # t[j])), never list_slice: DuckDB's per-row slice cost grows with
+    # the FULL list length, so a 100k-token document paid O(n²/stride)
+    # (11.4 s/doc measured; 0.2 s indexed — values identical).
+    window = f"list_transform(range(start_tok, least(start_tok + {length}, len(t) + 1)), j -> t[j])"
     return f"""
     WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
     starts AS (
@@ -976,10 +981,8 @@ def chunk_documents_oracle_sql(
                   AS BIGINT) AS chunk_id
       FROM toks)
     SELECT doc_id, chunk_id, CAST(start_tok AS BIGINT) AS start_tok,
-           CAST(len(list_slice(t, start_tok, start_tok + {length} - 1)) AS BIGINT)
-             AS n_chunk_tokens,
-           md5(array_to_string(list_slice(t, start_tok, start_tok + {length} - 1), ' '))
-             AS chunk_md5
+           CAST(len({window}) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string({window}, ' ')) AS chunk_md5
     FROM starts
     """
 

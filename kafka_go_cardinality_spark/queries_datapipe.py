@@ -1427,6 +1427,12 @@ def _winnow_fps_ctes(corpus_sql: str) -> str:
     k, w = tx.WINNOW_K, tx.WINNOW_W
     from kafka_go_cardinality_spark.functions import grams_sql
 
+    # Window minimum by DIRECT indexing (least(gh[i] .. gh[i+w-1])),
+    # never list_min(list_slice(..)): DuckDB's list_slice copies the
+    # slice per window, turning the scan quadratic in document length —
+    # a 100k-token doc took >3 min/doc before, ~0.5 s after (gh elements
+    # are md5-derived and never NULL, so least == list_min here).
+    win_min = ", ".join(f"gh[i + {j}]" for j in range(w))
     return f"""
     corpus AS ({corpus_sql}),
     tk AS (SELECT doc_id, {tokens_sql('text')} AS t FROM corpus),
@@ -1436,7 +1442,7 @@ def _winnow_fps_ctes(corpus_sql: str) -> str:
            CASE WHEN len(gh) >= {w}
                 THEN list_distinct(list_transform(
                        range(1, len(gh) - {w - 1} + 1),
-                       i -> list_min(list_slice(gh, i, i + {w - 1}))))
+                       i -> least({win_min})))
                 ELSE CAST([] AS BIGINT[]) END AS fps
            FROM gh)"""
 

@@ -35,11 +35,19 @@ at the same instant).  Dedup ops must flag the full clique, pair
 enumeration must stay key-tie-broken, and single-group skew must not
 diverge between engines.
 
+The ``--longdoc N`` variant is the PATHOLOGICAL-ROW corpus: the full
+sf0.01 tables plus ONE extra document of N tokens (vocab-997 cycle —
+realistic repetition, not one repeated token).  Every in-row
+tokenize/gram/shingle/winnow array materializes at N elements inside a
+single task — the row that OOMs a 100 TB job if per-doc work is ever
+accidentally quadratic — and every posting list it feeds grows by N.
+
 Usage:
-    python3 scripts_empty_audit.py              # zero-row corpus, all queries
-    python3 scripts_empty_audit.py --rows 1     # singleton corpus
-    python3 scripts_empty_audit.py --clones 40  # all-identical corpus
-    python3 scripts_empty_audit.py q_kmeans     # one query
+    python3 scripts_empty_audit.py                 # zero-row corpus, all queries
+    python3 scripts_empty_audit.py --rows 1        # singleton corpus
+    python3 scripts_empty_audit.py --clones 40     # all-identical corpus
+    python3 scripts_empty_audit.py --longdoc 100000  # one huge document
+    python3 scripts_empty_audit.py q_kmeans        # one query
 
 Streaming queries are excluded (they replay fixed file fixtures).
 """
@@ -110,6 +118,39 @@ def build_clone_dir(con: duckdb.DuckDBPyConnection, n: int) -> str:
     return d
 
 
+def build_longdoc_dir(con: duckdb.DuckDBPyConnection, n_tokens: int) -> str:
+    """The full source corpus plus one N-token document (and its
+    embedding-table absence — a doc with no vector is already a defined
+    state).  Token stream cycles a 997-word vocabulary so shingles
+    repeat realistically instead of collapsing to one gram."""
+    d = tempfile.mkdtemp(prefix=f"longdoc{n_tokens}_")
+    for t in TABLES:
+        if t == "documents":
+            con.execute(
+                f"""COPY (
+                  SELECT * FROM read_parquet('{SRC}/documents.parquet')
+                  UNION ALL BY NAME
+                  SELECT (SELECT max(doc_id) + 1
+                          FROM read_parquet('{SRC}/documents.parquet')) AS doc_id,
+                         big.t AS text,
+                         'en' AS lang,
+                         'longdoc' AS source,
+                         length(big.t) AS n_chars
+                  FROM (SELECT string_agg('w' || (i % 997), ' ' ORDER BY i) AS t
+                        FROM range({n_tokens}) r(i)) big
+                ) TO '{d}/documents.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))"
+                f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    return d
+
+
 def norm(p):
     p = p[sorted(p.columns)]
     return p.astype(str).sort_values(by=list(p.columns)).reset_index(drop=True)
@@ -130,11 +171,21 @@ def main() -> int:
         i = argv.index("--clones")
         clones = int(argv[i + 1])
         del argv[i : i + 2]
+    longdoc = 0
+    if "--longdoc" in argv:
+        i = argv.index("--longdoc")
+        longdoc = int(argv[i + 1])
+        del argv[i : i + 2]
     only = argv[0] if argv else None
     spark = get_spark(app_name="empty-audit", shuffle_partitions="8")
     qs, os_ = m.queries(), m.oracle_sql()
     con = duckdb.connect()
-    d = build_clone_dir(con, clones) if clones else build_empty_dir(con, rows)
+    if longdoc:
+        d = build_longdoc_dir(con, longdoc)
+    elif clones:
+        d = build_clone_dir(con, clones)
+    else:
+        d = build_empty_dir(con, rows)
 
     crashes, oracle_crashes, mismatches, ok = [], [], [], 0
     names = [only] if only else sorted(qs)

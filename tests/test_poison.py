@@ -158,6 +158,40 @@ def clone_dir():
     con.close()
 
 
+# Formerly took >3 min PER DOCUMENT in the DuckDB oracle on a 100k-token
+# document: list_min(list_slice(..)) / list_slice-per-chunk cost grows
+# with the FULL list length in DuckDB, turning window selection
+# quadratic in document length.  Both oracles now use direct indexing
+# (least(gh[i]..gh[i+w-1]); list_transform(range(s, s+len), j -> t[j])).
+# scripts_empty_audit.py --longdoc N is the full-registry sweep; this
+# pins the formerly-pathological subset at 20k tokens (>10x the old
+# quadratic knee, <5 s fixed).
+LONGDOC_FORMER_SLOW = ["q_text_winnow", "q_dedup_winnow", "q_text_chunk"]
+
+
+@pytest.fixture(scope="module")
+def longdoc_dir():
+    from scripts_empty_audit import build_longdoc_dir
+
+    con = duckdb.connect()
+    d = build_longdoc_dir(con, 20000)
+    yield d, con
+    con.close()
+
+
+@pytest.mark.parametrize("name", LONGDOC_FORMER_SLOW)
+def test_longdoc_corpus_former_slow(name, spark, longdoc_dir):
+    """One pathological 20k-token document must neither abort nor stall
+    either engine, and values must stay parity-exact."""
+    import __spark_entry__ as m
+
+    d, con = longdoc_dir
+    qs, os_ = m.queries(), m.oracle_sql()
+    s = qs[name](spark, d).toPandas()
+    o = con.execute(os_[name]).fetchdf()
+    assert_frames_match(s, o)
+
+
 @pytest.mark.parametrize("name", CLONE_FORMER_RED)
 def test_identical_corpus_former_red(name, spark, clone_dir):
     """Zero-dispersion groups must not abort and must agree with the
