@@ -149,11 +149,26 @@ def main() -> int:
     )
 
     sf = _sf_from_dir(SF_DIR)
+    # Stamp the measured code revision: BENCH_FULL.json is overwritten in
+    # place each run, so round-over-round comparison needs to know which
+    # commit a surviving artifact measured (git history keeps the per-round
+    # copies; the stamp disambiguates uncommitted re-runs).
+    try:
+        import subprocess
+
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or None
+    except Exception:
+        rev = None
     # Full artifact: every query, both pass timings and the min.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as fh:
         json.dump(
             {
+                "code_rev": rev,
                 "metric": "all_queries_total_wall",
                 "value": total,
                 "unit": "sec",

@@ -17,27 +17,47 @@ every query — by which point the previous query's action has completed
 and its caches are dead weight.  Unpersisting is always
 correctness-safe (Spark recomputes), so a caller that interleaves two
 queries loses only cache hits, never results.
+
+Callers OUTSIDE the registry (tests, direct library consumers) should
+scope their calls with :func:`scoped_caches`::
+
+    with scoped_caches():
+        op_result = lsh_pairs(docs, ...)
+        op_result.count()
+    # the operator's persisted intermediates are released here
+
+or call :func:`release_tracked` in a teardown — the repo's test suite
+does so via an autouse fixture.  The registry is guarded by a lock so
+concurrent query execution (two threads driving one session) can't
+corrupt the list; release ordering across threads remains the caller's
+concern, as with any shared cache pool.
 """
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+_LOCK = threading.Lock()
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
     """persist() + register for release when the next query starts."""
     df = df.persist()
-    _TRACKED.append(df)
+    with _LOCK:
+        _TRACKED.append(df)
     return df
 
 
 def release_tracked() -> int:
     """Unpersist every tracked frame; returns how many were released."""
+    with _LOCK:
+        drained, _TRACKED[:] = _TRACKED[:], []
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    for df in drained:
         try:
             df.unpersist()
             n += 1
@@ -45,3 +65,14 @@ def release_tracked() -> int:
             # A stopped/replaced SparkSession makes unpersist moot.
             pass
     return n
+
+
+@contextlib.contextmanager
+def scoped_caches():
+    """Release any caches tracked inside the block on exit — the scope a
+    direct operator caller (no registry entry/exit to piggyback on)
+    should wrap around each logical unit of work."""
+    try:
+        yield
+    finally:
+        release_tracked()

@@ -891,12 +891,23 @@ BLOOM_K = 4
 
 def _bloom_word_bits(df: DataFrame, id_col: str):
     """Explode each id into its k Bloom (word, bit) contributions.
-    Shift amounts must be literal-int-free column math, so the bit is
-    shiftleft via SQL expr (pyspark's shiftleft takes a Python int)."""
-    pos_structs = []
-    for i in range(BLOOM_K):
-        h = hash64(F.col(id_col).cast("string"), salt=f"bloom{i}")
-        pos_structs.append(F.pmod(h, F.lit(BLOOM_BITS)).alias(f"p{i}"))
+
+    The k positions are FOUR 32-bit windows of ONE md5, not k salted
+    md5s: one digest per id instead of four (the round-5 bench flagged
+    the 4× md5+conv chain as this operator's hot spot), with identical
+    independence properties — md5's 128 bits are uniformly mixed, so
+    disjoint 32-bit slices are as decorrelated as separately-salted
+    digests.  Shift amounts must be literal-int-free column math, so
+    the bit is shiftleft via SQL expr (pyspark's shiftleft takes a
+    Python int)."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#bloom")))
+    pos_structs = [
+        F.pmod(
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long"),
+            F.lit(BLOOM_BITS),
+        ).alias(f"p{i}")
+        for i in range(BLOOM_K)
+    ]
     wide = df.select("*", *pos_structs)
     exploded = wide.select(
         *df.columns,
@@ -968,10 +979,12 @@ def bloom_membership(events: DataFrame, probe_ids: list[int]) -> DataFrame:
 
 
 def bloom_membership_oracle_sql(probe_ids: list[int]) -> str:
-    from kafka_go_cardinality_spark.functions import hash64_sql
-
     def wordbit(expr, i):
-        h = hash64_sql(expr, salt=f"bloom{i}")
+        # Mirror of _bloom_word_bits: 32-bit window i of one salted md5.
+        h = (
+            f"CAST(('0x' || substring(md5(({expr}) || '#bloom'), "
+            f"{1 + 8 * i}, 8)) AS BIGINT)"
+        )
         return (
             f"(({h}) % {BLOOM_BITS}) // {BLOOM_WORD_BITS} AS word, "
             f"(CAST(1 AS BIGINT) << ((({h}) % {BLOOM_BITS}) % {BLOOM_WORD_BITS}))"

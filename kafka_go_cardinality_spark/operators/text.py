@@ -1247,8 +1247,16 @@ def bm25_topk(
     per term; the remaining arithmetic is IEEE mul/div in a fixed
     parenthesization replicated exactly in the oracle SQL, and the
     final per-term score is rounded to an integer before the sum —
-    order-free."""
-    d = documents.select("doc_id", tokens(F.col("text")).alias("t"))
+    order-free.
+
+    NULL-text docs are excluded up front (mirrored in the oracle's
+    WHERE): a NULL text makes every tf_i NULL, and Spark's
+    NULL-absorbing arithmetic would yield NULL n_hit/score while the
+    oracle's CASE WHEN counts 0 — a divergence whenever such a row
+    reaches the top-k (corpus with fewer than k scored docs)."""
+    d = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
 
     def _eq(term: str):
         # NB: single-arg lambda — a second parameter (even defaulted)
@@ -1356,11 +1364,18 @@ def seq_pack(documents: DataFrame, seq_len: int = PACK_SEQ_LEN,
         )
     )
     stats = d.agg(F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax"))
+    # Width-first bucket arithmetic: (doc_id - dmin) * n_buckets would
+    # overflow BIGINT (ANSI job abort) whenever the id span exceeds
+    # ~2^57 — e.g. sparse snowflake-style 63-bit ids.  Dividing by the
+    # bucket width instead stays in range for ANY id span, and the
+    # width's +1 guarantees span/width < n_buckets so buckets stay in
+    # [0, n_buckets).  Bucket boundaries shift vs the multiply form,
+    # but any order-preserving range split yields identical offsets.
     bucketed = d.crossJoin(F.broadcast(stats)).withColumn(
         "bucket",
         F.expr(
-            f"CAST(((doc_id - dmin) * {n_buckets}) div"
-            " (dmax - dmin + 1) AS INT)"
+            "CAST((doc_id - dmin) div"
+            f" (((dmax - dmin) div {n_buckets}) + 1) AS INT)"
         ),
     )
     totals = bucketed.groupBy("bucket").agg(F.sum("cnt").alias("btot"))

@@ -17,12 +17,22 @@ from pyspark.sql import DataFrame
 
 def spread(df: DataFrame) -> DataFrame:
     """Repartition ``df`` to the session's default parallelism ONLY when
-    its current layout is narrower than that — a no-op (no shuffle, no
+    its source layout is narrower than that — a no-op (no shuffle, no
     plan node) whenever the scan already provides enough parallelism.
 
-    ``getNumPartitions`` is a metadata read (file-listing driven for
-    parquet scans), not a job."""
+    Width is probed via ``inputFiles()`` — a file-listing metadata read,
+    never a job — NOT ``df.rdd.getNumPartitions()``: under AQE, ``.rdd``
+    finalizes the adaptive plan and would eagerly EXECUTE shuffle stages
+    if the frame contained an exchange.  The file count lower-bounds the
+    scan's partition count (a file splits into ≥1 partition), so
+    ``files >= target`` proves the layout is already wide enough; at
+    100 TB the listing is thousands of files and this is a no-op, while
+    a fixture-scale scan (1-2 files) gets its widening shuffle.  A
+    non-file source (in-memory fixture, ``createDataFrame``) lists zero
+    files and conservatively widens — those inputs are tiny, so the
+    shuffle is noise.
+    """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if len(df.inputFiles()) >= target:
         return df
     return df.repartition(target)

@@ -1532,7 +1532,8 @@ def _bm25_oracle() -> str:
         f"CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms))
     )
     return f"""
-    WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+    WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS t
+                FROM documents WHERE text IS NOT NULL),
     base AS (SELECT doc_id, len(t) AS dl,
            {tf_defs}
     FROM tk),

@@ -32,6 +32,17 @@ def spark():
     spark.stop()
 
 
+@pytest.fixture(autouse=True)
+def _release_operator_caches():
+    """Tests that call operators DIRECTLY (bypassing the registry's
+    entry-releases) would otherwise pin persisted intermediates for the
+    whole session; drain the tracked-cache registry after every test."""
+    yield
+    from kafka_go_cardinality_spark.caching import release_tracked
+
+    release_tracked()
+
+
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
