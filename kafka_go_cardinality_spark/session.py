@@ -48,6 +48,13 @@ def get_spark(
         # small heap turns late-run queries into GC victims.  On a real
         # cluster spark-submit supplies per-role memory instead.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # The generated-class cache defaults to 100 entries; a session
+        # that runs the ~200-query surface evicts every compiled stage
+        # before its next use, so each bench pass re-pays Janino
+        # compilation for every plan (measured as multi-second
+        # pass-to-pass swings on codegen-heavy queries).  Steady-state
+        # cost — what a cluster pays — is with warm compiled classes.
+        .config("spark.sql.codegen.cache.maxEntries", "4000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
