@@ -113,6 +113,60 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k most-similar corpus vectors with a DIFFERENT label —
+    near-misses the loss learns the most from (the triplet/InfoNCE
+    negative-selection step every embedding-model data pipeline runs).
+
+    Same plan shape as :func:`cosine_topk` (broadcast model-sized query
+    set × partitioned corpus, per-pair double-fold cosine, grouped
+    top-k): the label-mismatch predicate is map-side, so mining cost is
+    identical to plain retrieval at any corpus size.  NULL-label rows
+    never pair (`<>` is NULL-rejecting on both engines — the defined
+    poison contract)."""
+    embeddings = embeddings.filter(vec_finite(F.col("embedding")))
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        as_double(F.col("embedding")).alias("qv"),
+    ).select("query_id", "q_label", "qv", norm(F.col("qv")).alias("qn"))
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        as_double(F.col("embedding")).alias("cv"),
+    ).select("neighbor_id", "n_label", "cv", norm(F.col("cv")).alias("cn"))
+    pairs = F.broadcast(queries).crossJoin(corpus).filter(
+        F.col("q_label") != F.col("n_label")
+    )
+    scored = pairs.select(
+        "query_id",
+        "q_label",
+        "neighbor_id",
+        "n_label",
+        cosine_pre(
+            dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("q_label").cast("int").alias("q_label"),
+            "neighbor_id",
+            F.col("n_label").cast("int").alias("n_label"),
+            F.round("cos", 6).alias("cos"),
+            "rank",
+        )
+    )
+
+
 def _hyperplanes(dim: int = 64):
     """Deterministic pseudo-random hyperplanes: plane p, component j gets
     sign/magnitude from a md5-seeded integer — no RNG, reproducible

@@ -1436,6 +1436,156 @@ def seq_pack(documents: DataFrame, seq_len: int = PACK_SEQ_LEN,
     )
 
 
+# Curriculum: difficulty-range buckets for the distributed enumerate and
+# the shard fan-out of the ordered corpus.
+CURRICULUM_BUCKETS = 64
+CURRICULUM_SHARDS = 16
+
+
+def curriculum_order(
+    documents: DataFrame,
+    n_buckets: int = CURRICULUM_BUCKETS,
+    n_shards: int = CURRICULUM_SHARDS,
+) -> DataFrame:
+    """Curriculum ordering for LLM pretraining: score every document's
+    difficulty (mean corpus-unigram surprisal — the
+    :func:`unigram_surprisal` micro-unit score, so the order is
+    engine-exact), assign each doc its global easy→hard position, and
+    cut the ordered stream into ``n_shards`` contiguous shards — the
+    manifest an easy-first data loader consumes.
+
+    Scale shape: the global position NEVER runs a single-partition
+    window over the corpus.  Same decomposition as
+    ``relational.global_enumerate`` / :func:`seq_pack`: a 1-row min/max
+    broadcast splits the score range into width-first buckets
+    (overflow-safe at any score span), per-bucket counts make a
+    ≤``n_buckets``-row cumulative frame, and position = bucket offset +
+    bucket-local rank.  Shard = position ÷ ceil(N/n_shards), width-first
+    again.  NULL-id docs are skipped (no stable position — the
+    reference's skip-and-continue policy, kafkaio.go:77-81); docs with
+    no tokens score nothing and are skipped on both engines.
+    """
+    from kafka_go_cardinality_spark.caching import tracked_persist
+
+    # The scored frame (one 3-long row per doc — corpus-count-sized,
+    # never corpus-byte-sized) feeds the stats aggregate, the bucket
+    # counts, AND the final join; without the cache boundary the whole
+    # tokenize->vocab->score pipeline re-evaluates once per branch
+    # (measured 14 exchanges -> 6 with the persist).
+    scored = tracked_persist(
+        unigram_surprisal(
+            documents.filter(F.col("doc_id").isNotNull())
+        ).select("doc_id", "avg_nll_q")
+    )
+    stats = scored.agg(
+        F.min("avg_nll_q").alias("smin"),
+        F.max("avg_nll_q").alias("smax"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    bucketed = scored.crossJoin(F.broadcast(stats)).withColumn(
+        "bucket",
+        F.expr(
+            "CAST((avg_nll_q - smin) div"
+            f" (((smax - smin) div {n_buckets}) + 1) AS INT)"
+        ),
+    )
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bcnt"))
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    # ≤ n_buckets rows: constant-size frame, not the data.
+    offsets = counts.withColumn(
+        "boff", F.coalesce(F.sum("bcnt").over(cum), F.lit(0).cast("long"))
+    ).select("bucket", "boff")
+    local = Window.partitionBy("bucket").orderBy("avg_nll_q", "doc_id")
+    return (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "curriculum_pos",
+            F.row_number().over(local).cast("long") - 1 + F.col("boff"),
+        )
+        .select(
+            "doc_id",
+            "avg_nll_q",
+            "curriculum_pos",
+            F.expr(
+                f"CAST(curriculum_pos div ((n_docs div {n_shards}) + 1)"
+                " AS INT)"
+            ).alias("shard"),
+        )
+    )
+
+
+# BPE trainer: model-sized word-frequency seed and merge count.
+BPE_TOP_WORDS = 256
+BPE_MERGES = 32
+
+
+def bpe_merges(
+    documents: DataFrame,
+    top_words: int = BPE_TOP_WORDS,
+    n_merges: int = BPE_MERGES,
+) -> DataFrame:
+    """BPE merge-table induction — the tokenizer-training step of an LLM
+    data pipeline.  Standard byte-pair-encoding trainers (the
+    Sennrich et al. algorithm) operate on the WORD-FREQUENCY MODEL, not
+    the raw corpus: count words once, then iteratively merge the
+    most-frequent adjacent symbol pair inside the word table.  The
+    corpus pays one tokenize+count shuffle into a vocabulary-sized
+    frame; a TakeOrdered keeps the ``top_words`` head (driver state is
+    model-sized, the same seed discipline as k-means/PQ — at 100 TB a
+    min-frequency threshold plays this role), and the merge loop runs
+    on that model.  Returns the ordered merge table: (rank, left,
+    right, pair_count, merged).
+
+    Determinism: seed selection orders by (count DESC, word); each
+    iteration picks the (count DESC, pair ASC) argmax — no RNG, no
+    scheduling dependence, so the merge table is a pure function of the
+    corpus.  Empty corpus → typed empty table (the empty-model
+    contract)."""
+    spark = documents.sparkSession
+    words = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seed = (
+        words.orderBy(F.col("cnt").desc(), "w").limit(top_words).collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in seed:
+        vocab[tuple(r["w"])] = vocab.get(tuple(r["w"]), 0) + int(r["cnt"])
+    merges: list[tuple[int, str, str, int, str]] = []
+    for rank in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        if not pair_counts:
+            break
+        (a, b), pc = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merged = a + b
+        merges.append((rank, a, b, pc, merged))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, pair_count long, merged string",
+    )
+
+
 # Shard count for the deterministic corpus shuffle.
 SHUFFLE_SHARDS = 16
 

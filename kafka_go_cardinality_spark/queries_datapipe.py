@@ -1637,3 +1637,93 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard.  Replays one fixed permutation at any cluster size with no
     global sort (operators/text.shuffle_shards)."""
     return tx.shuffle_shards(_docs(spark, sf_dir))
+
+
+# ------------------------------------------------ round-6 pipeline additions
+
+
+def _hard_negatives_oracle(n_queries: int = 10, k: int = 5) -> str:
+    """DuckDB twin of operators/similarity.hard_negatives — the
+    q_sim_cosine_topk oracle plus the map-side label-mismatch predicate
+    (NULL labels never pair: `<>` is NULL-rejecting on both engines)."""
+    return f"""
+    WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE {vec_finite_sql('embedding')})
+    SELECT query_id, q_label, neighbor_id, n_label,
+           round(cos, 6) AS cos, rank FROM (
+      SELECT q.vec_id AS query_id, CAST(q.label AS INT) AS q_label,
+             t.vec_id AS neighbor_id, CAST(t.label AS INT) AS n_label,
+             {_cos_sql('q.v', 't.v')} AS cos,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_cos_sql('q.v', 't.v')} DESC, t.vec_id) AS rank
+      FROM c q CROSS JOIN c t
+      WHERE q.vec_id < {n_queries} AND q.label <> t.label
+    ) WHERE rank <= {k}
+    """
+
+
+@query("q_sim_hard_negatives", _hard_negatives_oracle())
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E21+] Hard-negative mining for contrastive training: per query
+    vector, the top-5 most-similar corpus vectors with a DIFFERENT
+    label — broadcast queries x partitioned corpus with a map-side
+    label-mismatch predicate, so mining costs the same as plain
+    retrieval at any corpus size (operators/similarity.hard_negatives)."""
+    return sim.hard_negatives(_emb(spark, sf_dir))
+
+
+def _curriculum_oracle(n_shards: int = tx.CURRICULUM_SHARDS) -> str:
+    """DuckDB twin of operators/text.curriculum_order: the
+    q_text_unigram_nll scoring (identical micro-unit quantization) over
+    the NULL-id-filtered corpus, then a global (avg_nll_q, doc_id)
+    row_number and the width-first shard split."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS term
+      FROM documents WHERE doc_id IS NOT NULL),
+    vocab AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+    nll AS (
+      SELECT term,
+             CAST(round(ln(CAST(n_total AS DOUBLE) / cnt) * 1e6) AS BIGINT)
+               AS nll_q
+      FROM vocab CROSS JOIN tot),
+    scored AS (
+      SELECT doc_id,
+             CAST(sum(nll_q) AS BIGINT) // count(*) AS avg_nll_q
+      FROM tok JOIN nll USING (term)
+      GROUP BY doc_id),
+    pos AS (
+      SELECT doc_id, avg_nll_q,
+             CAST(row_number() OVER (ORDER BY avg_nll_q, doc_id) - 1
+                  AS BIGINT) AS curriculum_pos,
+             CAST(count(*) OVER () AS BIGINT) AS n_docs
+      FROM scored)
+    SELECT doc_id, avg_nll_q, curriculum_pos,
+           CAST(curriculum_pos // ((n_docs // {n_shards}) + 1) AS INT)
+             AS shard
+    FROM pos
+    """
+
+
+@query("q_text_curriculum", _curriculum_oracle())
+def q_text_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22+] Curriculum ordering: every document's global easy->hard
+    position by mean unigram surprisal (integer micro-units, engine-
+    exact) plus its contiguous shard — computed with the bucket-
+    decomposed distributed enumerate, never a single-partition window
+    over the corpus (operators/text.curriculum_order)."""
+    return tx.curriculum_order(_docs(spark, sf_dir))
+
+
+@query("q_text_bpe_merges", oracle=None)  # iterative driver-model op: rows-only
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22+] BPE merge-table induction (Sennrich et al.): one corpus
+    tokenize+count shuffle into a vocab-sized frame, TakeOrdered top-256
+    word model, 32 deterministic highest-pair merges on the driver-side
+    model (the same model-sized-seed discipline as k-means/PQ).  The
+    merge loop is iterative and not SQL-expressible; determinism and the
+    reference algorithm are pinned in tests/test_analytics.py against a
+    hand-computed corpus (operators/text.bpe_merges)."""
+    return tx.bpe_merges(_docs(spark, sf_dir))

@@ -30,8 +30,10 @@ import duckdb
 
 from scripts_poison_audit import SRC, TABLES
 
-# Round-5 document operators + the round-3 set for continuity.
+# Round-6 additions + the round-5/3 sets for continuity.
 DEFAULT_QUERIES = [
+    "q_text_curriculum",
+    "q_text_bpe_merges",
     "q_text_winnow",
     "q_dedup_winnow",
     "q_text_bm25",

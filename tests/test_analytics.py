@@ -917,3 +917,114 @@ def test_bm25_ranks_term_stuffed_doc_first(spark):
         if i not in hits:
             assert by_id[i]["n_hit"] == 0 and by_id[i]["score_micro"] == 0
     assert ids.index(2) < ids.index(3) < min(ids.index(1), ids.index(4))
+
+
+# ------------------------------------------------ round-6 pipeline additions
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Independent straight-from-the-paper BPE trainer (Sennrich et al.
+    Alg. 1): argmax pair by (count, then lexicographically smallest),
+    merge, repeat.  Deliberately re-implemented here — not imported —
+    so the operator is checked against intent, not against itself."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    out = []
+    for rank in range(n_merges):
+        pairs = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] = pairs.get(
+                    (sym[i], sym[i + 1]), 0
+                ) + c
+        if not pairs:
+            break
+        (a, b), pc = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, a, b, pc, a + b))
+        nv = {}
+        for sym, c in vocab.items():
+            merged, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == (a, b):
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(sym[i])
+                    i += 1
+            nv[tuple(merged)] = nv.get(tuple(merged), 0) + c
+        vocab = nv
+    return out
+
+
+def test_bpe_merges_match_reference_algorithm(spark):
+    """The classic Sennrich corpus: merges must equal the independent
+    reference implementation exactly — order, pair counts, and the
+    deterministic (count DESC, pair ASC) tie-break."""
+    from kafka_go_cardinality_spark.operators.text import bpe_merges
+
+    words = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * c)) for i, (w, c) in enumerate(words.items())],
+        ["doc_id", "text"],
+    )
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"], r["merged"])
+        for r in bpe_merges(docs, top_words=16, n_merges=8)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _bpe_reference(words, 8)
+
+
+def test_bpe_merges_tie_breaks_lexicographically(spark):
+    """Two pairs with equal counts must merge the lexicographically
+    smaller pair first — the determinism contract that makes the merge
+    table a pure function of the corpus."""
+    from kafka_go_cardinality_spark.operators.text import bpe_merges
+
+    # "ab" and "cd" both occur exactly 3 times and share no symbols.
+    docs = spark.createDataFrame(
+        [(0, "ab ab ab cd cd cd")], ["doc_id", "text"]
+    )
+    rows = bpe_merges(docs, top_words=4, n_merges=2).orderBy("rank").collect()
+    assert (rows[0]["left"], rows[0]["right"]) == ("a", "b")
+    assert (rows[1]["left"], rows[1]["right"]) == ("c", "d")
+    assert rows[0]["pair_count"] == rows[1]["pair_count"] == 3
+
+
+def test_bpe_merges_empty_corpus_typed_empty(spark):
+    """Zero documents → typed empty merge table (the empty-model
+    contract), not a crash."""
+    from kafka_go_cardinality_spark.operators.text import bpe_merges
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    out = bpe_merges(docs)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "rank", "left", "right", "pair_count", "merged",
+    ]
+
+
+def test_curriculum_positions_are_a_difficulty_sorted_permutation(spark, sf_dir):
+    """curriculum_pos must be exactly 0..N-1 with no gaps, ordered by
+    (avg_nll_q, doc_id), and shards must be contiguous position ranges
+    — the guarantees an easy-first loader relies on."""
+    rows = QUERIES["q_text_curriculum"](spark, sf_dir).collect()
+    rows.sort(key=lambda r: r["curriculum_pos"])
+    assert [r["curriculum_pos"] for r in rows] == list(range(len(rows)))
+    keys = [(r["avg_nll_q"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    shards = [r["shard"] for r in rows]
+    assert shards == sorted(shards)  # contiguous ranges, monotone in pos
+
+
+def test_hard_negatives_labels_always_differ(spark, sf_dir):
+    """Every mined negative must carry a label different from its
+    query's — and ranks must be dense 1..k per query."""
+    rows = QUERIES["q_sim_hard_negatives"](spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r["q_label"] != r["n_label"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q_id, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q_id

@@ -949,3 +949,30 @@ def test_shuffle_shards_single_exchange_on_shard(spark, sf_dir):
     assert not any("SinglePartition" in b for b in blocks), blocks
     assert count_exchanges(df) == 1, blocks
     assert any("hashpartitioning(shard" in b for b in blocks), blocks
+
+
+def test_curriculum_never_single_partition_sorts_corpus(spark, sf_dir):
+    """The curriculum enumerate must run per difficulty bucket: every
+    SinglePartition exchange feeds a constant-size frame (the 1-row
+    stats aggregate or the ≤64-row bucket counts) — per-document rows
+    (doc_id, avg_nll_q) never collapse to one task."""
+    df = q("q_text_curriculum", spark, sf_dir)
+    blocks = exchange_blocks(df)
+    single = [b for b in blocks if "SinglePartition" in b]
+    assert single, "expected the constant-size stats/offset exchanges"
+    for b in single:
+        assert "doc_id" not in b, b
+    assert any("hashpartitioning(bucket" in b for b in blocks), blocks
+
+
+def test_hard_negatives_broadcasts_query_side(spark, sf_dir):
+    """The mining join must broadcast the model-sized query set against
+    the partitioned corpus (cosine_topk's shape): one hash exchange —
+    the per-query top-k window — and no shuffle of corpus vectors."""
+    from kafka_go_cardinality_spark.plans.inspect import (
+        assert_broadcast_join,
+    )
+
+    df = q("q_sim_hard_negatives", spark, sf_dir)
+    assert_broadcast_join(df)
+    assert count_exchanges(df) == 1, exchange_blocks(df)
