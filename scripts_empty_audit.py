@@ -47,6 +47,7 @@ Usage:
     python3 scripts_empty_audit.py --rows 1        # singleton corpus
     python3 scripts_empty_audit.py --clones 40     # all-identical corpus
     python3 scripts_empty_audit.py --longdoc 100000  # one huge document
+    python3 scripts_empty_audit.py --unicode       # adversarial multilingual corpus
     python3 scripts_empty_audit.py q_kmeans        # one query
 
 Streaming queries are excluded (they replay fixed file fixtures).
@@ -151,6 +152,87 @@ def build_longdoc_dir(con: duckdb.DuckDBPyConnection, n_tokens: int) -> str:
     return d
 
 
+# Adversarial Unicode documents: every class where JVM (UTF-16,
+# java.lang string tables) and DuckDB (UTF-8, utf8proc) could disagree
+# on lower/regex/length semantics.  Each tuple is (lang, text).
+UNICODE_DOCS = [
+    # CJK, no whitespace — the whole doc is ONE token.
+    ("ja", "春眠不覚暁処処聞啼鳥夜来風雨声花落知多少"),
+    # Ideographic space U+3000 and NBSP U+00A0 — neither is \\s in
+    # Java's ASCII \\s nor RE2's: both engines must KEEP them inside
+    # tokens, identically.
+    ("ja", "漢字　かな mixed spacing test"),
+    # ZWJ emoji family + skin-tone modifiers + flags (surrogate pairs
+    # in UTF-16 — astral-plane indexing stress).
+    ("en", "family \U0001f468‍\U0001f469‍\U0001f467‍\U0001f466 wave \U0001f44b\U0001f3fd flag \U0001f1ef\U0001f1f5 done"),
+    # Astral-plane cased letters: Deseret has real upper/lower maps.
+    ("en", "\U00010400\U00010401\U00010402 deseret \U00010428\U00010429\U0001042a and math \U0001d407\U0001d41e\U0001d425\U0001d425\U0001d428"),
+    # NFC vs NFD of the same words — byte-distinct, must stay distinct
+    # on BOTH engines (no engine normalizes behind our back).
+    ("fr", "école résumé déjà"),
+    ("fr", "école résumé déjà"),
+    # Turkish dotted/dotless i — the fold contract's home turf.
+    ("tr", "İstanbul DİYARBAKIR ısparta IĞDIR"),
+    # Greek final sigma + full-word caps.
+    ("el", "ΟΔΥΣΣΕΥΣ οδυσσεύς ΤΈΛΟΣ τέλος"),
+    # German sharp s and capital sharp s U+1E9E.
+    ("de", "STRASSE straße GROẞ groß"),
+    # Cherokee: lowercase letters added in Unicode 8 — a Unicode-table
+    # version skew candidate between JVM and utf8proc.
+    ("en", "ᏣᎳᎩ ᎦᏬᏂᎯᏍᏗ tsalagi"),
+    # RTL Arabic + tatweel, Hebrew + niqqud.
+    ("ar", "السلام عليكم ورحمة الله"),
+    ("he", "שָׁלוֹם עֲלֵיכֶם"),
+    # Ligatures and fullwidth forms — lower() must not decompose.
+    ("en", "ﬁnal ﬆreet ＦＵＬＬＷＩＤＴＨ ｔｅｘｔ"),
+    # Combining-mark pileup (zalgo) — per-codepoint ops stay linear.
+    ("en", "z̀́̂̃̄̅ă̇̈l̉̊̋ǧ̍̎ȍ̐̑ text"),
+]
+
+
+def build_unicode_dir(con: duckdb.DuckDBPyConnection) -> str:
+    """The full source corpus plus the adversarial-Unicode documents
+    (source='unicode', doc ids continuing after max) — both engines
+    read the same parquet, so any result divergence is a SEMANTICS
+    divergence (lower/regex/length), never an input artifact."""
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="unicode_")
+    base_max = con.execute(
+        f"SELECT max(doc_id) FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchone()[0]
+    extra = pd.DataFrame(
+        {
+            "doc_id": [base_max + 1 + i for i in range(len(UNICODE_DOCS))],
+            "text": [t for _, t in UNICODE_DOCS],
+            "lang": [lang for lang, _ in UNICODE_DOCS],
+            "source": ["unicode"] * len(UNICODE_DOCS),
+            "n_chars": [len(t) for _, t in UNICODE_DOCS],
+        }
+    )
+    con.register("unicode_extra", extra)
+    for t in TABLES:
+        if t == "documents":
+            con.execute(
+                f"""COPY (
+                  SELECT * FROM read_parquet('{SRC}/documents.parquet')
+                  UNION ALL BY NAME
+                  SELECT doc_id, text, lang, source,
+                         CAST(n_chars AS BIGINT) AS n_chars
+                  FROM unicode_extra
+                ) TO '{d}/documents.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))"
+                f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    return d
+
+
 def norm(p):
     p = p[sorted(p.columns)]
     return p.astype(str).sort_values(by=list(p.columns)).reset_index(drop=True)
@@ -176,11 +258,16 @@ def main() -> int:
         i = argv.index("--longdoc")
         longdoc = int(argv[i + 1])
         del argv[i : i + 2]
+    unicode_sweep = "--unicode" in argv
+    if unicode_sweep:
+        argv.remove("--unicode")
     only = argv[0] if argv else None
     spark = get_spark(app_name="empty-audit", shuffle_partitions="8")
     qs, os_ = m.queries(), m.oracle_sql()
     con = duckdb.connect()
-    if longdoc:
+    if unicode_sweep:
+        d = build_unicode_dir(con)
+    elif longdoc:
         d = build_longdoc_dir(con, longdoc)
     elif clones:
         d = build_clone_dir(con, clones)

@@ -205,3 +205,46 @@ def test_identical_corpus_former_red(name, spark, clone_dir):
     if len(s) == 0 and len(o) == 0:
         return
     assert_frames_match(s, o)
+
+
+# Unicode-semantics pin: the queries whose results depend most directly
+# on lower()/regex/length behavior, run over the adversarial
+# multilingual corpus (CJK no-space, ZWJ emoji, astral-plane case maps,
+# NFC-vs-NFD twins, Turkish İ, final sigma, Cherokee, RTL, zalgo —
+# scripts_empty_audit.UNICODE_DOCS).  The round-6 full-registry sweep
+# (scripts_empty_audit.py --unicode) found ZERO divergences — the fold
+# contract and byte-level md5 discipline hold; this subset keeps the
+# class from regressing in the fast suite.
+UNICODE_SENSITIVE = [
+    "q_text_tokens",
+    "q_text_normalize",
+    "q_text_langid",
+    "q_text_ccnet_buckets",
+    "q_text_chunk",
+    "q_text_pii_scrub",
+    "q_dedup_ngram",
+    "q_text_winnow",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_dir():
+    from scripts_empty_audit import build_unicode_dir
+
+    con = duckdb.connect()
+    d = build_unicode_dir(con)
+    yield d, con
+    con.close()
+
+
+@pytest.mark.parametrize("name", UNICODE_SENSITIVE)
+def test_unicode_corpus_parity(name, spark, unicode_dir):
+    """Adversarial multilingual text must neither abort nor diverge:
+    JVM (UTF-16) and DuckDB (utf8proc) agree value-exactly."""
+    import __spark_entry__ as m
+
+    d, con = unicode_dir
+    qs, os_ = m.queries(), m.oracle_sql()
+    s = qs[name](spark, d).toPandas()
+    o = con.execute(os_[name]).fetchdf()
+    assert_frames_match(s, o)
