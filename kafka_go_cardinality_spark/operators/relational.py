@@ -677,3 +677,88 @@ def resample_ffill_two_level(events: DataFrame) -> DataFrame:
             ).alias("value_ffill"),
         )
     )
+
+
+# EWMA smoothing: alpha = EWMA_NUM/EWMA_DEN in integer micro-units; a
+# day's count is anomalous when it deviates from the forecast (the EWMA
+# of all PRIOR days) by more than EWMA_DEV_PCT percent.
+EWMA_NUM = 1
+EWMA_DEN = 8
+EWMA_SCALE = 1_000_000
+EWMA_DEV_PCT = 50
+
+
+def ewma_anomaly(
+    events: DataFrame,
+    num: int = EWMA_NUM,
+    den: int = EWMA_DEN,
+    dev_pct: int = EWMA_DEV_PCT,
+) -> DataFrame:
+    """[E28+] EWMA forecast + deviation anomaly over per-type daily event
+    counts — the classic monitoring recurrence (em' = α·x + (1−α)·em)
+    that windowed aggregates cannot express because each step depends on
+    the previous step's OUTPUT.
+
+    Exactness: the recurrence runs in integer micro-units with
+    α = num/den — ``em' = (n·10⁶·num + em·(den−num)) div den`` — so
+    every step is exact integer arithmetic, identical on any engine and
+    at any parallelism (both engines' integer division agrees on the
+    non-negative operands counts produce; the DuckDB twin replays the
+    identical recurrence as a recursive CTE).  The first day seeds
+    ``em = n·10⁶`` and is never anomalous.
+
+    Scale shape: one (type, day) count shuffle with map-side combine,
+    then one shuffle on type collapses each series to a single row
+    whose payload is that type's DAY-GRAIN history — bounded by the
+    retention window (a decade of days ≈ 3.7k structs), model-sized
+    per key, never event-proportional.  The fold itself is one linear
+    in-row ``aggregate``; the explode back out is output-proportional.
+    """
+    daily = (
+        events.filter(
+            F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+        )
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("long").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "n"))).alias("s")
+    )
+    out_t = (
+        "array<struct<day:bigint,n:bigint,forecast_micro:bigint,"
+        "is_anomaly:int>>"
+    )
+    fold = f"""
+    aggregate(
+      s,
+      struct(CAST(-1 AS BIGINT) AS em, CAST(array() AS {out_t}) AS out),
+      (acc, x) -> struct(
+        CAST(CASE WHEN acc.em < 0 THEN x.n * {EWMA_SCALE}
+             ELSE (x.n * {EWMA_SCALE} * {num} + acc.em * {den - num})
+                  div {den} END AS BIGINT) AS em,
+        array_append(acc.out, struct(
+          x.day AS day,
+          CAST(x.n AS BIGINT) AS n,
+          CAST(CASE WHEN acc.em < 0 THEN x.n * {EWMA_SCALE}
+               ELSE acc.em END AS BIGINT) AS forecast_micro,
+          CAST(CASE WHEN abs(x.n * {EWMA_SCALE}
+                             - CASE WHEN acc.em < 0 THEN x.n * {EWMA_SCALE}
+                                    ELSE acc.em END) * 100
+                    > CASE WHEN acc.em < 0 THEN x.n * {EWMA_SCALE}
+                           ELSE acc.em END * {dev_pct}
+               THEN 1 ELSE 0 END AS INT) AS is_anomaly)) AS out),
+      acc -> acc.out)
+    """
+    return (
+        series.select("event_type", F.explode(F.expr(fold)).alias("r"))
+        .select(
+            "event_type",
+            F.col("r.day").alias("day"),
+            F.col("r.n").alias("n"),
+            F.col("r.forecast_micro").alias("forecast_micro"),
+            F.col("r.is_anomaly").alias("is_anomaly"),
+        )
+    )

@@ -987,3 +987,65 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("target"))
         .select("doc_id", "lang")
     )
+
+
+# ------------------------------------------------ round-6 E28 addition
+
+from kafka_go_cardinality_spark.operators.relational import (  # noqa: E402
+    EWMA_DEN,
+    EWMA_DEV_PCT,
+    EWMA_NUM,
+    EWMA_SCALE,
+    ewma_anomaly,
+)
+
+
+def _ewma_oracle() -> str:
+    """DuckDB twin of operators/relational.ewma_anomaly: the identical
+    integer recurrence replayed as a recursive CTE over the per-type
+    day sequence.  Both engines' integer division agrees on the
+    non-negative operands daily counts produce (Spark `div` truncates,
+    DuckDB `//` floors — identical for ≥ 0)."""
+    s, num, den, pct = EWMA_SCALE, EWMA_NUM, EWMA_DEN, EWMA_DEV_PCT
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+             count(*) AS n
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, day, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily),
+    r AS (
+      SELECT event_type, rn, day, n,
+             CAST(n * {s} AS BIGINT) AS forecast,
+             CAST(n * {s} AS BIGINT) AS em
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT q.event_type, q.rn, q.day, q.n,
+             r.em AS forecast,
+             CAST((q.n * {s} * {num} + r.em * {den - num}) // {den}
+                  AS BIGINT) AS em
+      FROM r JOIN seq q
+        ON q.event_type = r.event_type AND q.rn = r.rn + 1)
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           forecast AS forecast_micro,
+           CAST(CASE WHEN abs(n * {s} - forecast) * 100 > forecast * {pct}
+                THEN 1 ELSE 0 END AS INT) AS is_anomaly
+    FROM r
+    """
+
+
+@query("q_ts_ewma", _ewma_oracle())
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E28+] EWMA forecast + deviation anomaly over per-type daily
+    event counts: the monitoring recurrence em' = alpha*x + (1-alpha)*em
+    in exact integer micro-units (alpha = 1/8), run as a linear in-row
+    fold over each type's day-grain history — one (type, day) count
+    shuffle plus one type shuffle, per-key state bounded by the
+    retention window (operators/relational.ewma_anomaly).  The oracle
+    replays the identical recurrence as a recursive CTE."""
+    return ewma_anomaly(_t(spark, sf_dir, "events"))

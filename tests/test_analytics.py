@@ -1028,3 +1028,43 @@ def test_hard_negatives_labels_always_differ(spark, sf_dir):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q_id, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q_id
+
+
+def test_ewma_recurrence_hand_computed(spark):
+    """A crafted one-type series: steady 80/day, then a 200 spike, then
+    back — the spike must flag against the pre-spike forecast, the
+    recovery day must flag against the spike-inflated forecast only if
+    it deviates >50%, and every forecast must equal the hand-run
+    integer recurrence em' = (n*1e6 + 7*em) div 8."""
+    from kafka_go_cardinality_spark.operators.relational import ewma_anomaly
+
+    days = [80, 80, 80, 200, 80, 80]
+    rows = []
+    eid = 0
+    for d, n in enumerate(days):
+        for i in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + d, 0, 0, i % 60), "t")
+            )
+            eid += 1
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    got = {
+        r["day"]: (r["n"], r["forecast_micro"], r["is_anomaly"])
+        for r in ewma_anomaly(ev).collect()
+    }
+    # Hand-run the recurrence.
+    em = None
+    expect = {}
+    for d, n in enumerate(days):
+        day = int(dt.datetime(2024, 1, 1 + d, tzinfo=dt.timezone.utc).timestamp())
+        forecast = n * 1_000_000 if em is None else em
+        flag = int(abs(n * 1_000_000 - forecast) * 100 > forecast * 50)
+        em = (
+            n * 1_000_000
+            if em is None
+            else (n * 1_000_000 + 7 * em) // 8
+        )
+        expect[day] = (n, forecast, flag)
+    assert got == expect
+    flags = [v[2] for _, v in sorted(got.items())]
+    assert flags == [0, 0, 0, 1, 0, 0]  # only the spike flags at 50%
