@@ -976,3 +976,13 @@ def test_hard_negatives_broadcasts_query_side(spark, sf_dir):
     df = q("q_sim_hard_negatives", spark, sf_dir)
     assert_broadcast_join(df)
     assert count_exchanges(df) == 1, exchange_blocks(df)
+
+
+def test_session_codegen_cache_sized_to_surface(spark):
+    """The generated-class cache must stay sized above the query surface
+    (session.py sets 4000; Spark's default 100 evicts every compiled
+    stage before reuse on a ~200-plan sweep — measured as multi-second
+    pass-to-pass bench swings in round 6)."""
+    assert (
+        int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 2000
+    )
