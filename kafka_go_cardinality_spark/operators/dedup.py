@@ -738,3 +738,58 @@ def minhash_incremental(
             (F.coalesce("n_matches", F.lit(0)) > 0).cast("int").alias("is_dup"),
         )
     )
+
+
+# Leakage-safe split percentages: hash buckets 0..SPLIT_TEST_PCT-1 are
+# test, the next SPLIT_VAL_PCT are validation, the rest train.
+SPLIT_TEST_PCT = 10
+SPLIT_VAL_PCT = 10
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    test_pct: int = SPLIT_TEST_PCT,
+    val_pct: int = SPLIT_VAL_PCT,
+) -> DataFrame:
+    """Dedup-aware train/val/test assignment: split by NEAR-DUP CLUSTER,
+    not by document, so two near-duplicates can never land in different
+    splits — the eval-contamination guard (a test doc whose near-twin
+    sits in train silently inflates benchmarks, the same failure mode
+    benchmark decontamination chases ACROSS corpora, here applied to
+    one corpus's own split).
+
+    Every document's split is a pure md5 function of its cluster
+    REPRESENTATIVE (the component's smallest doc_id; singleton docs
+    represent themselves), so membership is stable across runs,
+    engines, and repartitioning, and adding a near-dup of an existing
+    doc can never move the original between splits.  NULL-id docs hash
+    NULL and fall to 'train' on both engines — the defined poison
+    contract.
+
+    Scale shape: the pair list and clustering reuse the dedup family's
+    plans (source-blocked bucket pair enumeration, O(log diameter)
+    pointer-jump CC); the representative attach is one left join
+    against the cluster table (pair-participants only — tiny vs the
+    corpus), and the hash split is a zero-shuffle map."""
+    docs = with_near_dupes(documents)
+    clusters = connected_components(ngram_jaccard_pairs(docs))
+    rep = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_rep"),
+        )
+    )
+    h = (
+        hash64(F.col("cluster_rep").cast("string"), salt="split")
+        % 100
+    )
+    return rep.select(
+        "doc_id",
+        "cluster_rep",
+        F.when(h < test_pct, F.lit("test"))
+        .when(h < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -1727,3 +1727,50 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference algorithm are pinned in tests/test_analytics.py against a
     hand-computed corpus (operators/text.bpe_merges)."""
     return tx.bpe_merges(_docs(spark, sf_dir))
+
+
+def _leakage_split_oracle(
+    test_pct: int = dd.SPLIT_TEST_PCT, val_pct: int = dd.SPLIT_VAL_PCT
+) -> str:
+    """DuckDB twin of operators/dedup.leakage_safe_split: the
+    q_dedup_cluster transitive closure for the representative, then the
+    identical md5 bucket split of the representative id."""
+    h = hash64_sql("CAST(cluster_rep AS VARCHAR)", "split")
+    return f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ngram_pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM ngram_pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    rep AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_rep
+      FROM corpus d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, cluster_rep,
+           CASE WHEN ({h}) % 100 < {test_pct} THEN 'test'
+                WHEN ({h}) % 100 < {test_pct + val_pct} THEN 'val'
+                ELSE 'train' END AS split
+    FROM rep
+    """
+
+
+@query("q_split_leakage", _leakage_split_oracle())
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E26+] Dedup-aware train/val/test split: assignment is an md5
+    function of each document's near-dup CLUSTER representative (the
+    component's smallest doc_id), so near-duplicates can never straddle
+    splits — the eval-contamination guard every pretraining corpus
+    split needs.  Reuses the dedup family's pair and pointer-jump CC
+    plans; the split itself is a zero-shuffle map
+    (operators/dedup.leakage_safe_split)."""
+    return dd.leakage_safe_split(_docs(spark, sf_dir))

@@ -1068,3 +1068,25 @@ def test_ewma_recurrence_hand_computed(spark):
     assert got == expect
     flags = [v[2] for _, v in sorted(got.items())]
     assert flags == [0, 0, 0, 1, 0, 0]  # only the spike flags at 50%
+
+
+def test_leakage_split_never_separates_near_dupes(spark, sf_dir):
+    """THE guarantee of the dedup-aware split: for every near-dup pair,
+    both docs carry the same split AND the same cluster representative
+    — a test doc can never have a near-twin in train.  Also checks
+    every doc is assigned and splits cover train/val/test buckets
+    deterministically."""
+    from kafka_go_cardinality_spark.operators import dedup as dd
+    from kafka_go_cardinality_spark.sources import load_table
+
+    docs = dd.with_near_dupes(load_table(spark, sf_dir, "documents"))
+    split = {
+        r["doc_id"]: (r["cluster_rep"], r["split"])
+        for r in QUERIES["q_split_leakage"](spark, sf_dir).collect()
+    }
+    pairs = dd.ngram_jaccard_pairs(docs).collect()
+    assert pairs, "fixture must contain planted near-dup pairs"
+    for p in pairs:
+        assert split[p["doc_a"]] == split[p["doc_b"]], (
+            p["doc_a"], p["doc_b"])
+    assert len(split) == docs.count()
