@@ -17,6 +17,8 @@ serialization point worth finding.
 Usage:
     python3 scripts_scale_probe.py                       # default query set, 32x
     python3 scripts_scale_probe.py --factor 8 q_text_bm25
+    python3 scripts_scale_probe.py --events              # event-table operators,
+                                                         # 32x distinct-user growth
 """
 
 from __future__ import annotations
@@ -67,6 +69,43 @@ def build_scaled_dir(factor: int) -> str:
     return d
 
 
+# Event-table operators probed by the --events variant: replicas offset
+# user_id/event_id (distinct-user growth — worst case for cardinality
+# state) while keeping ts, so the time axis stays fixed and growth is
+# purely in key/row volume.
+EVENTS_QUERIES = [
+    "q_ts_ewma",
+    "q_bloom_membership",
+    "q_sessionize_batch",
+    "q_funnel",
+    "q_markov_transitions",
+    "q_card_day_exact_salted",
+    "q_skew_profile",
+]
+
+
+def build_scaled_events_dir(factor: int) -> str:
+    con = duckdb.connect()
+    d = tempfile.mkdtemp(prefix=f"scale_ev{factor}_")
+    n_ev = con.execute(
+        f"SELECT max(event_id) + 1 FROM read_parquet('{SRC}/events.parquet')"
+    ).fetchone()[0]
+    con.execute(
+        f"""COPY (
+            SELECT event_id + g.i * {n_ev} AS event_id,
+                   ts,
+                   user_id + g.i * 10000000 AS user_id,
+                   event_type, value, props
+            FROM read_parquet('{SRC}/events.parquet')
+            CROSS JOIN range({factor}) g(i)
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)"""
+    )
+    for t in TABLES:
+        if t != "events":
+            shutil.copyfile(f"{SRC}/{t}.parquet", f"{d}/{t}.parquet")
+    return d
+
+
 def main() -> int:
     from kafka_go_cardinality_spark.session import get_spark
 
@@ -78,11 +117,18 @@ def main() -> int:
         i = argv.index("--factor")
         factor = int(argv[i + 1])
         del argv[i : i + 2]
-    names = argv or DEFAULT_QUERIES
+    events_mode = "--events" in argv
+    if events_mode:
+        argv.remove("--events")
+    names = argv or (EVENTS_QUERIES if events_mode else DEFAULT_QUERIES)
 
     spark = get_spark(app_name="scale-probe")
     qs = m.queries()
-    scaled = build_scaled_dir(factor)
+    scaled = (
+        build_scaled_events_dir(factor)
+        if events_mode
+        else build_scaled_dir(factor)
+    )
 
     print(f"query,base_s,x{factor}_s,ratio")
     for name in names:
