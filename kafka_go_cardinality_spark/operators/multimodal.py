@@ -257,3 +257,87 @@ def shard_manifest_oracle_sql(shard_bytes: int = SHARD_BYTES) -> str:
            CAST(start % {shard_bytes} AS BIGINT) AS shard_offset
     FROM c
     """
+
+
+# Caption-alignment scoring: feature-hashing text encoder dimension and
+# keep threshold for the CLIP-style image-text curation filter.
+CLIP_DIM = 64
+CLIP_KEEP_THRESHOLD = 0.0
+
+
+def caption_alignment(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    dim: int = CLIP_DIM,
+    threshold: float = CLIP_KEEP_THRESHOLD,
+) -> DataFrame:
+    """CLIP-style caption-image alignment filtering — the LAION curation
+    step: score how well each document's TEXT agrees with its IMAGE
+    embedding and keep aligned pairs.  A real deployment embeds text
+    with a learned encoder; this engine's deterministic stand-in is the
+    classic FEATURE-HASHING text encoder (the hash_classifier pattern
+    lifted to vectors): every token hashes to one of ``dim`` signed
+    buckets, the document's text vector is the signed bucket-count
+    vector, and alignment = cosine(text vector, image embedding).
+    Every number is an exact function of the data — fully
+    oracle-checkable, unlike any learned encoder.
+
+    Scale shape: token→(bucket, sign) is a zero-lookup map pass (two
+    md5s per token); one (doc, bucket) shuffle with map-side combine
+    collapses to ≤``dim`` rows per doc; the dense vector assembles
+    in-row from that map; ONE equi join attaches the image embedding
+    (both sides doc-keyed — co-partitionable at 100 TB).  Docs with no
+    tokens or no image embedding drop out of the inner join on both
+    engines; non-finite embeddings are excluded at ingress
+    (vec_finite) and zero-norm text vectors score exactly 0.0 (the
+    cosine degenerate-pair contract)."""
+    from kafka_go_cardinality_spark.functions import (
+        as_double,
+        cosine,
+        hash64,
+        tokens,
+        vec_finite,
+    )
+
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    buckets = tok.select(
+        "doc_id",
+        F.pmod(hash64(F.col("t"), "clipdim"), F.lit(dim)).alias("b"),
+        (F.pmod(hash64(F.col("t"), "clipsign"), F.lit(2)) * 2 - 1).alias(
+            "s"
+        ),
+    )
+    sparse = (
+        buckets.groupBy("doc_id", "b")
+        .agg(F.sum("s").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("b"), F.collect_list("v")
+            ).alias("m")
+        )
+    )
+    tvec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.coalesce(
+            F.element_at(F.col("m"), d), F.lit(0).cast("long")
+        ).cast("double"),
+    )
+    img = embeddings.filter(vec_finite(F.col("embedding"))).select(
+        F.col("vec_id").alias("doc_id"),
+        as_double(F.col("embedding")).alias("iv"),
+    )
+    return (
+        sparse.join(img, "doc_id")
+        .select(
+            "doc_id",
+            F.round(cosine(tvec, F.col("iv")), 6).alias("align_score"),
+        )
+        .select(
+            "doc_id",
+            "align_score",
+            (F.col("align_score") > threshold).cast("int").alias("keep"),
+        )
+    )

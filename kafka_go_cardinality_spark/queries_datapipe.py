@@ -1774,3 +1774,59 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans; the split itself is a zero-shuffle map
     (operators/dedup.leakage_safe_split)."""
     return dd.leakage_safe_split(_docs(spark, sf_dir))
+
+
+def _caption_align_oracle(
+    dim: int = mm.CLIP_DIM, threshold: float = mm.CLIP_KEEP_THRESHOLD
+) -> str:
+    """DuckDB twin of operators/multimodal.caption_alignment: identical
+    feature-hashing text encoder (two md5s per token), dense-vector
+    assembly per doc, and the shared sequential-double cosine."""
+    hb = hash64_sql("t", "clipdim")
+    hs = hash64_sql("t", "clipsign")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS t FROM documents),
+    bs AS (
+      SELECT doc_id,
+             CAST(({hb}) % {dim} AS INT) AS b,
+             CAST((({hs}) % 2) * 2 - 1 AS BIGINT) AS s
+      FROM tok),
+    agg AS (
+      SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v
+      FROM bs GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_id, list(struct_pack(b := b, v := v)) AS ps
+      FROM agg GROUP BY 1),
+    tv AS (
+      SELECT doc_id,
+             list_transform(range(0, {dim}), d -> CAST(coalesce(
+               list_sum(list_transform(ps,
+                 p -> CASE WHEN p.b = d THEN p.v ELSE 0 END)), 0)
+               AS DOUBLE)) AS tvec
+      FROM pairs),
+    img AS (
+      SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS iv
+      FROM embeddings WHERE {vec_finite_sql('embedding')}),
+    scored AS (
+      SELECT tv.doc_id, round({_cos_sql('tv.tvec', 'img.iv')}, 6)
+               AS align_score
+      FROM tv JOIN img ON tv.doc_id = img.doc_id)
+    SELECT doc_id, align_score,
+           CAST(CASE WHEN align_score > {threshold!r} THEN 1 ELSE 0 END
+                AS INT) AS keep
+    FROM scored
+    """
+
+
+@query("q_mm_caption_align", _caption_align_oracle())
+def q_mm_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E23+] CLIP-style caption-image alignment filter (the LAION
+    curation step): deterministic feature-hashing text encoder (signed
+    md5 buckets, exact integers) vs the image embedding, cosine scored
+    and thresholded — one (doc, bucket) shuffle with map-side combine,
+    in-row dense-vector assembly, one doc-keyed equi join
+    (operators/multimodal.caption_alignment)."""
+    return mm.caption_alignment(
+        _docs(spark, sf_dir), _emb(spark, sf_dir)
+    )

