@@ -436,3 +436,81 @@ def test_seq_pack_matches_python_model_on_adversarial_corpus(spark):
         }
         want = _pack_model(model_docs, seq_len)
         assert got == want, (seq_len, n_buckets, got, want)
+
+
+# ---------------------------------------------------- round-6 operators
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=500), min_size=1, max_size=12
+    )
+)
+@settings(**_SETTINGS)
+def test_ewma_matches_python_model(spark, counts):
+    """For ANY daily count series, the in-row fold's forecasts equal the
+    hand-run integer recurrence em' = (n*1e6 + 7*em) div 8 and the
+    anomaly flag equals the 50%-deviation rule — the generalization of
+    the fixed spike/recovery test."""
+    from kafka_go_cardinality_spark.operators.relational import ewma_anomaly
+
+    rows = []
+    eid = 0
+    for d, n in enumerate(counts):
+        for i in range(n):
+            rows.append(
+                (eid, _T0 + dt.timedelta(days=d, seconds=i % 3600), "t")
+            )
+            eid += 1
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    got = {
+        r["day"]: (r["n"], r["forecast_micro"], r["is_anomaly"])
+        for r in ewma_anomaly(ev).collect()
+    }
+    em = None
+    expect = {}
+    for d, n in enumerate(counts):
+        day = int(
+            (_T0 + dt.timedelta(days=d))
+            .replace(tzinfo=dt.timezone.utc)
+            .timestamp()
+        )
+        forecast = n * 1_000_000 if em is None else em
+        flag = int(abs(n * 1_000_000 - forecast) * 100 > forecast * 50)
+        em = (
+            n * 1_000_000 if em is None else (n * 1_000_000 + 7 * em) // 8
+        )
+        expect[day] = (n, forecast, flag)
+    assert got == expect
+
+
+@given(
+    words=st.dictionaries(
+        st.text(
+            alphabet=st.sampled_from("abcdef"), min_size=1, max_size=6
+        ),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=8,
+    ),
+    n_merges=st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_bpe_matches_reference_on_random_vocab(spark, words, n_merges):
+    """For ANY word-frequency table, the operator's merge sequence equals
+    the independent Sennrich reference implementation — order, pair
+    counts, and tie-breaks (generalizes the fixed-corpus test)."""
+    from kafka_go_cardinality_spark.operators.text import bpe_merges
+    from tests.test_analytics import _bpe_reference
+
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * c)) for i, (w, c) in enumerate(words.items())],
+        ["doc_id", "text"],
+    )
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"], r["merged"])
+        for r in bpe_merges(docs, top_words=16, n_merges=n_merges)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _bpe_reference(words, n_merges)
