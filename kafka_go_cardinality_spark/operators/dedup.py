@@ -770,8 +770,13 @@ def leakage_safe_split(
     plans (source-blocked bucket pair enumeration, O(log diameter)
     pointer-jump CC); the representative attach is one left join
     against the cluster table (pair-participants only — tiny vs the
-    corpus), and the hash split is a zero-shuffle map."""
-    docs = with_near_dupes(documents)
+    corpus), and the hash split is a zero-shuffle map.
+
+    Splits EXACTLY the corpus passed in — fixture planting
+    (with_near_dupes) lives at the query layer (q_split_leakage),
+    matching the q_dedup_* convention, so a direct consumer splitting a
+    real corpus never receives phantom mutant doc_ids."""
+    docs = documents
     clusters = connected_components(ngram_jaccard_pairs(docs))
     rep = (
         docs.select("doc_id")

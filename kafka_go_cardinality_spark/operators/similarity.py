@@ -7,9 +7,11 @@ Absent from the reference (single scalar uid key only,
 Two paths:
 
 - ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
-  set against the full corpus, per-pair double-fold cosine, grouped top-k
-  via row_number.  This is the baseline and the oracle-checkable path.
-  At 100 TB the corpus side stays partitioned; only queries broadcast.
+  set against the full corpus, per-pair double-fold cosine, salted
+  two-level grouped top-k (_grouped_topk — no reducer ever sorts a
+  corpus-proportional frame).  This is the baseline and the
+  oracle-checkable path.  At 100 TB the corpus side stays partitioned;
+  only queries broadcast.
 - ``ann_lsh_topk`` — sign-random-projection LSH: H deterministic
   hyperplanes (md5-seeded, no RNG), bucket on the H-bit sketch, search
   only within the bucket.  Approximate (recall < 1), rows-only check;
@@ -46,6 +48,55 @@ from kafka_go_cardinality_spark.functions import (
 ANN_PLANES = 12  # 12-bit sign sketch
 ANN_BANDS = 3  # banded at 3x4 bits: candidates share ANY band
 ANN_BAND_BITS = ANN_PLANES // ANN_BANDS
+
+# Salt fan-out for the two-level grouped top-k (see _grouped_topk).  At
+# 1000 executors raise this toward the cluster's core count; 32 matches
+# the local[32] test harness and already bounds every reducer frame.
+TOPK_SALTS = 32
+
+
+def _grouped_topk(scored: DataFrame, k: int, tie_col: str = "neighbor_id") -> DataFrame:
+    """Two-level (salted) grouped top-k over a scored (query_id, ...,
+    cos) frame — the scale-safe replacement for a single
+    ``Window.partitionBy("query_id")`` row_number.
+
+    A plain grouped window hash-partitions the FULL scored frame into
+    ``n_queries`` reducer tasks regardless of cluster size; with a
+    model-sized query set each reducer sorts a corpus-proportional frame
+    and that one exchange is the whole wall-clock at 100× data.  Here
+    level 1 partitions by ``(query_id, pmod(hash(tie_col), TOPK_SALTS))``
+    — TOPK_SALTS× the parallelism, each group sorting ~1/TOPK_SALTS of a
+    query's candidates — and keeps its top-k, so level 2 ranks at most
+    ``TOPK_SALTS * k`` survivors per query: a model-sized frame no
+    matter the corpus.
+
+    Exactness: ordering is total (``cos`` desc, ``tie_col`` asc), and a
+    row ranked ≤ k globally is ranked ≤ k inside ANY subset containing
+    it — in particular its salt group — so every true top-k row survives
+    level 1, and level-2 ``row_number`` over that superset assigns the
+    identical ranks.  Oracle hashes are unchanged (verified: the DuckDB
+    twins keep the plain one-window formulation).
+
+    All non-window columns ride through untouched; output adds ``rank``
+    (1-based, ≤ k) exactly as the single-window version did.
+    """
+    salted = scored.withColumn(
+        "_salt", F.pmod(F.hash(F.col(tie_col)), F.lit(TOPK_SALTS))
+    )
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(
+        F.col("cos").desc(), F.col(tie_col)
+    )
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col(tie_col)
+    )
+    return survivors.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
 
 
 def _dedup_rows_by_id(rows, vec_field: str) -> list:
@@ -101,15 +152,8 @@ def cosine_topk(
             dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
         ).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
-        )
+    return _grouped_topk(scored, k).select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
     )
 
 
@@ -150,20 +194,13 @@ def hard_negatives(
             dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
         ).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("q_label").cast("int").alias("q_label"),
-            "neighbor_id",
-            F.col("n_label").cast("int").alias("n_label"),
-            F.round("cos", 6).alias("cos"),
-            "rank",
-        )
+    return _grouped_topk(scored, k).select(
+        "query_id",
+        F.col("q_label").cast("int").alias("q_label"),
+        "neighbor_id",
+        F.col("n_label").cast("int").alias("n_label"),
+        F.round("cos", 6).alias("cos"),
+        "rank",
     )
 
 
@@ -289,13 +326,8 @@ def ann_lsh_topk(
             dot(F.col("qv"), F.col("v")), F.col("qn"), F.col("nrm")
         ).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    return _grouped_topk(scored, k).select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
     )
 
 
@@ -442,13 +474,8 @@ def ivf_topk(
             dot(F.col("qv"), F.col("v")), F.col("qn"), F.col("nrm")
         ).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    return _grouped_topk(scored, k).select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
     )
 
 
@@ -1156,8 +1183,9 @@ def knn_classify(
 
     Scale shape: the PROBE set broadcasts (it is deliberately a few
     percent — an eval set, not a second corpus), the training corpus
-    stays partitioned, ranking is one hash shuffle on probe id and the
-    vote/argmax runs on the k·|probes|-bounded frame.  For bulk
+    stays partitioned, ranking is the salted two-level top-k
+    (_grouped_topk: no reducer ever sorts a train-proportional frame)
+    and the vote/argmax runs on the k·|probes|-bounded frame.  For bulk
     labeling (probes ≈ corpus) the broadcast flips to the IVF/LSH
     bucketed candidate plans (ann_lsh_topk / ivf_topk) with this same
     vote tail."""
@@ -1199,12 +1227,7 @@ def knn_classify(
             ).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    kn = scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= k
-    )
+    kn = _grouped_topk(scored, k)
     votes = kn.groupBy("query_id", "true_label", "n_label").agg(
         F.count(F.lit(1)).alias("c")
     )

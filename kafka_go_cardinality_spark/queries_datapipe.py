@@ -1772,8 +1772,10 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits — the eval-contamination guard every pretraining corpus
     split needs.  Reuses the dedup family's pair and pointer-jump CC
     plans; the split itself is a zero-shuffle map
-    (operators/dedup.leakage_safe_split)."""
-    return dd.leakage_safe_split(_docs(spark, sf_dir))
+    (operators/dedup.leakage_safe_split).  Mutant planting happens HERE
+    (q_dedup_* convention) — the operator splits exactly what it is
+    given."""
+    return dd.leakage_safe_split(dd.with_near_dupes(_docs(spark, sf_dir)))
 
 
 def _caption_align_oracle(

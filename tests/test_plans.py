@@ -967,15 +967,63 @@ def test_curriculum_never_single_partition_sorts_corpus(spark, sf_dir):
 
 def test_hard_negatives_broadcasts_query_side(spark, sf_dir):
     """The mining join must broadcast the model-sized query set against
-    the partitioned corpus (cosine_topk's shape): one hash exchange —
-    the per-query top-k window — and no shuffle of corpus vectors."""
+    the partitioned corpus (cosine_topk's shape): two hash exchanges —
+    the salted level-1 top-k window and the survivor-ranking level-2
+    window — and no shuffle of corpus vectors."""
     from kafka_go_cardinality_spark.plans.inspect import (
         assert_broadcast_join,
     )
 
     df = q("q_sim_hard_negatives", spark, sf_dir)
     assert_broadcast_join(df)
-    assert count_exchanges(df) == 1, exchange_blocks(df)
+    assert count_exchanges(df) == 2, exchange_blocks(df)
+
+
+def _window_partition_specs(df):
+    """(partition_spec, line_index) for every Window node in the simple
+    plan.  A simple-mode Window line is ``Window [exprs], [partition
+    spec], [order spec]`` — the middle bracket group is the partition
+    spec (rsplit from the right dodges the commas/brackets inside the
+    window expressions)."""
+    specs = []
+    for i, line in enumerate(plan_string(df, mode="simple").splitlines()):
+        stripped = line.strip().lstrip("+-: ").strip()
+        if not stripped.startswith("Window ["):
+            continue
+        parts = line.rstrip().rstrip("]").rsplit("], [", 2)
+        assert len(parts) == 3, f"unparseable Window line: {line}"
+        specs.append((parts[1], i))
+    return specs
+
+
+def test_retrieval_topk_windows_are_salted_two_level(spark, sf_dir):
+    """THE 100 TB shape of the retrieval family (r6 verdict item 1): no
+    window whose partition count is bounded by ``n_queries`` may sort a
+    corpus-proportional frame.  Pin: every Window partitioned by
+    query_id ALONE must sit downstream of the salted level-1 Window
+    (partition key includes ``_salt``) whose ≤k filter bounds its input
+    to TOPK_SALTS·k survivors per query.  Spark prints a plan root-first,
+    so downstream == an earlier line on these linear spines."""
+    for name in (
+        "q_sim_cosine_topk",
+        "q_sim_hard_negatives",
+        "q_sim_knn_classify",
+        "q_sim_ann_lsh",
+        "q_sim_ann_ivf",
+    ):
+        specs = _window_partition_specs(QUERIES[name](spark, sf_dir))
+        salted = [i for s, i in specs if "_salt" in s]
+        assert salted, f"{name}: no salted level-1 top-k window in plan"
+        first_salted = min(salted)
+        for s, i in specs:
+            if "_salt" in s or "query_id" not in s:
+                continue
+            assert i < first_salted, (
+                f"{name}: Window partitioned by [{s}] (line {i}) is NOT "
+                f"downstream of the salted level-1 window (line "
+                f"{first_salted}) — a reducer may sort a "
+                f"corpus-proportional frame"
+            )
 
 
 def test_session_codegen_cache_sized_to_surface(spark):
