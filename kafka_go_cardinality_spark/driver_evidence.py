@@ -75,6 +75,23 @@ def stale_red_names(root: str = _REPO_ROOT) -> frozenset[str]:
     return frozenset(n for n, r in latest_rows(root).items() if not is_green(r))
 
 
+def evidence_age(root: str = _REPO_ROOT) -> dict[str, int]:
+    """name -> 0-based index of the ROUND that produced its latest row.
+
+    The registry fronts the proven block by ascending age index (oldest
+    evidence first), so each driver sweep re-proves the queries whose
+    green rows are most stale — e.g. the relational core's r2 rows after
+    four rounds of engine rewrites underneath them.  Self-maintaining:
+    a sweep refreshes the head's rows, making them the NEWEST evidence,
+    so the next round a different slice rises to the head."""
+    age: dict[str, int] = {}
+    for i, data in enumerate(_parsed_rounds(root)):
+        for name, row in data.items():
+            if isinstance(row, dict):
+                age[name] = i
+    return age
+
+
 def round_index(root: str = _REPO_ROOT) -> int:
     """Rounds of driver evidence seen so far — the rotation phase for the
     periodic re-check of proven queries (queries.py uses this to shift the

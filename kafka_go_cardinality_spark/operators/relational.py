@@ -707,6 +707,17 @@ def ewma_anomaly(
     identical recurrence as a recursive CTE).  The first day seeds
     ``em = n·10⁶`` and is never anomalous.
 
+    The anomaly test is ``|n·10⁶ − forecast| > (forecast div 100) ·
+    dev_pct`` — the div-by-100-first form (mirrored in the oracle) so
+    the comparison never multiplies a deviation by 100: the naive
+    ``dev·100 > forecast·pct`` form overflows BIGINT once a daily
+    deviation exceeds ~9.2e16 micro-units (counts ≳9.2e10/day/type —
+    plausible at 100 TB).  Flooring forecast/100 first shifts the
+    threshold by < dev_pct micro-units (< 10⁻⁴ of one event) — both
+    engines shift identically.  Remaining bound: ``n·10⁶`` itself
+    overflows at n ≳ 9.2e12 events/day/type; beyond that, lower
+    EWMA_SCALE.
+
     Scale shape: one (type, day) count shuffle with map-side combine,
     then one shuffle on type collapses each series to a single row
     whose payload is that type's DAY-GRAIN history — bounded by the
@@ -746,9 +757,9 @@ def ewma_anomaly(
                ELSE acc.em END AS BIGINT) AS forecast_micro,
           CAST(CASE WHEN abs(x.n * {EWMA_SCALE}
                              - CASE WHEN acc.em < 0 THEN x.n * {EWMA_SCALE}
-                                    ELSE acc.em END) * 100
-                    > CASE WHEN acc.em < 0 THEN x.n * {EWMA_SCALE}
-                           ELSE acc.em END * {dev_pct}
+                                    ELSE acc.em END)
+                    > (CASE WHEN acc.em < 0 THEN x.n * {EWMA_SCALE}
+                            ELSE acc.em END div 100) * {dev_pct}
                THEN 1 ELSE 0 END AS INT) AS is_anomaly)) AS out),
       acc -> acc.out)
     """

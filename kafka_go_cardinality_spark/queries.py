@@ -70,10 +70,13 @@ from kafka_go_cardinality_spark import queries_udf  # noqa: E402,F401
 #   rank 0+  never driver-checked, front-loaded by family (similarity and
 #            multimodal first — zero driver evidence as of round 4 — then
 #            streaming, analytics, and everything else);
-#   rank 99  PROVEN: latest driver row green.  Parked at the back, but
-#            rotated by the round index so once the never-checked pool
-#            drains, each round's sweep re-touches a different slice of
-#            the proven block instead of the same alphabetical head.
+#   rank 99  PROVEN: latest driver row green.  Parked at the back,
+#            ordered by evidence AGE (round of the latest row, oldest
+#            first): each round's sweep re-proves the queries whose
+#            green rows are most stale — the r2-era relational core
+#            rows before anything re-checked in r5/r6.  Refreshing the
+#            head makes those rows the newest, so the order is a
+#            self-rotating queue over successive rounds.
 # ---------------------------------------------------------------------------
 
 from kafka_go_cardinality_spark import driver_evidence  # noqa: E402
@@ -88,14 +91,14 @@ _FAMILY_ORDER = (
 )
 
 
-# Rotate the proven block: shift which names sort first by a per-round
-# stride so re-checks cycle through the block over successive rounds
-# rather than always re-proving the same alphabetical head.
-_PROVEN_POS: dict[str, int] = {}
-if _PROVEN:
-    _block = sorted(_PROVEN)
-    _offset = (driver_evidence.round_index() * 25) % len(_block)
-    _PROVEN_POS = {n: (i - _offset) % len(_block) for i, n in enumerate(_block)}
+# Order the proven block oldest-evidence-first (see driver_evidence.
+# evidence_age): the driver's first-N sweep then re-proves the most
+# stale green rows each round, and refreshing them rotates the queue.
+_AGE: dict[str, int] = driver_evidence.evidence_age()
+_PROVEN_POS: dict[str, int] = {
+    n: i
+    for i, n in enumerate(sorted(_PROVEN, key=lambda n: (_AGE.get(n, -1), n)))
+}
 
 
 def _presentation_rank(name: str) -> tuple[int, int, str]:

@@ -1033,7 +1033,7 @@ def _ewma_oracle() -> str:
         ON q.event_type = r.event_type AND q.rn = r.rn + 1)
     SELECT event_type, day, CAST(n AS BIGINT) AS n,
            forecast AS forecast_micro,
-           CAST(CASE WHEN abs(n * {s} - forecast) * 100 > forecast * {pct}
+           CAST(CASE WHEN abs(n * {s} - forecast) > (forecast // 100) * {pct}
                 THEN 1 ELSE 0 END AS INT) AS is_anomaly
     FROM r
     """

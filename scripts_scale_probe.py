@@ -19,6 +19,9 @@ Usage:
     python3 scripts_scale_probe.py --factor 8 q_text_bm25
     python3 scripts_scale_probe.py --events              # event-table operators,
                                                          # 32x distinct-user growth
+    python3 scripts_scale_probe.py --vectors             # embedding-table operators,
+                                                         # 32x distinct-vector growth
+    python3 scripts_scale_probe.py --vectors --src /root/testdata/sf0.01
 """
 
 from __future__ import annotations
@@ -46,11 +49,11 @@ DEFAULT_QUERIES = [
 ]
 
 
-def build_scaled_dir(factor: int) -> str:
+def build_scaled_dir(factor: int, src: str = SRC) -> str:
     con = duckdb.connect()
     d = tempfile.mkdtemp(prefix=f"scale{factor}_")
     n_docs = con.execute(
-        f"SELECT max(doc_id) + 1 FROM read_parquet('{SRC}/documents.parquet')"
+        f"SELECT max(doc_id) + 1 FROM read_parquet('{src}/documents.parquet')"
     ).fetchone()[0]
     con.execute(
         f"""COPY (
@@ -59,13 +62,13 @@ def build_scaled_dir(factor: int) -> str:
                         ELSE regexp_replace(text, '(\\S+)', '\\1' || g.i, 'g')
                    END AS text,
                    lang, source, n_chars
-            FROM read_parquet('{SRC}/documents.parquet')
+            FROM read_parquet('{src}/documents.parquet')
             CROSS JOIN range({factor}) g(i)
         ) TO '{d}/documents.parquet' (FORMAT PARQUET)"""
     )
     for t in TABLES:
         if t != "documents":
-            shutil.copyfile(f"{SRC}/{t}.parquet", f"{d}/{t}.parquet")
+            shutil.copyfile(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
     return d
 
 
@@ -84,25 +87,74 @@ EVENTS_QUERIES = [
 ]
 
 
-def build_scaled_events_dir(factor: int) -> str:
+def build_scaled_events_dir(factor: int, src: str = SRC) -> str:
     con = duckdb.connect()
     d = tempfile.mkdtemp(prefix=f"scale_ev{factor}_")
-    n_ev = con.execute(
-        f"SELECT max(event_id) + 1 FROM read_parquet('{SRC}/events.parquet')"
-    ).fetchone()[0]
+    # Both replica offsets derive from the DATA (max key + 1) — a fixed
+    # constant silently collides the moment the base fixture's keys
+    # outgrow it, breaking the 'purely distinct-key growth' premise
+    # without any error.
+    n_ev, n_user = con.execute(
+        f"""SELECT max(event_id) + 1, max(user_id) + 1
+            FROM read_parquet('{src}/events.parquet')"""
+    ).fetchone()
     con.execute(
         f"""COPY (
             SELECT event_id + g.i * {n_ev} AS event_id,
                    ts,
-                   user_id + g.i * 10000000 AS user_id,
+                   user_id + g.i * {n_user} AS user_id,
                    event_type, value, props
-            FROM read_parquet('{SRC}/events.parquet')
+            FROM read_parquet('{src}/events.parquet')
             CROSS JOIN range({factor}) g(i)
         ) TO '{d}/events.parquet' (FORMAT PARQUET)"""
     )
     for t in TABLES:
         if t != "events":
-            shutil.copyfile(f"{SRC}/{t}.parquet", f"{d}/{t}.parquet")
+            shutil.copyfile(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+    return d
+
+
+# Embedding-table operators probed by the --vectors variant (the r6
+# verdict's one never-probed family).  Replicas offset vec_id (copy 0
+# keeps the original ids, so the model-sized `vec_id < n_queries` query
+# set stays FIXED while the corpus grows Kx — the retrieval scale
+# premise) and ROTATE each copy's vector by the copy index: rotation
+# preserves norm/finiteness but decorrelates the copies, so LSH sketches
+# and IVF cells spread instead of piling 32 identical vectors into every
+# bucket of copy 0.
+VECTORS_QUERIES = [
+    "q_sim_cosine_topk",
+    "q_sim_hard_negatives",
+    "q_sim_knn_classify",
+    "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
+    "q_sim_ann_pq",
+]
+
+
+def build_scaled_vectors_dir(factor: int, src: str = SRC) -> str:
+    con = duckdb.connect()
+    d = tempfile.mkdtemp(prefix=f"scale_vec{factor}_")
+    n_vec = con.execute(
+        f"SELECT max(vec_id) + 1 FROM read_parquet('{src}/embeddings.parquet')"
+    ).fetchone()[0]
+    con.execute(
+        f"""COPY (
+            SELECT vec_id + g.i * {n_vec} AS vec_id,
+                   CASE WHEN g.i = 0 THEN embedding
+                        ELSE list_transform(
+                            embedding,
+                            (x, j) -> embedding[1 + ((j - 1 + g.i) % len(embedding))]
+                        )
+                   END AS embedding,
+                   label
+            FROM read_parquet('{src}/embeddings.parquet')
+            CROSS JOIN range({factor}) g(i)
+        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copyfile(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
     return d
 
 
@@ -113,28 +165,41 @@ def main() -> int:
 
     argv = sys.argv[1:]
     factor = 32
+    src = SRC
     if "--factor" in argv:
         i = argv.index("--factor")
         factor = int(argv[i + 1])
         del argv[i : i + 2]
+    if "--src" in argv:
+        i = argv.index("--src")
+        src = argv[i + 1]
+        del argv[i : i + 2]
     events_mode = "--events" in argv
     if events_mode:
         argv.remove("--events")
-    names = argv or (EVENTS_QUERIES if events_mode else DEFAULT_QUERIES)
+    vectors_mode = "--vectors" in argv
+    if vectors_mode:
+        argv.remove("--vectors")
+    names = argv or (
+        VECTORS_QUERIES
+        if vectors_mode
+        else EVENTS_QUERIES if events_mode else DEFAULT_QUERIES
+    )
 
     spark = get_spark(app_name="scale-probe")
     qs = m.queries()
-    scaled = (
-        build_scaled_events_dir(factor)
-        if events_mode
-        else build_scaled_dir(factor)
-    )
+    if vectors_mode:
+        scaled = build_scaled_vectors_dir(factor, src)
+    elif events_mode:
+        scaled = build_scaled_events_dir(factor, src)
+    else:
+        scaled = build_scaled_dir(factor, src)
 
     print(f"query,base_s,x{factor}_s,ratio")
     for name in names:
-        qs[name](spark, SRC).count()  # warm: plan + code paths compiled
+        qs[name](spark, src).count()  # warm: plan + code paths compiled
         t0 = time.monotonic()
-        qs[name](spark, SRC).count()
+        qs[name](spark, src).count()
         base = time.monotonic() - t0
         t0 = time.monotonic()
         n = qs[name](spark, scaled).count()

@@ -1058,7 +1058,7 @@ def test_ewma_recurrence_hand_computed(spark):
     for d, n in enumerate(days):
         day = int(dt.datetime(2024, 1, 1 + d, tzinfo=dt.timezone.utc).timestamp())
         forecast = n * 1_000_000 if em is None else em
-        flag = int(abs(n * 1_000_000 - forecast) * 100 > forecast * 50)
+        flag = int(abs(n * 1_000_000 - forecast) > (forecast // 100) * 50)
         em = (
             n * 1_000_000
             if em is None

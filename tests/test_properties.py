@@ -476,7 +476,7 @@ def test_ewma_matches_python_model(spark, counts):
             .timestamp()
         )
         forecast = n * 1_000_000 if em is None else em
-        flag = int(abs(n * 1_000_000 - forecast) * 100 > forecast * 50)
+        flag = int(abs(n * 1_000_000 - forecast) > (forecast // 100) * 50)
         em = (
             n * 1_000_000 if em is None else (n * 1_000_000 + 7 * em) // 8
         )

@@ -30,6 +30,16 @@ def test_never_checked_precede_proven():
             assert i < first_proven, f"never-checked {n} sorted after proven block"
 
 
+def test_proven_block_is_oldest_evidence_first():
+    """The proven block must present oldest-evidence-first so each
+    driver sweep re-proves the most stale green rows (r6 verdict item
+    4): ascending latest-row round index across the block."""
+    age = driver_evidence.evidence_age()
+    proven = driver_evidence.proven_names()
+    ages = [age[n] for n in QUERIES if n in proven and n in age]
+    assert ages == sorted(ages)
+
+
 def test_is_green_semantics():
     assert driver_evidence.is_green({"err": None, "hash_match": True})
     assert not driver_evidence.is_green({"err": None, "hash_match": False})
