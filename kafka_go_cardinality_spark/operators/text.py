@@ -1461,9 +1461,12 @@ def curriculum_order(
     (overflow-safe at any score span), per-bucket counts make a
     ≤``n_buckets``-row cumulative frame, and position = bucket offset +
     bucket-local rank.  Shard = position ÷ ceil(N/n_shards), width-first
-    again.  NULL-id docs are skipped (no stable position — the
-    reference's skip-and-continue policy, kafkaio.go:77-81); docs with
-    no tokens score nothing and are skipped on both engines.
+    again.  NULL-id and NULL-text docs are skipped (no stable position /
+    nothing to score — the reference's skip-and-continue policy,
+    kafkaio.go:77-81).  Empty/whitespace-only text folds to ONE ''
+    pseudo-token on BOTH engines (split('', '\\s+') == ['']), so such
+    docs ARE scored, identically (pinned by the round-7 Hypothesis
+    property test).
     """
     from kafka_go_cardinality_spark.caching import tracked_persist
 

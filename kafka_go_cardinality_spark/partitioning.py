@@ -31,6 +31,14 @@ def spread(df: DataFrame) -> DataFrame:
     non-file source (in-memory fixture, ``createDataFrame``) lists zero
     files and conservatively widens — those inputs are tiny, so the
     shuffle is noise.
+
+    CONTRACT: apply ``spread`` only to SCAN-ADJACENT frames (straight
+    off ``load_table`` / ``spark.read``, before any join/agg).  A frame
+    downstream of an exchange under-reports its effective width through
+    ``inputFiles()`` and would pay a pointless widening shuffle here —
+    the exchange already spread it.  Every current caller is
+    scan-adjacent; keep it that way rather than teaching this helper to
+    walk logical plans.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if len(df.inputFiles()) >= target:

@@ -514,3 +514,141 @@ def test_bpe_matches_reference_on_random_vocab(spark, words, n_merges):
         .collect()
     ]
     assert got == _bpe_reference(words, n_merges)
+
+
+# ------------------------------------- round-7: bucket decompositions
+#
+# The width-first bucket arithmetic behind seq_pack / curriculum_order /
+# global_enumerate is the one construction whose failure mode is silent
+# (positions shift, nothing crashes).  These pin position/offset
+# EXACTNESS against sequential reference models over adversarial id
+# distributions: sparse 63-bit snowflake-style ids (the multiply form
+# overflows BIGINT above ~2^57 spans), clustered ids (most buckets
+# empty), and duplicate-heavy ids (the (doc_id, cnt) total-order rule).
+
+_ADVERSARIAL_IDS = st.one_of(
+    st.integers(min_value=0, max_value=2**63 - 2),            # sparse 63-bit
+    st.integers(min_value=10**18, max_value=10**18 + 30),     # clustered
+    st.sampled_from([0, 1, 2, 7, 2**62, 2**63 - 2]),          # duplicate-heavy
+)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(_ADVERSARIAL_IDS, st.integers(min_value=0, max_value=40)),
+        min_size=1,
+        max_size=30,
+    ),
+    seq_len=st.sampled_from([1, 5, 13]),
+    n_buckets=st.sampled_from([1, 4, 64]),
+)
+@settings(**_SETTINGS)
+def test_seq_pack_offsets_exact_on_adversarial_ids(spark, docs, seq_len, n_buckets):
+    """For ANY (doc_id, token-count) multiset — sparse 63-bit spans,
+    clustered ids, duplicate ids with differing counts — the distributed
+    prefix sum's example manifest equals the sequential _pack_model, at
+    degenerate and excess bucket counts."""
+    from kafka_go_cardinality_spark.operators.text import seq_pack
+
+    frame = spark.createDataFrame(
+        [(d, " ".join(["w"] * c)) for d, c in docs],
+        "doc_id long, text string",
+    )
+    got = {
+        r["example_id"]: (r["n_docs"], r["n_tokens"], r["first_doc"], r["last_doc"])
+        for r in seq_pack(frame, seq_len=seq_len, n_buckets=n_buckets).collect()
+    }
+    assert got == _pack_model(docs, seq_len), (seq_len, n_buckets)
+
+
+def _assert_positions_exact(rows, key_fn, pos_fn):
+    """Positions must be exactly 0..N-1 and strictly follow the total
+    order: every strictly-smaller key's positions all precede every
+    strictly-larger key's; tie groups (identical rows) occupy a
+    contiguous position block in arbitrary internal order."""
+    import itertools
+
+    assert sorted(pos_fn(r) for r in rows) == list(range(len(rows)))
+    keyed = sorted(rows, key=key_fn)
+    prev_max = -1
+    for _, grp in itertools.groupby(keyed, key=key_fn):
+        ps = [pos_fn(r) for r in grp]
+        assert min(ps) > prev_max, (min(ps), prev_max)
+        assert sorted(ps) == list(range(min(ps), max(ps) + 1)), ps
+        prev_max = max(ps)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            _ADVERSARIAL_IDS,
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=6
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    n_buckets=st.sampled_from([1, 4, 64]),
+)
+@settings(**_SETTINGS)
+def test_curriculum_positions_exact_on_adversarial_ids(spark, docs, n_buckets):
+    """For ANY corpus — adversarial doc_ids, tied difficulty scores,
+    empty docs — curriculum positions are exactly 0..N-1 in strict
+    (avg_nll_q, doc_id) order and the shard split matches the width-first
+    formula, at degenerate and excess bucket counts."""
+    from kafka_go_cardinality_spark.operators.text import curriculum_order
+
+    frame = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in docs], "doc_id long, text string"
+    )
+    rows = curriculum_order(frame, n_buckets=n_buckets, n_shards=4).collect()
+    # Empty/whitespace-only text folds to ONE '' pseudo-token on both
+    # engines (split('', '\\s+') == [''] in Spark AND DuckDB), so every
+    # non-NULL-text doc is scored — found by this test's first run.
+    assert len(rows) == len(docs)
+    _assert_positions_exact(
+        rows,
+        key_fn=lambda r: (r["avg_nll_q"], r["doc_id"]),
+        pos_fn=lambda r: r["curriculum_pos"],
+    )
+    n = len(rows)
+    for r in rows:
+        assert r["shard"] == r["curriculum_pos"] // (n // 4 + 1)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            _ADVERSARIAL_IDS,
+            st.floats(
+                min_value=-1e12,
+                max_value=1e12,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    n_buckets=st.sampled_from([1, 4, 64]),
+)
+@settings(**_SETTINGS)
+def test_global_enumerate_ranks_exact_on_adversarial_values(
+    spark, events, n_buckets
+):
+    """For ANY (event_id, value) set — huge value spans, duplicated
+    values, adversarial ids — global_rank is exactly 1..N in strict
+    (value, event_id) order at degenerate and excess bucket counts."""
+    from kafka_go_cardinality_spark.operators.relational import global_enumerate
+
+    frame = spark.createDataFrame(events, "event_id long, value double")
+    rows = global_enumerate(frame, n_buckets=n_buckets).collect()
+    assert len(rows) == len(events)
+    _assert_positions_exact(
+        rows,
+        key_fn=lambda r: (r["value"], r["event_id"]),
+        pos_fn=lambda r: r["global_rank"] - 1,
+    )
