@@ -335,6 +335,68 @@ IVF_CENTROIDS = 16
 IVF_PROBES = 4
 
 
+def _centroid_scored_cells(embeddings: DataFrame, n_centroids: int, keep=()):
+    """Shared IVF machinery: per-vector centroid-cosine array.
+
+    Returns ``(scored_cells, seed_vecs)``.  ``scored_cells`` carries
+    ``(vec_id, *keep, v, nrm, ca)`` persisted — ``ca[i]`` is the row's
+    cosine against centroid i — or, when no seed exists (empty corpus /
+    no id below n_centroids), the bare projected base frame with
+    ``seed_vecs == []`` so callers can emit their typed empty result.
+
+    Centroid 'training' is deterministic seeding (the first
+    ``n_centroids`` vectors by id, duplicate-id rule via
+    _dedup_rows_by_id); a production build trains offline (k-means on a
+    sample) and ships them exactly the same way: as a broadcast-sized
+    literal.  Centroid norms are driver-side constants (same sequential
+    fold-then-sqrt as functions.norm, so identical doubles); the row
+    norm folds once instead of once per centroid.  The 16×64
+    literal-centroid expression tree is the largest codegen unit in the
+    module; persisting keeps it to one compile + one pass while cell
+    assignment stays a map-side argmax — no shuffle, no 16× corpus
+    blowup from a centroid cross-join.  Zero-norm guard mirrors
+    cosine_pre/_cos_sql: a zero ROW vector scores 0.0 against every
+    centroid (deterministic first-cell assignment); a zero CENTROID
+    folds to a constant 0.0 at build time."""
+    base = embeddings.select(
+        "vec_id", *keep, as_double(F.col("embedding")).alias("v")
+    )
+    seeds = base.filter(F.col("vec_id") < n_centroids).collect()
+    seed_vecs = [row["v"] for row in _dedup_rows_by_id(seeds, "v")]
+    if not seed_vecs:
+        return base, []
+
+    def _seq_norm(vec):
+        acc = 0.0
+        for x in vec:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    cent_norms = [_seq_norm(vec) for vec in seed_vecs]
+
+    # Same arithmetic as cosine_pre(dot(v, c), nrm, cn) — emitted as one
+    # generated-SQL array (16 × 64 constants) for the py4j reason
+    # documented on _dot_sql.
+    def _cell_cos(vec, cn: float) -> str:
+        if not cn > 0:
+            return "0.0D"
+        return "if(nrm > 0, %s / (nrm * %s), 0.0D)" % (
+            _dot_sql("v", vec),
+            _dlit(cn),
+        )
+
+    cos_arr = F.expr(
+        "array(%s)"
+        % ", ".join(_cell_cos(vec, cn) for vec, cn in zip(seed_vecs, cent_norms))
+    )
+    nrm_col = norm(F.col("v"))
+    scored_cells = tracked_persist(
+        base.select("vec_id", *keep, "v", nrm_col.alias("nrm"))
+        .select("vec_id", *keep, "v", "nrm", cos_arr.alias("ca"))
+    )
+    return scored_cells, seed_vecs
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 10,
@@ -367,63 +429,19 @@ def ivf_topk(
     # SQL NaN-sorts-greatest yields one) — skip-and-continue, mirrored
     # in the oracle.
     embeddings = embeddings.filter(vec_finite(F.col("embedding")))
-    base = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    seeds = base.filter(F.col("vec_id") < n_centroids).collect()
-    seed_vecs = [row["v"] for row in _dedup_rows_by_id(seeds, "v")]
+    scored_cells, seed_vecs = _centroid_scored_cells(embeddings, n_centroids)
     if not seed_vecs:
         # Empty seed set (empty corpus, or no id below n_centroids): no
         # cell exists, so nothing is retrievable — same as the oracle's
         # CROSS JOIN against an empty centroid frame.  Typed empty
         # frame, not a crash (array() of zero centroid scores has no
         # type and array_max aborts analysis).
-        return base.select(
+        return scored_cells.select(
             F.col("vec_id").alias("query_id"),
             F.col("vec_id").alias("neighbor_id"),
             F.lit(0.0).cast("double").alias("cos"),
             F.lit(0).cast("int").alias("rank"),
         ).limit(0)
-    # Centroid norms are driver-side constants (same sequential
-    # fold-then-sqrt as functions.norm, so identical doubles); the row
-    # norm folds once instead of once per centroid — 16 dots per row for
-    # cell scoring, not 48 folds.
-    def _seq_norm(vec):
-        acc = 0.0
-        for x in vec:
-            acc = acc + float(x) * float(x)
-        return math.sqrt(acc)
-
-    cent_norms = [_seq_norm(vec) for vec in seed_vecs]
-    # cos(v, c_i) for every centroid, computed ONCE into a materialized
-    # array column that cell assignment AND probe ranking both read.  The
-    # 16×64 literal-centroid expression tree is the largest codegen unit
-    # in the module; persisting `scored_cells` keeps it to one compile +
-    # one pass (it previously appeared in three plan branches), while the
-    # assignment itself stays a map-side argmax — no shuffle, no 16×
-    # corpus blowup from a centroid cross-join.
-    nrm_col = norm(F.col("v"))
-    # Same arithmetic as cosine_pre(dot(v, c), nrm, cn) — emitted as one
-    # generated-SQL array (16 × 64 constants) for the py4j reason
-    # documented on _dot_sql.  Zero-norm guard mirrors cosine_pre/
-    # _cos_sql: a zero ROW vector scores 0.0 against every centroid
-    # (deterministic first-cell assignment) instead of aborting the job;
-    # a zero CENTROID (possible only if a seed vector is zero) folds to
-    # a constant 0.0 at build time.
-    def _cell_cos(vec, cn: float) -> str:
-        if not cn > 0:
-            return "0.0D"
-        return "if(nrm > 0, %s / (nrm * %s), 0.0D)" % (
-            _dot_sql("v", vec),
-            _dlit(cn),
-        )
-
-    cos_arr = F.expr(
-        "array(%s)"
-        % ", ".join(_cell_cos(vec, cn) for vec, cn in zip(seed_vecs, cent_norms))
-    )
-    scored_cells = tracked_persist(
-        base.select("vec_id", "v", nrm_col.alias("nrm"))
-        .select("vec_id", "v", "nrm", cos_arr.alias("ca"))
-    )
     with_cell = scored_cells.select(
         "vec_id",
         "v",
@@ -1228,6 +1246,14 @@ def knn_classify(
         )
     )
     kn = _grouped_topk(scored, k)
+    return _vote_tail(kn)
+
+
+def _vote_tail(kn: DataFrame) -> DataFrame:
+    """Majority vote over a k-bounded neighbor frame (query_id,
+    true_label, n_label, ...): ties break to higher vote count, then
+    smaller label.  The vote window runs over ≤ |labels| rows per query
+    — model-sized at any corpus."""
     votes = kn.groupBy("query_id", "true_label", "n_label").agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -1244,3 +1270,103 @@ def knn_classify(
             (F.col("n_label") == F.col("true_label")).cast("int").alias("correct"),
         )
     )
+
+
+def knn_classify_ivf(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    test_mod: int = KNN_TEST_MOD,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBES,
+) -> DataFrame:
+    """BULK k-NN labeling via the IVF candidate plan — the documented
+    flip of :func:`knn_classify` for when the probe set is
+    corpus-proportional (label a whole corpus, not a 2% eval set).
+
+    Same held-out definition and vote tail as the exact twin, but the
+    candidate set is each probe's ``n_probe`` nearest centroid cells
+    instead of the full train corpus — the scored-pair count drops to
+    ~n_probe/n_centroids of brute force, and the plan shape survives
+    probes ≈ corpus:
+
+    - cell assignment is the shared map-side argmax
+      (_centroid_scored_cells — no shuffle, one codegen compile);
+    - candidate generation is a plain equi JOIN on cell (the inverted
+      file): both sides partition by cell, NEITHER corpus-sized side
+      broadcasts — unlike the exact twin, whose broadcast(probes) is
+      only viable for eval-sized probe sets;
+    - ranking is the salted two-level top-k (_grouped_topk), voting is
+      the shared model-sized tail.
+
+    Approximate by construction (a true neighbor in an unprobed cell is
+    missed), so rows-only for the driver; tests pin prediction
+    agreement against the exact twin and determinism.  The 32×-vectors
+    scale probe measured the exact twin at 43× wall on 1024× pairs —
+    this is the path that removes the ×32 probe-growth factor from the
+    pair count."""
+    embeddings = embeddings.filter(vec_finite(F.col("embedding")))
+    scored_cells, seed_vecs = _centroid_scored_cells(
+        embeddings, n_centroids, keep=("label",)
+    )
+    if not seed_vecs:
+        return scored_cells.select(
+            "vec_id",
+            F.col("label").cast("int").alias("true_label"),
+            F.col("label").cast("int").alias("predicted"),
+            F.lit(0).cast("int").alias("correct"),
+        ).limit(0)
+    with_cell = scored_cells.select(
+        "vec_id",
+        "label",
+        "v",
+        "nrm",
+        (F.array_position(F.col("ca"), F.array_max("ca")) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    train = with_cell.filter(F.col("vec_id") % test_mod != 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        "cell",
+    )
+    # Probe cells ranked best-first (same struct sort as ivf_topk); the
+    # probe SET is keyed by id — duplicate-id rule as everywhere.
+    ranked = F.reverse(
+        F.array_sort(
+            F.transform(
+                F.col("ca"),
+                lambda c, i: F.struct(c.alias("cos"), i.cast("int").alias("cell")),
+            )
+        )
+    )
+    pw = Window.partitionBy("vec_id").orderBy("v")
+    probe_rows = (
+        scored_cells.filter(F.col("vec_id") % test_mod == 0)
+        .withColumn("rid", F.row_number().over(pw))
+        .filter(F.col("rid") == 1)
+        .drop("rid")
+    )
+    probes = probe_rows.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.explode_outer(
+            F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])
+        ).alias("cell"),
+    ).filter(F.col("cell").isNotNull())
+    cands = probes.join(train, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "true_label",
+        "n_label",
+        F.col("neighbor_id"),
+        cosine_pre(
+            dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+        ).alias("cos"),
+    )
+    return _vote_tail(_grouped_topk(scored, k))

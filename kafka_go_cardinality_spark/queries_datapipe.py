@@ -1367,6 +1367,18 @@ def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(_emb(spark, sf_dir))
 
 
+@query("q_sim_knn_ivf", oracle=None)  # ANN candidates: rows-only by design
+def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E21+] BULK k-NN labeling via the IVF candidate plan — the
+    documented flip of q_sim_knn_classify for corpus-proportional probe
+    sets: cell-bucketed candidate equi join (no corpus-sized broadcast),
+    exact cosine re-rank over ~n_probe/n_centroids of the pairs, salted
+    two-level top-k, shared vote tail.  Approximate by construction
+    (rows-only); agreement vs the exact twin pinned in
+    tests/test_similarity.py (operators/similarity.knn_classify_ivf)."""
+    return sim.knn_classify_ivf(_emb(spark, sf_dir))
+
+
 @query("q_text_dsir", tx.dsir_weights_oracle_sql())
 def q_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E22+] DSIR-shaped data selection: per-doc importance log-ratio

@@ -284,3 +284,47 @@ def test_zero_vector_corpus_full_parity(spark, tmp_path_factory):
             assert QUERIES[name](spark, str(d)).count() >= 0
     finally:
         con.close()
+
+
+def test_knn_ivf_agrees_with_exact_on_separable_labels(spark):
+    """On label-separable data (each label one orthogonal anchor
+    direction + small deterministic jitter) the IVF bulk-labeling path
+    must predict EXACTLY what the brute-force twin predicts, and both
+    must be right — the quality contract of the documented probes≈corpus
+    flip.  (On near-orthogonal random fixtures neighbor identity is
+    arbitrary, so agreement there is meaningless by comparison.)"""
+    rows = []
+    for i in range(60):
+        lab = i % 3
+        v = [0.0] * 64
+        v[lab] = 1.0
+        v[3 + (i % 57)] = 0.05 + (i % 7) * 0.01
+        rows.append((i, v, lab))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    exact = {
+        r["vec_id"]: (r["predicted"], r["correct"])
+        for r in sim.knn_classify(df, test_mod=5).collect()
+    }
+    ivf = {
+        r["vec_id"]: (r["predicted"], r["correct"])
+        for r in sim.knn_classify_ivf(df, test_mod=5).collect()
+    }
+    assert len(ivf) == 12
+    assert ivf == exact
+    assert all(c == 1 for _, c in ivf.values())
+
+
+def test_knn_ivf_deterministic_on_fixture(spark, sf_dir):
+    """Two runs over the md5-seeded fixture corpus give identical
+    predictions (no RNG, no scheduling dependence)."""
+    one = {
+        r["vec_id"]: r["predicted"]
+        for r in QUERIES["q_sim_knn_ivf"](spark, sf_dir).collect()
+    }
+    two = {
+        r["vec_id"]: r["predicted"]
+        for r in QUERIES["q_sim_knn_ivf"](spark, sf_dir).collect()
+    }
+    assert one and one == two
