@@ -163,27 +163,34 @@ def main() -> int:
         ).stdout.strip() or None
     except Exception:
         rev = None
+    payload = {
+        "code_rev": rev,
+        "metric": "all_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "passes": passes,
+        "rep_32x_runs": [round(x, 3) for x in rep_runs],
+        "n_queries": len(timings),
+        "events_rows": events_rows,
+        "throughput": throughput,
+        "sf": sf,
+    }
+    repo = os.path.dirname(os.path.abspath(__file__))
     # Full artifact: every query, both pass timings and the min.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as fh:
-        json.dump(
-            {
-                "code_rev": rev,
-                "metric": "all_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "passes": passes,
-                "rep_32x_runs": [round(x, 3) for x in rep_runs],
-                "n_queries": len(timings),
-                "events_rows": events_rows,
-                "throughput": throughput,
-                "sf": sf,
-            },
-            fh,
-            indent=1,
-            sort_keys=True,
-        )
+    # BENCH_FULL.json is the working pointer (overwritten each run); the
+    # r{NN} snapshot survives per round so r-to-r per-query diffs are
+    # computable from git alone (round = driver CORRECTNESS rounds + 1).
+    try:
+        from kafka_go_cardinality_spark import driver_evidence
+
+        rnd = driver_evidence.round_index() + 1
+        snapshots = ["BENCH_FULL.json", f"BENCH_FULL_r{rnd:02d}.json"]
+    except Exception:
+        snapshots = ["BENCH_FULL.json"]
+    for fname in snapshots:
+        with open(os.path.join(repo, fname), "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
     # Stdout line: complete and parseable within the driver's 2000-char
     # tail — totals + throughput + the slowest queries (trimmed to fit).
     slow = sorted(timings, key=timings.get, reverse=True)

@@ -652,3 +652,42 @@ def test_global_enumerate_ranks_exact_on_adversarial_values(
         key_fn=lambda r: (r["value"], r["event_id"]),
         pos_fn=lambda r: r["global_rank"] - 1,
     )
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # query_id
+            st.integers(min_value=0, max_value=50),     # neighbor_id
+            st.sampled_from([0.0, 0.25, 0.5, 0.5, 1.0]),  # cos, tie-heavy
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    k=st.sampled_from([1, 3, 5]),
+)
+@settings(**_SETTINGS)
+def test_grouped_topk_equals_single_window_model(spark, pairs, k):
+    """The salted two-level top-k must equal the plain one-window
+    row_number model — same survivors, same ranks — on tie-heavy scores
+    and any group shape (the exactness claim _grouped_topk's docstring
+    argues; here it is machine-checked)."""
+    from kafka_go_cardinality_spark.operators.similarity import _grouped_topk
+
+    frame = spark.createDataFrame(
+        pairs, "query_id long, neighbor_id long, cos double"
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in _grouped_topk(frame, k).collect()
+    }
+    want = {}
+    by_q: dict[int, list] = {}
+    for q, n, c in pairs:
+        by_q.setdefault(q, []).append((n, c))
+    for q, rows in by_q.items():
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (n, _) in enumerate(rows[:k], start=1):
+            want[(q, n)] = rank
+    assert got == want
