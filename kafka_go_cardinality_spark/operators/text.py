@@ -936,9 +936,19 @@ def chunk_documents(
     zero shuffle, full scan parallelism; at 100 TB this costs one pass
     over the corpus like normalize_text.  explode_outer keeps the plan
     free of an inferred size()>0 scan filter (the DataFilters
-    invariant, tests/test_plans.py)."""
+    invariant, tests/test_plans.py).
+
+    NULL-text docs emit NO chunks (skip-and-continue, kafkaio.go:77-81
+    — mirrored as WHERE text IS NOT NULL in the oracle): unfiltered,
+    Spark's null-skipping ``greatest`` built one phantom all-NULL chunk
+    while DuckDB's null-ignoring ``least`` built a 32-NULL-token one —
+    the round-7 poison sweep caught the divergence.  Empty/whitespace
+    text keeps the corpus-wide '' pseudo-token contract: ONE chunk of
+    the single empty token, identical on both engines."""
     tok = tokens(F.col("text"))
-    toks = documents.select("doc_id", tok.alias("t"))
+    toks = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", tok.alias("t")
+    )
     n = F.size(F.col("t"))
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
     chunks = toks.select(
@@ -973,7 +983,8 @@ def chunk_documents_oracle_sql(
     # (11.4 s/doc measured; 0.2 s indexed — values identical).
     window = f"list_transform(range(start_tok, least(start_tok + {length}, len(t) + 1)), j -> t[j])"
     return f"""
-    WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+    WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+                  WHERE text IS NOT NULL),
     starts AS (
       SELECT doc_id, t,
              unnest(range(1, greatest(len(t), 1) + 1, {stride})) AS start_tok,
@@ -1545,6 +1556,21 @@ def bpe_merges(
     corpus.  Empty corpus → typed empty table (the empty-model
     contract)."""
     spark = documents.sparkSession
+    merges = _train_bpe(documents, top_words, n_merges)
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, pair_count long, merged string",
+    )
+
+
+def _train_bpe(
+    documents: DataFrame, top_words: int, n_merges: int
+) -> list[tuple[int, str, str, int, str]]:
+    """The Sennrich trainer loop behind :func:`bpe_merges` (and the
+    model source for :func:`bpe_encode`): TakeOrdered word-frequency
+    seed, deterministic (count DESC, pair ASC) merges on the
+    driver-side model.  Returns [(rank, left, right, pair_count,
+    merged), ...]."""
     words = (
         documents.select(F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("w")
@@ -1583,9 +1609,89 @@ def bpe_merges(
             key = tuple(out)
             new_vocab[key] = new_vocab.get(key, 0) + c
         vocab = new_vocab
-    return spark.createDataFrame(
-        merges,
-        "rank int, left string, right string, pair_count long, merged string",
+    return merges
+
+
+def _sql_str_lit(s: str) -> str:
+    """Spark SQL string literal (backslash escaping is on by default;
+    symbols come from corpus tokens, so escape everything that can
+    break a literal)."""
+    return "'%s'" % s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _bpe_apply_sql(merges, base: str) -> str:
+    """Generated-SQL application of an ordered merge table to a symbol
+    array expression — one left-to-right fold per merge, nested in rank
+    order (same one-string-one-parse discipline as similarity._dot_sql).
+
+    Each fold is exactly the trainer's single non-overlapping
+    leftmost-first replacement pass: append x unless the accumulator's
+    last symbol is `left` and x is `right`, in which case the pair
+    collapses to `merged`.  Equivalence to the trainer's index loop
+    holds because a merged symbol can never equal `left` (merged =
+    left+right with right non-empty), so a replacement can't chain into
+    the next pair within the same pass."""
+    expr = base
+    for _rank, a, b, _pc, m in merges:
+        expr = (
+            "aggregate(%s, cast(array() as array<string>), "
+            "(acc, x) -> if(size(acc) > 0 AND element_at(acc, -1) = %s "
+            "AND x = %s, "
+            "concat(slice(acc, 1, size(acc) - 1), array(%s)), "
+            "concat(acc, array(x))))"
+            % (expr, _sql_str_lit(a), _sql_str_lit(b), _sql_str_lit(m))
+        )
+    return expr
+
+
+def bpe_encode(
+    documents: DataFrame,
+    top_words: int = BPE_TOP_WORDS,
+    n_merges: int = BPE_MERGES,
+) -> DataFrame:
+    """Apply the trained BPE tokenizer to the corpus — the actual
+    TOKENIZATION pass of a pretraining pipeline (bpe_merges trains the
+    model; this spends it): per document, word count and total BPE
+    token count under the induced merge table.  The per-doc BPE token
+    count is what sequence packing, cost estimation, and per-document
+    length curricula consume.
+
+    Scale shape: the merge table is a driver-side model (same
+    discipline as k-means/PQ/BPE training); the 32-merge application is
+    ONE generated in-row expression evaluated once per DISTINCT word —
+    vocabulary-sized compute, not token-stream-sized — then the
+    word→subtoken-count map broadcast-joins back to the (doc, word)
+    stream (vocab ≪ corpus, the unigram_surprisal precedent) and one
+    doc_id shuffle aggregates.  No Python anywhere; OOV-free by
+    construction (unmerged characters remain symbols).
+
+    Rows-only for the driver (the model is iterative, like
+    bpe_merges); exactness is pinned in tests against an independent
+    Python BPE-apply over the same merge table, including the ''
+    pseudo-token edge (split('', '') == [''] on the JVM — one empty
+    symbol, counted as one token; documented corpus-wide contract)."""
+    merges = _train_bpe(documents, top_words, n_merges)
+    stream = documents.filter(F.col("doc_id").isNotNull()).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    fold = _bpe_apply_sql(merges, "split(w, '')")
+    word_tok = (
+        stream.select("w")
+        .distinct()
+        .select("w", F.expr("size(%s)" % fold).cast("long").alias("n_sub"))
+    )
+    return (
+        stream.join(F.broadcast(word_tok), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
     )
 
 

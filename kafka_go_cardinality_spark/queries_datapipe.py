@@ -1729,6 +1729,19 @@ def q_text_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.curriculum_order(_docs(spark, sf_dir))
 
 
+@query("q_text_bpe_encode", oracle=None)  # iterative driver-model op: rows-only
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22+] Apply the trained BPE tokenizer to the corpus — the
+    tokenization pass pretraining actually runs: per document, word
+    count and total BPE token count under the induced merge table.
+    The 32-merge application is one generated in-row fold evaluated
+    once per DISTINCT word (vocab-sized compute, broadcast join back to
+    the token stream, one doc shuffle).  Iterative driver model ⇒
+    rows-only; exactness pinned vs an independent Python BPE-apply in
+    tests (operators/text.bpe_encode)."""
+    return tx.bpe_encode(_docs(spark, sf_dir))
+
+
 @query("q_text_bpe_merges", oracle=None)  # iterative driver-model op: rows-only
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E22+] BPE merge-table induction (Sennrich et al.): one corpus

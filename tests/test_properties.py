@@ -691,3 +691,61 @@ def test_grouped_topk_equals_single_window_model(spark, pairs, k):
         for rank, (n, _) in enumerate(rows[:k], start=1):
             want[(q, n)] = rank
     assert got == want
+
+
+def _bpe_apply_model(w, merges):
+    """Independent BPE application (the Sennrich apply loop): in merge
+    rank order, one non-overlapping leftmost-first replacement pass per
+    merge.  Mirrors the engine's '' pseudo-token contract (an empty
+    word is one empty symbol)."""
+    sym = list(w) if w else [""]
+    for _, a, b, _, m in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(m)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return len(sym)
+
+
+@given(
+    words=st.dictionaries(
+        st.text(alphabet=st.sampled_from("abcde'\\"), min_size=0, max_size=8),
+        st.integers(min_value=1, max_value=6),
+        min_size=1,
+        max_size=10,
+    ),
+    n_merges=st.integers(min_value=0, max_value=8),
+)
+@settings(**_SETTINGS)
+def test_bpe_encode_matches_independent_apply(spark, words, n_merges):
+    """For ANY corpus (including quote/backslash symbols that must
+    survive SQL literal generation) the engine's per-doc BPE token
+    counts equal an independent Python application of the SAME merge
+    table — the tokenizer-apply twin of the bpe_merges trainer pin."""
+    from kafka_go_cardinality_spark.operators.text import _train_bpe, bpe_encode
+
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * c)) for i, (w, c) in enumerate(words.items())],
+        "doc_id long, text string",
+    )
+    merges = _train_bpe(docs, top_words=16, n_merges=n_merges)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode(docs, top_words=16, n_merges=n_merges).collect()
+    }
+    want = {}
+    for i, (w, c) in enumerate(words.items()):
+        # tokens() lowercases via fold and splits on whitespace; the
+        # generated words contain no whitespace/uppercase, so each doc
+        # is c copies of w — EXCEPT w == '': joining empty words gives
+        # whitespace-only text, which is ONE '' pseudo-token, not c.
+        if w == "":
+            want[i] = (1, _bpe_apply_model("", merges))
+        else:
+            want[i] = (c, c * _bpe_apply_model(w.lower(), merges))
+    assert got == want
