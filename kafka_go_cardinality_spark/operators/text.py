@@ -1669,7 +1669,16 @@ def bpe_encode(
     bpe_merges); exactness is pinned in tests against an independent
     Python BPE-apply over the same merge table, including the ''
     pseudo-token edge (split('', '') == [''] on the JVM — one empty
-    symbol, counted as one token; documented corpus-wide contract)."""
+    symbol, counted as one token; documented corpus-wide contract).
+
+    Unicode edge (deliberate, crash-free): the trainer's symbols are
+    Python CODE POINTS while the JVM's split(w, '') yields UTF-16 CODE
+    UNITS, so a merge whose side contains an astral-plane character
+    (surrogate pair) never matches on the apply side — such words just
+    keep more symbols.  Real tokenizers resolve this by training on
+    BYTES (GPT-2 byte-level BPE); at this surface's char level the
+    skip-and-continue outcome is deterministic and swept by the
+    adversarial-Unicode audit."""
     merges = _train_bpe(documents, top_words, n_merges)
     stream = documents.filter(F.col("doc_id").isNotNull()).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("w")
