@@ -1374,6 +1374,17 @@ def seq_pack(documents: DataFrame, seq_len: int = PACK_SEQ_LEN,
             .alias("cnt"),
         )
     )
+    return _pack_manifest(d, seq_len, n_buckets)
+
+
+def _pack_manifest(
+    d: DataFrame, seq_len: int, n_buckets: int
+) -> DataFrame:
+    """The packing arithmetic behind :func:`seq_pack`, over ANY
+    (doc_id, cnt) frame — cnt is whatever token count the caller's
+    tokenizer produced (whitespace words for seq_pack, BPE tokens for
+    seq_pack_bpe).  Same bucket-decomposed distributed prefix sum, same
+    (doc_id, cnt) total order, same output manifest schema."""
     stats = d.agg(F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax"))
     # Width-first bucket arithmetic: (doc_id - dmin) * n_buckets would
     # overflow BIGINT (ANSI job abort) whenever the id span exceeds
@@ -1679,9 +1690,32 @@ def bpe_encode(
     BYTES (GPT-2 byte-level BPE); at this surface's char level the
     skip-and-continue outcome is deterministic and swept by the
     adversarial-Unicode audit."""
+    return _bpe_doc_counts(documents, top_words, n_merges).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def _bpe_doc_counts(
+    documents: DataFrame, top_words: int, n_merges: int
+) -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens) under the trained merge table —
+    the shared core of bpe_encode and seq_pack_bpe (train, fold once
+    per DISTINCT word, broadcast join back, one doc shuffle).
+
+    The (doc, word) stream persists: it feeds the distinct-word fold
+    AND the count-back join — without the cache boundary the corpus
+    tokenizes once per branch (the curriculum_order precedent).  The
+    trainer keeps its own pass over ALL text (identical semantics to
+    the registered bpe_merges query, NULL-id docs included)."""
+    from kafka_go_cardinality_spark.caching import tracked_persist
+
     merges = _train_bpe(documents, top_words, n_merges)
-    stream = documents.filter(F.col("doc_id").isNotNull()).select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    stream = tracked_persist(
+        documents.filter(F.col("doc_id").isNotNull()).select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+        )
     )
     fold = _bpe_apply_sql(merges, "split(w, '')")
     word_tok = (
@@ -1696,12 +1730,47 @@ def bpe_encode(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_sub").alias("n_bpe_tokens"),
         )
+    )
+
+
+def seq_pack_bpe(
+    documents: DataFrame,
+    seq_len: int = PACK_SEQ_LEN,
+    n_buckets: int = PACK_BUCKETS,
+    top_words: int = BPE_TOP_WORDS,
+    n_merges: int = BPE_MERGES,
+) -> DataFrame:
+    """Sequence packing by REAL tokenizer counts — the composition a
+    pretraining pipeline actually runs: train BPE (bpe_merges), count
+    each document's BPE tokens (bpe_encode), cut the doc_id-ordered
+    global token stream into fixed ``seq_len`` training examples
+    (seq_pack's bucket-decomposed prefix sum).  seq_pack over
+    whitespace words answers "how many examples of N words"; this
+    answers the question the trainer bills for: examples of N BPE
+    tokens.
+
+    Contract: one stream entry per DISTINCT doc_id whose cnt is the
+    doc's total BPE token count; NULL-text docs contribute 0 tokens
+    (nothing to pack — bpe_encode's grouped stream simply has no rows
+    for them, and the left join coalesces to 0); whitespace-only docs
+    contribute their one '' pseudo-token (the corpus-wide contract).
+    Rows-only (iterative driver model upstream); pinned in tests
+    against the composed independent models (Python BPE-apply feeding
+    the sequential pack model)."""
+    counts = _bpe_doc_counts(documents, top_words, n_merges).select(
+        "doc_id", F.col("n_bpe_tokens").alias("bpe_cnt")
+    )
+    d = (
+        documents.filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+        .distinct()
+        .join(counts, "doc_id", "left")
         .select(
             "doc_id",
-            F.col("n_words").cast("long").alias("n_words"),
-            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.coalesce("bpe_cnt", F.lit(0)).cast("long").alias("cnt"),
         )
     )
+    return _pack_manifest(d, seq_len, n_buckets)
 
 
 # Shard count for the deterministic corpus shuffle.

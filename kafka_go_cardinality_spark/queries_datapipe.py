@@ -1742,6 +1742,18 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_encode(_docs(spark, sf_dir))
 
 
+@query("q_seq_pack_bpe", oracle=None)  # iterative driver-model op: rows-only
+def q_seq_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22+] Sequence packing by REAL tokenizer counts — the
+    composition pretraining actually runs: train BPE, count each doc's
+    BPE tokens (vocab-sized in-row folds), cut the doc_id-ordered
+    global BPE-token stream into fixed-length training examples via the
+    bucket-decomposed prefix sum.  Rows-only (iterative model
+    upstream); pinned vs the composed independent models in tests
+    (operators/text.seq_pack_bpe)."""
+    return tx.seq_pack_bpe(_docs(spark, sf_dir))
+
+
 @query("q_text_bpe_merges", oracle=None)  # iterative driver-model op: rows-only
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E22+] BPE merge-table induction (Sennrich et al.): one corpus

@@ -749,3 +749,46 @@ def test_bpe_encode_matches_independent_apply(spark, words, n_merges):
         else:
             want[i] = (c, c * _bpe_apply_model(w.lower(), merges))
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**63 - 2),
+            st.text(alphabet=st.sampled_from("ab c"), min_size=0, max_size=12),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    seq_len=st.sampled_from([1, 7]),
+    n_merges=st.integers(min_value=0, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_seq_pack_bpe_matches_composed_models(spark, docs, seq_len, n_merges):
+    """seq_pack_bpe == the independent Python BPE-apply feeding the
+    sequential pack model: the end-to-end composition (train -> count ->
+    pack) is exactly its parts, over adversarial ids, whitespace-heavy
+    texts, and empty docs."""
+    from kafka_go_cardinality_spark.operators.text import (
+        _train_bpe,
+        seq_pack_bpe,
+    )
+
+    frame = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = _train_bpe(frame, top_words=16, n_merges=n_merges)
+    got = {
+        r["example_id"]: (r["n_docs"], r["n_tokens"], r["first_doc"], r["last_doc"])
+        for r in seq_pack_bpe(
+            frame, seq_len=seq_len, n_buckets=4, top_words=16, n_merges=n_merges
+        ).collect()
+    }
+    model_docs = []
+    for d, t in docs:
+        words = t.strip().lower().split()
+        if not t.strip():
+            words = [""]  # the '' pseudo-token contract
+        model_docs.append(
+            (d, sum(_bpe_apply_model(w, merges) for w in words))
+        )
+    assert got == _pack_model(model_docs, seq_len), (seq_len, n_merges)
