@@ -21,6 +21,7 @@ CORRECTNESS file as proof and parked those two queries at the back.
 
 from __future__ import annotations
 
+import functools
 import glob
 import json
 import os
@@ -34,9 +35,17 @@ def correctness_files(root: str = _REPO_ROOT) -> list[str]:
     return sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
 
 
+@functools.lru_cache(maxsize=8)
 def _parsed_rounds(root: str = _REPO_ROOT) -> list[dict]:
     """Per-round row dicts, oldest first — only files that parse count as
-    rounds, so latest_rows() and round_index() agree on what a round is."""
+    rounds, so latest_rows() and round_index() agree on what a round is.
+
+    Memoized per root: proven_names / stale_red_names / evidence_age /
+    round_index each consume this, and the registry calls all four at
+    import — uncached that re-reads and re-parses every round's JSON
+    four times per process (O(rounds x file size), growing each round).
+    The artifacts only change between driver rounds, never within a
+    process.  Callers must not mutate the returned dicts."""
     rounds: list[dict] = []
     for path in correctness_files(root):
         try:

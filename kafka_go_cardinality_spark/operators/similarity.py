@@ -1331,8 +1331,15 @@ def knn_classify_ivf(
         F.col("nrm").alias("cn"),
         "cell",
     )
-    # Probe cells ranked best-first (same struct sort as ivf_topk); the
-    # probe SET is keyed by id — duplicate-id rule as everywhere.
+    # Probe cells ranked best-first (same struct sort as ivf_topk).
+    # NO duplicate-id dedup here, deliberately: the exact twin
+    # (knn_classify) feeds EVERY row of a duplicated vec_id into the
+    # probe set, so the twins must share that definition — each
+    # duplicate row probes its own cells and its scored pairs merge
+    # into the one query_id group, exactly as the broadcast twin's do.
+    # (ivf_topk's rid==1 rule exists for its ORACLE's keyed-by-id
+    # contract; this operator's contract is agreement with the exact
+    # twin.)
     ranked = F.reverse(
         F.array_sort(
             F.transform(
@@ -1341,13 +1348,7 @@ def knn_classify_ivf(
             )
         )
     )
-    pw = Window.partitionBy("vec_id").orderBy("v")
-    probe_rows = (
-        scored_cells.filter(F.col("vec_id") % test_mod == 0)
-        .withColumn("rid", F.row_number().over(pw))
-        .filter(F.col("rid") == 1)
-        .drop("rid")
-    )
+    probe_rows = scored_cells.filter(F.col("vec_id") % test_mod == 0)
     probes = probe_rows.select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),

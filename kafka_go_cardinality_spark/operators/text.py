@@ -1698,11 +1698,19 @@ def bpe_encode(
 
 
 def _bpe_doc_counts(
-    documents: DataFrame, top_words: int, n_merges: int
+    documents: DataFrame, top_words: int, n_merges: int,
+    skip_blank: bool = False,
 ) -> DataFrame:
     """(doc_id, n_words, n_bpe_tokens) under the trained merge table —
     the shared core of bpe_encode and seq_pack_bpe (train, fold once
     per DISTINCT word, broadcast join back, one doc shuffle).
+
+    ``skip_blank`` selects which corpus-wide contract applies to
+    empty/whitespace-only text: the SCORING family (bpe_encode, like
+    unigram_surprisal/curriculum/chunk) counts the single ''
+    pseudo-token; the PACKING family (seq_pack_bpe, like seq_pack)
+    packs nothing — there is no token to emit into a training
+    example.
 
     The (doc, word) stream persists: it feeds the distinct-word fold
     AND the count-back join — without the cache boundary the corpus
@@ -1712,10 +1720,11 @@ def _bpe_doc_counts(
     from kafka_go_cardinality_spark.caching import tracked_persist
 
     merges = _train_bpe(documents, top_words, n_merges)
+    rows = documents.filter(F.col("doc_id").isNotNull())
+    if skip_blank:
+        rows = rows.filter(F.trim(F.col("text")) != "")
     stream = tracked_persist(
-        documents.filter(F.col("doc_id").isNotNull()).select(
-            "doc_id", F.explode(tokens(F.col("text"))).alias("w")
-        )
+        rows.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
     )
     fold = _bpe_apply_sql(merges, "split(w, '')")
     word_tok = (
@@ -1749,28 +1758,20 @@ def seq_pack_bpe(
     answers the question the trainer bills for: examples of N BPE
     tokens.
 
-    Contract: one stream entry per DISTINCT doc_id whose cnt is the
-    doc's total BPE token count; NULL-text docs contribute 0 tokens
-    (nothing to pack — bpe_encode's grouped stream simply has no rows
-    for them, and the left join coalesces to 0); whitespace-only docs
-    contribute their one '' pseudo-token (the corpus-wide contract).
-    Rows-only (iterative driver model upstream); pinned in tests
-    against the composed independent models (Python BPE-apply feeding
-    the sequential pack model)."""
-    counts = _bpe_doc_counts(documents, top_words, n_merges).select(
-        "doc_id", F.col("n_bpe_tokens").alias("bpe_cnt")
-    )
-    d = (
-        documents.filter(F.col("doc_id").isNotNull())
-        .select("doc_id")
-        .distinct()
-        .join(counts, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("bpe_cnt", F.lit(0)).cast("long").alias("cnt"),
-        )
-    )
-    return _pack_manifest(d, seq_len, n_buckets)
+    Contract (seq_pack's PACKING contract, not the scoring family's):
+    one stream entry per DISTINCT doc_id whose cnt is the doc's total
+    BPE token count; NULL-text and whitespace-only docs contribute
+    NOTHING to the packed stream — there is no token to emit into a
+    training example, exactly as seq_pack zeroes them.  Docs with zero
+    contribution never reach the manifest (cnt > 0 is filtered inside
+    _pack_manifest), so the grouped count frame feeds the packer
+    DIRECTLY — no distinct, no re-join.  Rows-only (iterative driver
+    model upstream); pinned in tests against the composed independent
+    models (Python BPE-apply feeding the sequential pack model)."""
+    counts = _bpe_doc_counts(
+        documents, top_words, n_merges, skip_blank=True
+    ).select("doc_id", F.col("n_bpe_tokens").cast("long").alias("cnt"))
+    return _pack_manifest(counts, seq_len, n_buckets)
 
 
 # Shard count for the deterministic corpus shuffle.

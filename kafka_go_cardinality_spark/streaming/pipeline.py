@@ -311,7 +311,14 @@ def replay_to_memory(
         .start()
     )
     try:
-        query.awaitTermination(timeout_s)
+        finished = query.awaitTermination(timeout_s)
+        if not finished:
+            # Timeout with micro-batches still committing: stop the
+            # query BEFORE deleting its checkpoint — rmtree under an
+            # active query aborts it asynchronously and the caller
+            # would read a partially-filled memory table as complete.
+            query.stop()
+            query.awaitTermination(30)
     finally:
         import shutil
 

@@ -785,9 +785,9 @@ def test_seq_pack_bpe_matches_composed_models(spark, docs, seq_len, n_merges):
     }
     model_docs = []
     for d, t in docs:
+        # The PACKING contract (seq_pack's): whitespace-only docs
+        # contribute nothing to the stream — no '' pseudo-token here.
         words = t.strip().lower().split()
-        if not t.strip():
-            words = [""]  # the '' pseudo-token contract
         model_docs.append(
             (d, sum(_bpe_apply_model(w, merges) for w in words))
         )

@@ -300,6 +300,15 @@ def test_knn_ivf_agrees_with_exact_on_separable_labels(spark):
         v[lab] = 1.0
         v[3 + (i % 57)] = 0.05 + (i % 7) * 0.01
         rows.append((i, v, lab))
+    # DUPLICATE probe id: both twins must feed BOTH rows of a
+    # duplicated vec_id into the one query group (neither applies a
+    # keyed-by-id dedup — the shared held-out definition).  Same label
+    # as the original vec_id 5 (5 % 3 == 2) so the merged group keeps
+    # one true_label and the assertion stays deterministic.
+    dup = [0.0] * 64
+    dup[2] = 1.0
+    dup[10] = 0.08
+    rows.append((5, dup, 2))
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     )
