@@ -1705,29 +1705,39 @@ def _bpe_doc_counts(
     the shared core of bpe_encode and seq_pack_bpe (train, fold once
     per DISTINCT word, broadcast join back, one doc shuffle).
 
-    ``skip_blank`` selects which corpus-wide contract applies to
-    empty/whitespace-only text: the SCORING family (bpe_encode, like
-    unigram_surprisal/curriculum/chunk) counts the single ''
+    ``skip_blank`` selects which corpus-wide contract applies to blank
+    text, where "blank" is the engine-exact rule seq_pack zeroes by —
+    NULL or ``trim(text) == ''`` (both engines' ``trim`` strips ASCII
+    SPACES only, so a tab/newline-only doc is NOT blank: it tokenizes
+    to '' pseudo-tokens on both engines and both packers count them
+    identically).  The SCORING family (bpe_encode, like
+    unigram_surprisal/curriculum/chunk) counts blank docs' single ''
     pseudo-token; the PACKING family (seq_pack_bpe, like seq_pack)
-    packs nothing — there is no token to emit into a training
-    example.
+    packs nothing for them.
 
-    The (doc, word) stream persists: it feeds the distinct-word fold
-    AND the count-back join — without the cache boundary the corpus
-    tokenizes once per branch (the curriculum_order precedent).  The
-    trainer keeps its own pass over ALL text (identical semantics to
-    the registered bpe_merges query, NULL-id docs included)."""
+    What gets cached is chosen by SIZE, not convenience (the module's
+    persist discipline: curriculum caches 3-long rows per doc,
+    contamination caches integer postings): the fold output per
+    DISTINCT word persists (``word_tok`` — VOCAB-sized, and the 32
+    nested merge folds are the expensive expression), while the
+    (doc, word) occurrence stream deliberately does NOT — it is
+    corpus-byte-scale, and re-deriving it is a shuffle-free
+    scan+explode (measured: pre-grouping it into (doc, word, c) pairs
+    to shrink a cache costs MORE than the recompute — the extra
+    pair-shuffle is real work, the tokenize is not).  The trainer
+    keeps its own pass over ALL text (identical semantics to the
+    registered bpe_merges query, NULL-id docs included)."""
     from kafka_go_cardinality_spark.caching import tracked_persist
 
     merges = _train_bpe(documents, top_words, n_merges)
     rows = documents.filter(F.col("doc_id").isNotNull())
     if skip_blank:
         rows = rows.filter(F.trim(F.col("text")) != "")
-    stream = tracked_persist(
-        rows.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    stream = rows.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
     )
     fold = _bpe_apply_sql(merges, "split(w, '')")
-    word_tok = (
+    word_tok = tracked_persist(
         stream.select("w")
         .distinct()
         .select("w", F.expr("size(%s)" % fold).cast("long").alias("n_sub"))
@@ -1760,17 +1770,25 @@ def seq_pack_bpe(
 
     Contract (seq_pack's PACKING contract, not the scoring family's):
     one stream entry per DISTINCT doc_id whose cnt is the doc's total
-    BPE token count; NULL-text and whitespace-only docs contribute
-    NOTHING to the packed stream — there is no token to emit into a
-    training example, exactly as seq_pack zeroes them.  Docs with zero
-    contribution never reach the manifest (cnt > 0 is filtered inside
-    _pack_manifest), so the grouped count frame feeds the packer
-    DIRECTLY — no distinct, no re-join.  Rows-only (iterative driver
-    model upstream); pinned in tests against the composed independent
-    models (Python BPE-apply feeding the sequential pack model)."""
-    counts = _bpe_doc_counts(
-        documents, top_words, n_merges, skip_blank=True
-    ).select("doc_id", F.col("n_bpe_tokens").cast("long").alias("cnt"))
+    BPE token count; NULL-text and blank docs (trim(text) == '' —
+    ASCII-space trim, the exact rule seq_pack zeroes by; tab-only docs
+    are NOT blank and contribute their '' pseudo-tokens in BOTH
+    packers) contribute nothing.  Docs with zero contribution never
+    reach the manifest (cnt > 0 is filtered inside _pack_manifest), so
+    the grouped count frame feeds the packer DIRECTLY — no distinct,
+    no re-join; it is persisted because _pack_manifest's three
+    branches (stats, bucket totals, placement) would otherwise each
+    re-run the whole count pipeline (the curriculum_order precedent).
+    Rows-only (iterative driver model upstream); pinned in tests
+    against the composed independent models (Python BPE-apply feeding
+    the sequential pack model), including tab/newline-edge docs."""
+    from kafka_go_cardinality_spark.caching import tracked_persist
+
+    counts = tracked_persist(
+        _bpe_doc_counts(
+            documents, top_words, n_merges, skip_blank=True
+        ).select("doc_id", F.col("n_bpe_tokens").cast("long").alias("cnt"))
+    )
     return _pack_manifest(counts, seq_len, n_buckets)
 
 

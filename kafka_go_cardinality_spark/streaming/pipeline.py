@@ -315,14 +315,24 @@ def replay_to_memory(
         if not finished:
             # Timeout with micro-batches still committing: stop the
             # query BEFORE deleting its checkpoint — rmtree under an
-            # active query aborts it asynchronously and the caller
-            # would read a partially-filled memory table as complete.
+            # active query aborts it asynchronously — and RAISE: the
+            # memory sink holds partial aggregates at this point, and
+            # returning normally would serve them to the caller as the
+            # query's complete result.
             query.stop()
             query.awaitTermination(30)
+            raise TimeoutError(
+                f"streaming replay {table_name!r} exceeded {timeout_s}s "
+                "and was stopped; the memory sink is partial and must "
+                "not be read"
+            )
     finally:
         import shutil
 
-        shutil.rmtree(ckpt, ignore_errors=True)
+        if not query.isActive:
+            shutil.rmtree(ckpt, ignore_errors=True)
+        # else: leak the scratch dir rather than yank the WAL from a
+        # query that survived stop(); the raise above still fires.
     return query
 
 

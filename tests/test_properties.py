@@ -751,11 +751,30 @@ def test_bpe_encode_matches_independent_apply(spark, words, n_merges):
     assert got == want
 
 
+def _engine_pack_words(t):
+    """Words as the ENGINE sees them for the packing family: NULL and
+    BLANK docs are skipped, where blank == trim(text) = '' and both
+    engines' trim strips ASCII SPACES only — a tab/newline-only doc is
+    NOT blank and splits to '' pseudo-tokens (split keeps the
+    leading/trailing empties, exactly like the JVM/DuckDB regex
+    split)."""
+    import re
+
+    if t is None:
+        return []
+    s = t.strip(" ")
+    if s == "":
+        return []
+    return re.split(r"\s+", s.lower())
+
+
 @given(
     docs=st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=2**63 - 2),
-            st.text(alphabet=st.sampled_from("ab c"), min_size=0, max_size=12),
+            st.text(
+                alphabet=st.sampled_from("ab c\t\n"), min_size=0, max_size=12
+            ),
         ),
         min_size=1,
         max_size=12,
@@ -769,7 +788,8 @@ def test_seq_pack_bpe_matches_composed_models(spark, docs, seq_len, n_merges):
     """seq_pack_bpe == the independent Python BPE-apply feeding the
     sequential pack model: the end-to-end composition (train -> count ->
     pack) is exactly its parts, over adversarial ids, whitespace-heavy
-    texts, and empty docs."""
+    texts (tabs/newlines included — space-trim semantics), and empty
+    docs."""
     from kafka_go_cardinality_spark.operators.text import (
         _train_bpe,
         seq_pack_bpe,
@@ -783,12 +803,8 @@ def test_seq_pack_bpe_matches_composed_models(spark, docs, seq_len, n_merges):
             frame, seq_len=seq_len, n_buckets=4, top_words=16, n_merges=n_merges
         ).collect()
     }
-    model_docs = []
-    for d, t in docs:
-        # The PACKING contract (seq_pack's): whitespace-only docs
-        # contribute nothing to the stream — no '' pseudo-token here.
-        words = t.strip().lower().split()
-        model_docs.append(
-            (d, sum(_bpe_apply_model(w, merges) for w in words))
-        )
+    model_docs = [
+        (d, sum(_bpe_apply_model(w, merges) for w in _engine_pack_words(t)))
+        for d, t in docs
+    ]
     assert got == _pack_model(model_docs, seq_len), (seq_len, n_merges)
