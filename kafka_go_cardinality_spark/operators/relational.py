@@ -460,8 +460,14 @@ def profile_columns(df: DataFrame, specs: list[tuple[str, Column]]) -> DataFrame
     )
 
 
+# Bucket-count FLOOR for global_enumerate's range decomposition; the
+# effective count is max(ENUM_BUCKETS, defaultParallelism) — see
+# partitioning.scaled_fanout (bucket counts never change results).
+ENUM_BUCKETS = 64
+
+
 def global_enumerate(
-    events: DataFrame, n_buckets: int = 64
+    events: DataFrame, n_buckets: int | None = None
 ) -> DataFrame:
     """Global row numbering over a total order (value, event_id) WITHOUT
     a single-partition window — the scalable "assign every record a
@@ -483,7 +489,15 @@ def global_enumerate(
     value), so cross-bucket ordering is exact.  The same decomposition
     is how Spark's own range-partitioned sort works; doing it explicitly
     exposes the offsets, which the packed-sequence writer consumes.
+
+    ``n_buckets=None`` derives max(ENUM_BUCKETS, defaultParallelism):
+    ranks are bucket-count-independent (equal values share a bucket for
+    ANY count), so the decomposition widens with the cluster.
     """
+    from kafka_go_cardinality_spark.partitioning import session_fanout
+
+    if n_buckets is None:
+        n_buckets = session_fanout(events, ENUM_BUCKETS)
     ev = events.select("event_id", "value")
     stats = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
     bucketed = ev.crossJoin(F.broadcast(stats)).withColumn(

@@ -49,9 +49,12 @@ ANN_PLANES = 12  # 12-bit sign sketch
 ANN_BANDS = 3  # banded at 3x4 bits: candidates share ANY band
 ANN_BAND_BITS = ANN_PLANES // ANN_BANDS
 
-# Salt fan-out for the two-level grouped top-k (see _grouped_topk).  At
-# 1000 executors raise this toward the cluster's core count; 32 matches
-# the local[32] test harness and already bounds every reducer frame.
+# Salt fan-out FLOOR for the two-level grouped top-k (see
+# _grouped_topk).  The effective count is
+# max(TOPK_SALTS, defaultParallelism) via partitioning.session_fanout,
+# so a wide cluster gets a matching salt width automatically (results
+# are salt-count-independent — see the exactness proof); 32 matches the
+# local[32] harness, keeping fixture plans and evidence byte-stable.
 TOPK_SALTS = 32
 
 
@@ -79,9 +82,16 @@ def _grouped_topk(scored: DataFrame, k: int, tie_col: str = "neighbor_id") -> Da
 
     All non-window columns ride through untouched; output adds ``rank``
     (1-based, ≤ k) exactly as the single-window version did.
+
+    The salt count is max(TOPK_SALTS, defaultParallelism): by the
+    exactness argument above it cannot change results, so it scales
+    freely with the cluster (partitioning.scaled_fanout).
     """
+    from kafka_go_cardinality_spark.partitioning import session_fanout
+
     salted = scored.withColumn(
-        "_salt", F.pmod(F.hash(F.col(tie_col)), F.lit(TOPK_SALTS))
+        "_salt",
+        F.pmod(F.hash(F.col(tie_col)), F.lit(session_fanout(scored, TOPK_SALTS))),
     )
     w1 = Window.partitionBy("query_id", "_salt").orderBy(
         F.col("cos").desc(), F.col(tie_col)

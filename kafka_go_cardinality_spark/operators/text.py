@@ -1339,7 +1339,7 @@ PACK_BUCKETS = 64
 
 
 def seq_pack(documents: DataFrame, seq_len: int = PACK_SEQ_LEN,
-             n_buckets: int = PACK_BUCKETS) -> DataFrame:
+             n_buckets: int | None = None) -> DataFrame:
     """Concat-and-chunk sequence packing — the LLM-pretraining writer
     step: tokenize every document, concatenate the token streams in
     doc_id order, and cut the global stream into fixed ``seq_len``
@@ -1361,7 +1361,17 @@ def seq_pack(documents: DataFrame, seq_len: int = PACK_SEQ_LEN,
     sum.  The doc→example explode is bounded by cnt/seq_len + 1 rows
     per doc (output-proportional, never quadratic), and ONE hash
     exchange on example_id builds the manifest.
+
+    ``n_buckets=None`` (the default) derives
+    max(PACK_BUCKETS, defaultParallelism) — bucket counts are
+    result-independent (any order-preserving range split yields the
+    identical offsets), so the decomposition widens with the cluster
+    (partitioning.scaled_fanout, round-7 verdict item 1).
     """
+    from kafka_go_cardinality_spark.partitioning import session_fanout
+
+    if n_buckets is None:
+        n_buckets = session_fanout(documents, PACK_BUCKETS)
     d = (
         documents.filter(F.col("doc_id").isNotNull())
         .select(
@@ -1466,7 +1476,7 @@ CURRICULUM_SHARDS = 16
 
 def curriculum_order(
     documents: DataFrame,
-    n_buckets: int = CURRICULUM_BUCKETS,
+    n_buckets: int | None = None,
     n_shards: int = CURRICULUM_SHARDS,
 ) -> DataFrame:
     """Curriculum ordering for LLM pretraining: score every document's
@@ -1489,8 +1499,16 @@ def curriculum_order(
     pseudo-token on BOTH engines (split('', '\\s+') == ['']), so such
     docs ARE scored, identically (pinned by the round-7 Hypothesis
     property test).
+
+    ``n_buckets=None`` derives max(CURRICULUM_BUCKETS,
+    defaultParallelism) — positions are bucket-count-independent, so
+    the split widens with the cluster (partitioning.scaled_fanout).
     """
     from kafka_go_cardinality_spark.caching import tracked_persist
+    from kafka_go_cardinality_spark.partitioning import session_fanout
+
+    if n_buckets is None:
+        n_buckets = session_fanout(documents, CURRICULUM_BUCKETS)
 
     # The scored frame (one 3-long row per doc — corpus-count-sized,
     # never corpus-byte-sized) feeds the stats aggregate, the bucket
@@ -1655,6 +1673,205 @@ def _bpe_apply_sql(merges, base: str) -> str:
     return expr
 
 
+# Sentinel code points for the DuckDB BPE oracles' symbol encoding (see
+# _bpe_train_oracle_ctes).  chr(1)/chr(2) wrap every symbol.  The
+# oracles are exact for any corpus whose TOKENS contain neither U+0001
+# nor U+0002 (the engine side has no such restriction — these bytes
+# exist only inside the oracle's internal string encoding).
+_BPE_SENT_A = "chr(1)"
+_BPE_SENT_B = "chr(2)"
+
+
+def _bpe_wrap_sql(expr: str) -> str:
+    """One sentinel-wrapped symbol: chr(1) || sym || chr(2)."""
+    return f"{_BPE_SENT_A} || {expr} || {_BPE_SENT_B}"
+
+
+def _bpe_train_oracle_ctes(top_words: int, n_merges: int) -> list[str]:
+    """DuckDB CTE chain replaying :func:`_train_bpe` exactly — the
+    in-oracle model derivation that flips the BPE family from rows-only
+    to hash-checked (the q_sim_ann_ivf / q_text_textrank precedent:
+    the oracle derives the iterative model itself instead of trusting
+    the engine's).
+
+    Symbolizations are SENTINEL-WRAPPED STRINGS, one wrapped symbol per
+    element: ``chr(1)||sym||chr(2)`` concatenated.  That encoding makes
+    ONE ``replace()`` call exactly the trainer's single leftmost
+    non-overlapping merge pass: the pattern ``<a><b>`` (angle brackets
+    standing for the sentinels) can only match whole symbols at symbol
+    boundaries — ``<`` opens every symbol and ``>`` closes it, so ``a``
+    and ``b`` cannot match prefixes/suffixes of longer symbols — and
+    adjacent occurrences share no delimiter characters, so consecutive
+    pairs all merge in one scan (the failure mode of single-delimiter
+    encodings).  Scan-resume-after-replacement equals the trainer's
+    ``i += 2``, and a replacement ``<ab>`` contains no interior ``<``,
+    so it can never chain into a new match within the same pass.
+
+    Each stage: adjacent-pair counts from the split symbol list
+    (``list_zip(syms, syms[2:])``, NULL-padded tail filtered), argmax
+    by (count DESC, pair ASC) — DuckDB's binary UTF-8 collation equals
+    Python's code-point tuple compare — then one replace applies the
+    merge to every vocab word.  ``LEFT JOIN ... ON TRUE`` keeps the
+    chain total when a stage finds no pairs (the trainer's ``break``):
+    the NULL merge makes ``replace`` NULL and ``coalesce`` restores the
+    untouched repr, while the stage's empty best-CTE simply emits no
+    merge row.  Vocab stages are MATERIALIZED: each is referenced
+    twice (pairs + next vocab), and inlining would re-expand the whole
+    prefix chain exponentially."""
+    from kafka_go_cardinality_spark.functions import tokens_sql
+
+    sa, sb = _BPE_SENT_A, _BPE_SENT_B
+    ctes = [
+        f"bpe_tok AS (SELECT unnest({tokens_sql('text')}) AS w FROM documents)",
+        "bpe_wc AS MATERIALIZED "
+        "(SELECT w, count(*) AS cnt FROM bpe_tok GROUP BY 1)",
+        # seed = trainer's TakeOrdered (count DESC, word) head; repr wraps
+        # every CODE POINT (the trainer splits Python strings)
+        "bpe_v0 AS MATERIALIZED (SELECT "
+        f"regexp_replace(w, '(.)', {sa} || '\\1' || {sb}, 'g') AS repr, cnt"
+        f" FROM (SELECT w, cnt FROM bpe_wc ORDER BY cnt DESC, w"
+        f" LIMIT {top_words}))",
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"bpe_p{k} AS (SELECT z[1] AS a, z[2] AS b,"
+            " CAST(sum(cnt) AS BIGINT) AS pc"
+            " FROM (SELECT unnest(list_zip(syms, syms[2:])) AS z, cnt"
+            " FROM (SELECT string_split(substr(repr, 2,"
+            f" greatest(length(repr) - 2, 0)), {sb} || {sa}) AS syms, cnt"
+            f" FROM bpe_v{k-1}))"
+            " WHERE z[2] IS NOT NULL GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"bpe_b{k} AS (SELECT a, b, pc, a || b AS m FROM bpe_p{k}"
+            " ORDER BY pc DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"bpe_v{k} AS MATERIALIZED (SELECT coalesce(replace(v.repr,"
+            f" {_bpe_wrap_sql('b.a')} || {_bpe_wrap_sql('b.b')},"
+            f" {_bpe_wrap_sql('b.m')}), v.repr) AS repr, v.cnt"
+            f" FROM bpe_v{k-1} v LEFT JOIN bpe_b{k} b ON TRUE)"
+        )
+    return ctes
+
+
+def bpe_merges_oracle_sql(
+    top_words: int = BPE_TOP_WORDS, n_merges: int = BPE_MERGES
+) -> str:
+    """DuckDB twin of :func:`bpe_merges`: the merge table as the union
+    of the per-stage argmax rows, rank-ordered.  A stage past the
+    trainer's break point has an empty best-CTE and contributes no row,
+    matching the trainer's truncated table."""
+    ctes = _bpe_train_oracle_ctes(top_words, n_merges)
+    arms = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({k - 1} AS INT) AS rank, a AS \"left\","
+        f" b AS \"right\", pc AS pair_count, m AS merged FROM bpe_b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH\n    " + ",\n    ".join(ctes)
+        + "\n    SELECT * FROM (\n    " + arms + "\n    ) ORDER BY rank"
+    )
+
+
+def _bpe_counts_oracle_ctes(
+    top_words: int, n_merges: int, skip_blank: bool
+) -> list[str]:
+    """Trainer CTEs + the apply side of :func:`_bpe_doc_counts`: distinct
+    words of the (doc, word) stream, 32 chained merge replaces, per-word
+    subtoken count = the number of symbol-open sentinels (floored at 1:
+    ``split('', '')`` is ``['']`` on the JVM — the '' pseudo-token
+    contract).
+
+    The apply repr wraps CODE POINTS, the engine's actual symbol
+    alphabet: Spark's ``split(w, '')`` is code-point-wise (verified on
+    the adversarial-Unicode corpus — Deseret/emoji words symbolize per
+    code point, matching DuckDB's utf8proc ``(.)`` and the Python
+    trainer's ``tuple(w)``), so no surrogate special-casing is needed.
+    ``skip_blank`` is the packing family's blank rule (NULL or
+    ASCII-space-only text contributes nothing), identical on both
+    engines because both trims strip ASCII spaces only."""
+    blank = " AND trim(text) != ''" if skip_blank else ""
+    from kafka_go_cardinality_spark.functions import tokens_sql
+
+    sa, sb = _BPE_SENT_A, _BPE_SENT_B
+    ctes = _bpe_train_oracle_ctes(top_words, n_merges)
+    ctes.append(
+        "bpe_stream AS MATERIALIZED (SELECT doc_id,"
+        f" unnest({tokens_sql('text')}) AS w"
+        f" FROM documents WHERE doc_id IS NOT NULL{blank})"
+    )
+    ctes.append(
+        "bpe_e0 AS MATERIALIZED (SELECT w,"
+        f" regexp_replace(w, '(.)', {sa} || '\\1' || {sb}, 'g') AS repr"
+        " FROM (SELECT DISTINCT w FROM bpe_stream))"
+    )
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"bpe_e{k} AS MATERIALIZED (SELECT w, coalesce(replace(e.repr,"
+            f" {_bpe_wrap_sql('b.a')} || {_bpe_wrap_sql('b.b')},"
+            f" {_bpe_wrap_sql('b.m')}), e.repr) AS repr"
+            f" FROM bpe_e{k-1} e LEFT JOIN bpe_b{k} b ON TRUE)"
+        )
+    ctes.append(
+        "bpe_wt AS (SELECT w, CAST(greatest(1,"
+        f" length(repr) - length(replace(repr, {sa}, ''))) AS BIGINT)"
+        f" AS n_sub FROM bpe_e{n_merges})"
+    )
+    return ctes
+
+
+def bpe_encode_oracle_sql(
+    top_words: int = BPE_TOP_WORDS, n_merges: int = BPE_MERGES
+) -> str:
+    """DuckDB twin of :func:`bpe_encode` (scoring family: blank docs
+    count their single '' pseudo-token)."""
+    ctes = _bpe_counts_oracle_ctes(top_words, n_merges, skip_blank=False)
+    return (
+        "WITH\n    " + ",\n    ".join(ctes) + """
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+    FROM bpe_stream JOIN bpe_wt USING (w) GROUP BY doc_id"""
+    )
+
+
+def seq_pack_bpe_oracle_sql(
+    seq_len: int = PACK_SEQ_LEN,
+    top_words: int = BPE_TOP_WORDS,
+    n_merges: int = BPE_MERGES,
+) -> str:
+    """DuckDB twin of :func:`seq_pack_bpe`: the BPE per-doc counts
+    (packing family's blank rule) feeding the same single-window pack
+    replay as the seq_pack oracle — the oracle doesn't need to scale,
+    it needs to MATCH the bucket-decomposed engine."""
+    ctes = _bpe_counts_oracle_ctes(top_words, n_merges, skip_blank=True)
+    return (
+        "WITH\n    " + ",\n    ".join(ctes) + f""",
+    bpe_cnts AS (SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS cnt
+                 FROM bpe_stream JOIN bpe_wt USING (w) GROUP BY doc_id),
+    bpe_placed AS (
+      SELECT doc_id, cnt,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY doc_id, cnt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+      FROM bpe_cnts),
+    bpe_spans AS (
+      SELECT doc_id, cnt, off,
+             unnest(generate_series(off // {seq_len},
+                                    (off + cnt - 1) // {seq_len}))
+               AS example_id
+      FROM bpe_placed WHERE cnt > 0)
+    SELECT CAST(example_id AS BIGINT) AS example_id,
+           count(*) AS n_docs,
+           CAST(sum(least((example_id + 1) * {seq_len}, off + cnt)
+                    - greatest(example_id * {seq_len}, off)) AS BIGINT)
+             AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM bpe_spans GROUP BY 1"""
+    )
+
+
 def bpe_encode(
     documents: DataFrame,
     top_words: int = BPE_TOP_WORDS,
@@ -1676,20 +1893,18 @@ def bpe_encode(
     doc_id shuffle aggregates.  No Python anywhere; OOV-free by
     construction (unmerged characters remain symbols).
 
-    Rows-only for the driver (the model is iterative, like
-    bpe_merges); exactness is pinned in tests against an independent
-    Python BPE-apply over the same merge table, including the ''
-    pseudo-token edge (split('', '') == [''] on the JVM — one empty
-    symbol, counted as one token; documented corpus-wide contract).
+    Fully oracled (bpe_encode_oracle_sql replays the trainer AND the
+    per-distinct-word application in DuckDB); additionally pinned in
+    tests against an independent Python BPE-apply over the same merge
+    table, including the '' pseudo-token edge (split('', '') == ['']
+    on the JVM — one empty symbol, counted as one token; documented
+    corpus-wide contract).
 
-    Unicode edge (deliberate, crash-free): the trainer's symbols are
-    Python CODE POINTS while the JVM's split(w, '') yields UTF-16 CODE
-    UNITS, so a merge whose side contains an astral-plane character
-    (surrogate pair) never matches on the apply side — such words just
-    keep more symbols.  Real tokenizers resolve this by training on
-    BYTES (GPT-2 byte-level BPE); at this surface's char level the
-    skip-and-continue outcome is deterministic and swept by the
-    adversarial-Unicode audit."""
+    Unicode note: Spark's split(w, '') is CODE-POINT-wise (verified on
+    the adversarial-Unicode corpus: Deseret/emoji words keep one symbol
+    per code point), matching the Python trainer's tuple(w) and the
+    oracle's utf8proc '(.)' — all three symbol alphabets agree, so
+    astral-plane words train and apply identically everywhere."""
     return _bpe_doc_counts(documents, top_words, n_merges).select(
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
@@ -1755,7 +1970,7 @@ def _bpe_doc_counts(
 def seq_pack_bpe(
     documents: DataFrame,
     seq_len: int = PACK_SEQ_LEN,
-    n_buckets: int = PACK_BUCKETS,
+    n_buckets: int | None = None,
     top_words: int = BPE_TOP_WORDS,
     n_merges: int = BPE_MERGES,
 ) -> DataFrame:
@@ -1779,11 +1994,16 @@ def seq_pack_bpe(
     no re-join; it is persisted because _pack_manifest's three
     branches (stats, bucket totals, placement) would otherwise each
     re-run the whole count pipeline (the curriculum_order precedent).
-    Rows-only (iterative driver model upstream); pinned in tests
-    against the composed independent models (Python BPE-apply feeding
-    the sequential pack model), including tab/newline-edge docs."""
+    Fully oracled (seq_pack_bpe_oracle_sql replays train→count→pack);
+    also pinned in tests against the composed independent models
+    (Python BPE-apply feeding the sequential pack model), including
+    tab/newline-edge docs.  ``n_buckets=None`` derives
+    max(PACK_BUCKETS, defaultParallelism) — see :func:`seq_pack`."""
     from kafka_go_cardinality_spark.caching import tracked_persist
+    from kafka_go_cardinality_spark.partitioning import session_fanout
 
+    if n_buckets is None:
+        n_buckets = session_fanout(documents, PACK_BUCKETS)
     counts = tracked_persist(
         _bpe_doc_counts(
             documents, top_words, n_merges, skip_blank=True

@@ -1729,40 +1729,46 @@ def q_text_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.curriculum_order(_docs(spark, sf_dir))
 
 
-@query("q_text_bpe_encode", oracle=None)  # iterative driver-model op: rows-only
+@query("q_text_bpe_encode", tx.bpe_encode_oracle_sql())
 def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E22+] Apply the trained BPE tokenizer to the corpus — the
     tokenization pass pretraining actually runs: per document, word
     count and total BPE token count under the induced merge table.
     The 32-merge application is one generated in-row fold evaluated
     once per DISTINCT word (vocab-sized compute, broadcast join back to
-    the token stream, one doc shuffle).  Iterative driver model ⇒
-    rows-only; exactness pinned vs an independent Python BPE-apply in
-    tests (operators/text.bpe_encode)."""
+    the token stream, one doc shuffle).  Fully oracled: the DuckDB twin
+    re-derives the merge table in-oracle and applies it per distinct
+    word via sentinel-encoded replace passes
+    (operators/text.bpe_encode_oracle_sql); also pinned vs an
+    independent Python BPE-apply in tests (operators/text.bpe_encode)."""
     return tx.bpe_encode(_docs(spark, sf_dir))
 
 
-@query("q_seq_pack_bpe", oracle=None)  # iterative driver-model op: rows-only
+@query("q_seq_pack_bpe", tx.seq_pack_bpe_oracle_sql())
 def q_seq_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E22+] Sequence packing by REAL tokenizer counts — the
     composition pretraining actually runs: train BPE, count each doc's
     BPE tokens (vocab-sized in-row folds), cut the doc_id-ordered
     global BPE-token stream into fixed-length training examples via the
-    bucket-decomposed prefix sum.  Rows-only (iterative model
-    upstream); pinned vs the composed independent models in tests
-    (operators/text.seq_pack_bpe)."""
+    bucket-decomposed prefix sum.  Fully oracled: the DuckDB twin
+    replays train→count→pack end to end
+    (operators/text.seq_pack_bpe_oracle_sql); also pinned vs the
+    composed independent models in tests (operators/text.seq_pack_bpe)."""
     return tx.seq_pack_bpe(_docs(spark, sf_dir))
 
 
-@query("q_text_bpe_merges", oracle=None)  # iterative driver-model op: rows-only
+@query("q_text_bpe_merges", tx.bpe_merges_oracle_sql())
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E22+] BPE merge-table induction (Sennrich et al.): one corpus
     tokenize+count shuffle into a vocab-sized frame, TakeOrdered top-256
     word model, 32 deterministic highest-pair merges on the driver-side
-    model (the same model-sized-seed discipline as k-means/PQ).  The
-    merge loop is iterative and not SQL-expressible; determinism and the
-    reference algorithm are pinned in tests/test_analytics.py against a
-    hand-computed corpus (operators/text.bpe_merges)."""
+    model (the same model-sized-seed discipline as k-means/PQ).  Fully
+    oracled: the DuckDB twin replays the whole induction as a generated
+    CTE chain — sentinel-encoded symbolizations make one replace() an
+    exact trainer merge pass (operators/text.bpe_merges_oracle_sql);
+    determinism and the reference algorithm additionally pinned in
+    tests/test_analytics.py against a hand-computed corpus
+    (operators/text.bpe_merges)."""
     return tx.bpe_merges(_docs(spark, sf_dir))
 
 

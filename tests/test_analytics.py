@@ -1004,6 +1004,86 @@ def test_bpe_merges_empty_corpus_typed_empty(spark):
     ]
 
 
+def _bpe_duck(rows):
+    """DuckDB connection with a `documents` view over literal rows —
+    the harness for pinning the generated BPE oracles on corpora the
+    sf fixtures can't produce (trainer break, blank/NULL edges)."""
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+            {"doc_id": "Int64"}
+        ),
+    )
+    return con
+
+
+def test_bpe_oracles_replay_trainer_break_path(spark):
+    """A corpus with exactly ONE mergeable pair: the trainer breaks at
+    rank 1 and the oracle's 31 remaining stages must emit no rows AND
+    leave the apply chain intact (the LEFT JOIN identity contract) —
+    merges, per-doc counts, and the pack manifest all stay engine-
+    exact past the break."""
+    from kafka_go_cardinality_spark.operators.text import (
+        bpe_encode,
+        bpe_encode_oracle_sql,
+        bpe_merges,
+        bpe_merges_oracle_sql,
+        seq_pack_bpe,
+        seq_pack_bpe_oracle_sql,
+    )
+    from tests.conftest import assert_frames_match
+
+    rows = [(0, "ab ab x y"), (1, "z ab"), (2, "   "), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    con = _bpe_duck(rows)
+    m = bpe_merges(docs).toPandas()
+    assert len(m) == 1 and tuple(m.iloc[0]) == (0, "a", "b", 3, "ab")
+    assert_frames_match(m, con.execute(bpe_merges_oracle_sql()).fetchdf())
+    assert_frames_match(
+        bpe_encode(docs).toPandas(),
+        con.execute(bpe_encode_oracle_sql()).fetchdf(),
+    )
+    assert_frames_match(
+        seq_pack_bpe(docs).toPandas(),
+        con.execute(seq_pack_bpe_oracle_sql()).fetchdf(),
+    )
+
+
+def test_bpe_oracle_sentinel_boundary_words(spark):
+    """Symbol-boundary alignment of the sentinel encoding: words where
+    one merge's sides are PREFIXES/SUFFIXES of other words' symbols
+    ('ab' inside 'xab'/'abx'/'xabx') must merge only at true symbol
+    boundaries, and punctuation-bearing words (quotes, backslashes —
+    the SQL-literal stress set) must survive the generated SQL."""
+    from kafka_go_cardinality_spark.operators.text import (
+        bpe_encode,
+        bpe_encode_oracle_sql,
+        bpe_merges,
+        bpe_merges_oracle_sql,
+    )
+    from tests.conftest import assert_frames_match
+
+    rows = [
+        (0, "ab ab ab ab xab abx xabx"),
+        (1, "a'b a\\b ab"),
+        (2, "aab aba baa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    con = _bpe_duck(rows)
+    assert_frames_match(
+        bpe_merges(docs).toPandas(),
+        con.execute(bpe_merges_oracle_sql()).fetchdf(),
+    )
+    assert_frames_match(
+        bpe_encode(docs).toPandas(),
+        con.execute(bpe_encode_oracle_sql()).fetchdf(),
+    )
+
+
 def test_curriculum_positions_are_a_difficulty_sorted_permutation(spark, sf_dir):
     """curriculum_pos must be exactly 0..N-1 with no gaps, ordered by
     (avg_nll_q, doc_id), and shards must be contiguous position ranges

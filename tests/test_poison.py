@@ -224,6 +224,13 @@ UNICODE_SENSITIVE = [
     "q_text_pii_scrub",
     "q_dedup_ngram",
     "q_text_winnow",
+    # The r8 BPE oracles: three symbol alphabets must agree per CODE
+    # POINT — Spark split(w,''), the Python trainer's tuple(w), and the
+    # oracle's utf8proc '(.)' — which this corpus's Deseret/emoji/ZWJ
+    # words exercise directly.
+    "q_text_bpe_merges",
+    "q_text_bpe_encode",
+    "q_seq_pack_bpe",
 ]
 
 
