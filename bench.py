@@ -47,11 +47,23 @@ def _sf_from_dir(path: str) -> float:
         return -1.0
 
 
+def _load_stamp() -> list | None:
+    """1/5/15-minute load averages, None where unsupported."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return None
+
+
 def main() -> int:
     from kafka_go_cardinality_spark.session import get_spark
 
     import __spark_entry__ as entry_mod
 
+    # Box contention at MEASUREMENT START (r7 verdict item 8): the r7
+    # 175 s outlier was external load diagnosed after the fact — the
+    # stamp makes a hot-box artifact self-identifying.
+    load_start = _load_stamp()
     spark = get_spark(app_name="kgc-spark-bench")
     queries = entry_mod.queries()
 
@@ -163,8 +175,16 @@ def main() -> int:
         ).stdout.strip() or None
     except Exception:
         rev = None
+    try:
+        with open("/proc/uptime") as fh:
+            uptime_sec = round(float(fh.read().split()[0]))
+    except (OSError, ValueError, IndexError):
+        uptime_sec = None
     payload = {
         "code_rev": rev,
+        "loadavg_start": load_start,
+        "loadavg_end": _load_stamp(),
+        "uptime_sec": uptime_sec,
         "metric": "all_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -186,7 +206,12 @@ def main() -> int:
 
         rnd = driver_evidence.round_index() + 1
         snapshots = ["BENCH_FULL.json", f"BENCH_FULL_r{rnd:02d}.json"]
-    except Exception:
+    except (ImportError, OSError, ValueError) as exc:
+        # Narrow on purpose: a silent bare-except made a missing per-round
+        # snapshot indistinguishable from an intentionally snapshot-less
+        # run (r7 advice).  Anything else propagates.
+        print(f"bench: no per-round snapshot ({exc!r}); writing pointer only",
+              file=sys.stderr)
         snapshots = ["BENCH_FULL.json"]
     for fname in snapshots:
         with open(os.path.join(repo, fname), "w") as fh:

@@ -21,6 +21,7 @@ CORRECTNESS file as proof and parked those two queries at the back.
 
 from __future__ import annotations
 
+import copy
 import functools
 import glob
 import json
@@ -36,16 +37,9 @@ def correctness_files(root: str = _REPO_ROOT) -> list[str]:
 
 
 @functools.lru_cache(maxsize=8)
-def _parsed_rounds(root: str = _REPO_ROOT) -> list[dict]:
-    """Per-round row dicts, oldest first — only files that parse count as
-    rounds, so latest_rows() and round_index() agree on what a round is.
-
-    Memoized per root: proven_names / stale_red_names / evidence_age /
-    round_index each consume this, and the registry calls all four at
-    import — uncached that re-reads and re-parses every round's JSON
-    four times per process (O(rounds x file size), growing each round).
-    The artifacts only change between driver rounds, never within a
-    process.  Callers must not mutate the returned dicts."""
+def _parsed_rounds_cached(root: str) -> list[dict]:
+    """The raw parse behind :func:`_parsed_rounds` — cache of record;
+    never hand its return value out (see _parsed_rounds)."""
     rounds: list[dict] = []
     for path in correctness_files(root):
         try:
@@ -56,6 +50,24 @@ def _parsed_rounds(root: str = _REPO_ROOT) -> list[dict]:
         if isinstance(data, dict):
             rounds.append(data)
     return rounds
+
+
+def _parsed_rounds(root: str = _REPO_ROOT) -> list[dict]:
+    """Per-round row dicts, oldest first — only files that parse count as
+    rounds, so latest_rows() and round_index() agree on what a round is.
+
+    Memoized per root: proven_names / stale_red_names / evidence_age /
+    round_index each consume this, and the registry calls all four at
+    import — uncached that re-reads and re-parses every round's JSON
+    four times per process (O(rounds x file size), growing each round).
+    Returns a DEEP COPY of the cached parse (the rounds are small —
+    a few hundred 6-field rows): a caller mutating a row, which the old
+    shared-reference contract only forbade by docstring, can no longer
+    corrupt every downstream consumer.  A long-lived process that wants
+    to see a NEW CORRECTNESS_r*.json land mid-flight can call
+    ``_parsed_rounds_cached.cache_clear()``; within a normal driver or
+    test process the artifacts only change between rounds."""
+    return copy.deepcopy(_parsed_rounds_cached(root))
 
 
 def latest_rows(root: str = _REPO_ROOT) -> dict[str, dict]:

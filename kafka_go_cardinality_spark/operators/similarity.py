@@ -1217,6 +1217,16 @@ def knn_classify(
     labeling (probes ≈ corpus) the broadcast flips to the IVF/LSH
     bucketed candidate plans (ann_lsh_topk / ivf_topk) with this same
     vote tail."""
+    return _vote_tail(knn_ranked(embeddings, k, test_mod))
+
+
+def knn_ranked(
+    embeddings: DataFrame, k: int = KNN_K, test_mod: int = KNN_TEST_MOD
+) -> DataFrame:
+    """The exact twin's ranked neighbor frame (query_id, neighbor_id,
+    rank, cos, labels) BEFORE the vote — :func:`knn_classify`'s whole
+    pipeline minus the vote tail, and the ground truth the knn_ivf
+    retrieval-recall harness measures against (r7 verdict item 6)."""
     # Non-finite / NULL-element vectors are excluded at EVERY embedding
     # ingress (functions.vec_finite contract): a NaN coordinate makes
     # cell/rank placement engine-divergent (Spark argmax yields no cell,
@@ -1255,8 +1265,7 @@ def knn_classify(
             ).alias("cos"),
         )
     )
-    kn = _grouped_topk(scored, k)
-    return _vote_tail(kn)
+    return _grouped_topk(scored, k)
 
 
 def _vote_tail(kn: DataFrame) -> DataFrame:
@@ -1308,23 +1317,109 @@ def knn_classify_ivf(
     - ranking is the salted two-level top-k (_grouped_topk), voting is
       the shared model-sized tail.
 
-    Approximate by construction (a true neighbor in an unprobed cell is
-    missed), so rows-only for the driver; tests pin prediction
-    agreement against the exact twin and determinism.  The 32×-vectors
-    scale probe measured the exact twin at 43× wall on 1024× pairs —
-    this is the path that removes the ×32 probe-growth factor from the
-    pair count."""
-    embeddings = embeddings.filter(vec_finite(F.col("embedding")))
-    scored_cells, seed_vecs = _centroid_scored_cells(
-        embeddings, n_centroids, keep=("label",)
+    PREDICTION QUALITY is approximate by construction (a true neighbor
+    in an unprobed cell is missed); OUTPUT COVERAGE is not: every probe
+    emits exactly one row whenever the train side is non-empty, with
+    candidate-less probes falling back to the training-majority label
+    (see the fallback note in the body — r7 advice).  Rows-only for the
+    driver; tests pin prediction agreement against the exact twin,
+    coverage equality, and determinism.  The 32×-vectors scale probe
+    measured the exact twin at 43× wall on 1024× pairs — this is the
+    path that removes the ×32 probe-growth factor from the pair
+    count."""
+    scored_cells, kn, train, probe_rows = _knn_ivf_parts(
+        embeddings, k, test_mod, n_centroids, n_probe
     )
-    if not seed_vecs:
+    if kn is None:
         return scored_cells.select(
             "vec_id",
             F.col("label").cast("int").alias("true_label"),
             F.col("label").cast("int").alias("predicted"),
             F.lit(0).cast("int").alias("correct"),
         ).limit(0)
+    voted = _vote_tail(kn)
+    # OUTPUT COVERAGE is exact, not approximate (r7 advice): a probe
+    # whose n_probe cells hold zero training rows used to vanish from
+    # the output entirely — a different failure mode than the
+    # documented missed-neighbor approximation, and one the exact twin
+    # (which always emits every probe when train is non-empty) never
+    # shows.  Such probes now emit the TRAINING-MAJORITY label (ties to
+    # the smaller label) — the prior a kNN classifier degenerates to
+    # with zero retrieved neighbors, deterministic and model-sized to
+    # compute.  The empty-train case stays twin-consistent for free:
+    # the prior frame is empty, the cross join clears the fallback, and
+    # both twins emit nothing.  Scale: probe_ids is one column-pruned
+    # pass over the probes; the left join keys on vec_id (no broadcast
+    # of a corpus-sized side); prior is a TakeOrdered over ≤|labels|
+    # grouped rows.
+    prior = (
+        train.groupBy("n_label")
+        .agg(F.count(F.lit(1)).alias("_pc"))
+        .orderBy(F.col("_pc").desc(), "n_label")
+        .limit(1)
+        .select(F.col("n_label").alias("_prior"))
+    )
+    probe_ids = probe_rows.groupBy(F.col("vec_id")).agg(
+        F.min("label").alias("_tl")
+    )
+    return (
+        probe_ids.join(voted, "vec_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "vec_id",
+            F.coalesce("true_label", F.col("_tl")).alias("true_label"),
+            F.coalesce("predicted", F.col("_prior")).alias("predicted"),
+            F.coalesce(
+                "correct",
+                (F.col("_prior") == F.col("_tl")).cast("int"),
+            ).alias("correct"),
+        )
+    )
+
+
+def knn_ivf_ranked(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    test_mod: int = KNN_TEST_MOD,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBES,
+) -> DataFrame:
+    """The IVF candidate plan's ranked neighbor frame before the vote —
+    the measured side of the knn retrieval-recall harness (r7 verdict
+    item 6; ground truth is :func:`knn_ranked`).  Typed empty on an
+    empty corpus."""
+    scored_cells, kn, _train, _probe_rows = _knn_ivf_parts(
+        embeddings, k, test_mod, n_centroids, n_probe
+    )
+    if kn is None:
+        return scored_cells.select(
+            F.col("vec_id").alias("query_id"),
+            "label",
+            F.col("label").alias("n_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0.0).alias("cos"),
+            F.lit(0).alias("rank"),
+        ).limit(0)
+    return kn
+
+
+def _knn_ivf_parts(
+    embeddings: DataFrame,
+    k: int,
+    test_mod: int,
+    n_centroids: int,
+    n_probe: int,
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None, DataFrame | None]:
+    """Shared candidate pipeline of :func:`knn_classify_ivf` and
+    :func:`knn_ivf_ranked`: returns (scored_cells, ranked-top-k, train,
+    probe_rows); everything after scored_cells is None when the corpus
+    has no centroid seeds (callers emit their typed empties)."""
+    embeddings = embeddings.filter(vec_finite(F.col("embedding")))
+    scored_cells, seed_vecs = _centroid_scored_cells(
+        embeddings, n_centroids, keep=("label",)
+    )
+    if not seed_vecs:
+        return scored_cells, None, None, None
     with_cell = scored_cells.select(
         "vec_id",
         "label",
@@ -1380,4 +1475,4 @@ def knn_classify_ivf(
             dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
         ).alias("cos"),
     )
-    return _vote_tail(_grouped_topk(scored, k))
+    return scored_cells, _grouped_topk(scored, k), train, probe_rows

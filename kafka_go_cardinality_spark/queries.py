@@ -94,10 +94,28 @@ _FAMILY_ORDER = (
 # Order the proven block oldest-evidence-first (see driver_evidence.
 # evidence_age): the driver's first-N sweep then re-proves the most
 # stale green rows each round, and refreshing them rotates the queue.
+#
+# ORACLE-AWARE (r7 verdict item 4): a rows-only query can never produce
+# hash evidence, so each of its sweep slots buys strictly less than an
+# oracled query's would (r07 spent 12 of 50 slots on approx grains).
+# Rows-only queries therefore carry an age penalty — they re-check only
+# once their run-clean evidence is ROWS_ONLY_STALENESS_PENALTY rounds
+# staler than competing oracled queries' hash evidence, rather than
+# never (a hard oracled-first split would park them forever behind the
+# ~4-round oracled rotation) or in equal turn (wasting hash slots).
+ROWS_ONLY_STALENESS_PENALTY = 2
+
 _AGE: dict[str, int] = driver_evidence.evidence_age()
+
+
+def _effective_age(name: str) -> int:
+    age = _AGE.get(name, -1)
+    return age if name in ORACLE_SQL else age + ROWS_ONLY_STALENESS_PENALTY
+
+
 _PROVEN_POS: dict[str, int] = {
     n: i
-    for i, n in enumerate(sorted(_PROVEN, key=lambda n: (_AGE.get(n, -1), n)))
+    for i, n in enumerate(sorted(_PROVEN, key=lambda n: (_effective_age(n), n)))
 }
 
 

@@ -283,10 +283,28 @@ def _ephemeral_checkpoint_dir() -> str:
     q_stream_session at sf0.1: disk passes 3.0-7.7 s, tmpfs passes
     2.6-3.4 s — the r6 verdict's 1.53x spread was this I/O).  Durable
     pipelines pass a real ``checkpoint_dir`` to ``kafka_stats_sink``;
-    this helper is only for the replay harness."""
-    root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    this helper is only for the replay harness.
+
+    tmpfs is used only when it has headroom: a host with a small
+    /dev/shm would trade the old working disk default for ENOSPC
+    mid-replay (r7 advice), so anything under 256 MiB free — WAL +
+    state commits for the fixture replays run well under that, and a
+    bigger replay should not be on tmpfs anyway — falls back to the
+    default temp dir.  ``KGC_CHECKPOINT_SCRATCH`` overrides the scratch
+    root outright (any path, tmpfs or not)."""
     import tempfile
 
+    override = os.environ.get("KGC_CHECKPOINT_SCRATCH")
+    if override:
+        return tempfile.mkdtemp(prefix="kgc_ckpt_", dir=override)
+    root = None
+    if os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 256 * 1024 * 1024:
+                root = "/dev/shm"
+        except OSError:
+            pass
     return tempfile.mkdtemp(prefix="kgc_ckpt_", dir=root)
 
 

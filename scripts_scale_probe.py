@@ -181,6 +181,9 @@ def main() -> int:
     vectors_mode = "--vectors" in argv
     if vectors_mode:
         argv.remove("--vectors")
+    recall_mode = "--recall" in argv
+    if recall_mode:
+        argv.remove("--recall")
     names = argv or (
         VECTORS_QUERIES
         if vectors_mode
@@ -189,6 +192,38 @@ def main() -> int:
 
     spark = get_spark(app_name="scale-probe")
     qs = m.queries()
+    if recall_mode:
+        # knn_ivf retrieval quality at the scaled-vectors probe (r7
+        # verdict item 6): mean per-query |ivf top-k ∩ exact top-k| /
+        # |exact top-k|, exact twin as ground truth.  Blind probing of
+        # n_probe/n_centroids cells would land ~0.25; measured 0.55 at
+        # 32× from both sf0.001 and sf0.01 (2026-08-15).
+        import collections
+
+        from kafka_go_cardinality_spark.operators import similarity as sim
+        from kafka_go_cardinality_spark.sources import load_table
+
+        d = build_scaled_vectors_dir(factor, src)
+        emb = load_table(spark, d, "embeddings")
+
+        def ranked_sets(df):
+            s = collections.defaultdict(set)
+            for r in df.collect():
+                s[r["query_id"]].add(r["neighbor_id"])
+            return s
+
+        exact = ranked_sets(sim.knn_ranked(emb))
+        ivf = ranked_sets(sim.knn_ivf_ranked(emb))
+        recalls = [
+            len(ivf.get(q, set()) & ns) / len(ns)
+            for q, ns in exact.items()
+        ]
+        print(
+            f"knn_ivf_recall@k,x{factor},queries={len(exact)},"
+            f"mean={sum(recalls) / len(recalls):.4f},min={min(recalls):.4f}"
+        )
+        spark.stop()
+        return 0
     if vectors_mode:
         scaled = build_scaled_vectors_dir(factor, src)
     elif events_mode:

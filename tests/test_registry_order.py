@@ -33,11 +33,36 @@ def test_never_checked_precede_proven():
 def test_proven_block_is_oldest_evidence_first():
     """The proven block must present oldest-evidence-first so each
     driver sweep re-proves the most stale green rows (r6 verdict item
-    4): ascending latest-row round index across the block."""
+    4), with rows-only queries aged forward by the staleness penalty so
+    hash-capable queries get the sweep slots (r7 verdict item 4):
+    ascending EFFECTIVE age across the block."""
+    from kafka_go_cardinality_spark.queries import (
+        ORACLE_SQL,
+        ROWS_ONLY_STALENESS_PENALTY,
+    )
+
     age = driver_evidence.evidence_age()
     proven = driver_evidence.proven_names()
-    ages = [age[n] for n in QUERIES if n in proven and n in age]
+    ages = [
+        age[n]
+        + (0 if n in ORACLE_SQL else ROWS_ONLY_STALENESS_PENALTY)
+        for n in QUERIES
+        if n in proven and n in age
+    ]
     assert ages == sorted(ages)
+
+
+def test_sweep_head_is_mostly_hash_capable():
+    """The driver's 50-slot sweep must spend its slots on queries that
+    can produce hash evidence: with the rows-only penalty in place, the
+    current artifacts put at most a handful of rows-only queries in the
+    head (r07 spent 12 slots on them; the r7 verdict's bar is ≥44
+    oracled of 50)."""
+    from kafka_go_cardinality_spark.queries import ORACLE_SQL
+
+    head = list(QUERIES)[:50]
+    oracled = sum(1 for n in head if n in ORACLE_SQL)
+    assert oracled >= 44, f"only {oracled}/50 head slots are hash-capable"
 
 
 def test_is_green_semantics():

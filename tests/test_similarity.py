@@ -385,3 +385,88 @@ def test_grouped_topk_results_salt_count_independent(spark, sf_dir, monkeypatch)
         )
         results.append(rows)
     assert results[0] and results[0] == results[1] == results[2]
+
+
+def test_knn_ivf_covers_every_probe(spark, sf_dir):
+    """Output coverage is exact even where prediction quality is
+    approximate (r7 advice): the IVF path must emit exactly one row per
+    distinct probe id whenever the train side is non-empty — the exact
+    twin's coverage — including probes whose probed cells hold zero
+    training rows (which vanished before the majority-prior fallback)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_ids = {r["vec_id"] for r in sim.knn_classify(emb).collect()}
+    ivf_ids = {r["vec_id"] for r in sim.knn_classify_ivf(emb).collect()}
+    assert exact_ids and ivf_ids == exact_ids
+
+
+def test_knn_ivf_candidate_less_probe_gets_majority_prior(spark):
+    """A probe whose n_probe probed cells contain no training rows must
+    emit the training-majority label (ties to the smaller label), not
+    vanish.  Fixture: two far-apart anchor directions; the lone probe
+    (vec_id 0, test_mod 4... every id % 4 == 0 is a probe) sits alone
+    on an anchor whose cell holds only probes, with n_probe=1."""
+    rows = []
+    # train rows clustered on anchor dim 0, labels 1 (x3) and 2 (x2):
+    # majority prior = label 1
+    for i, lab in ((1, 1), (2, 1), (3, 1), (5, 2), (6, 2)):
+        v = [0.0] * 8
+        v[0] = 1.0
+        v[7] = 0.01 * i
+        rows.append((i, v, lab))
+    # the probe: alone on the orthogonal anchor, its own cell
+    pv = [0.0] * 8
+    pv[3] = 1.0
+    rows.append((4, pv, 9))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["vec_id"]: (r["predicted"], r["correct"])
+        for r in sim.knn_classify_ivf(
+            df, test_mod=4, n_centroids=2, n_probe=1
+        ).collect()
+    }
+    assert 4 in out, "candidate-less probe vanished from the output"
+    assert out[4] == (1, 0)
+
+
+def test_knn_ivf_empty_train_emits_nothing(spark):
+    """All-probe corpora (test_mod=1) have an empty train side: both
+    twins emit zero rows — the fallback must not invent predictions
+    with no model to draw from."""
+    rows = [(i, [float(i == j) for j in range(4)], i % 2) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    assert sim.knn_classify_ivf(df, test_mod=1).count() == 0
+    assert sim.knn_classify(df, test_mod=1).count() == 0
+
+
+def test_knn_ivf_retrieval_recall_floor_at_32x(spark):
+    """R7 verdict item 6: quantify knn_ivf RETRIEVAL quality at the
+    32×-vectors probe scale, exact twin as ground truth (the same
+    harness the ANN recall floors use).  Probing n_probe=4 of 16 cells
+    blind would land ~0.25; the nearest-cell ordering must buy well
+    more — measured 0.55 mean recall@k at both 32× sources
+    (scripts_scale_probe.py --vectors --recall reproduces the number).
+    Floor at 0.45 to absorb fixture drift without masking a real
+    candidate-plan regression toward blind probing."""
+    import collections
+
+    from scripts_scale_probe import build_scaled_vectors_dir
+
+    d = build_scaled_vectors_dir(32, "/root/testdata/sf0.001")
+    emb = load_table(spark, d, "embeddings")
+
+    def ranked_sets(df):
+        s = collections.defaultdict(set)
+        for r in df.collect():
+            s[r["query_id"]].add(r["neighbor_id"])
+        return s
+
+    exact = ranked_sets(sim.knn_ranked(emb))
+    ivf = ranked_sets(sim.knn_ivf_ranked(emb))
+    recalls = [
+        len(ivf.get(q, set()) & ns) / len(ns) for q, ns in exact.items()
+    ]
+    assert exact and sum(recalls) / len(recalls) >= 0.45
