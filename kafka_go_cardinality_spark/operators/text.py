@@ -1071,6 +1071,111 @@ def bigram_assoc_oracle_sql(min_count: int = PMI_MIN_COUNT) -> str:
     """
 
 
+def bigram_lm(documents: DataFrame) -> DataFrame:
+    """Order-2 corpus language-model scoring — the next rung above
+    :func:`unigram_surprisal` on the KenLM-perplexity ladder CCNet-style
+    quality filtering actually uses: per document, the summed and mean
+    surprisal of its adjacent token pairs under the corpus's own
+    add-one-smoothed bigram model::
+
+        P(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V)
+        nll_q      = round(ln((c(w1) + V) / (c(w1,w2) + 1)) * 1e6)
+
+    (V = distinct-token vocabulary size).  Per-pair surprisal is
+    quantized to integer micro-units BEFORE aggregation and the mean is
+    integer division — the module's engine-exactness discipline, so
+    sums/means are identical at any parallelism and engine.
+
+    Contract: docs with fewer than two tokens have no bigrams and emit
+    NO row (an order-2 model cannot score them — the same
+    skip-and-continue shape as grams()); NULL text likewise.  A ''
+    pseudo-token participates as an ordinary vocabulary word when it
+    appears inside a longer token stream.
+
+    Scale shape: the pairs stream is an in-row zip-of-slices (no guard
+    needed — ``slice(t, 2, size-1)`` is empty at size 1, and tokens()
+    yields ≥1 element), exploded once per consumer.  The bigram model
+    is ONE map-side-combined shuffle into a vocab²-bounded frame; the
+    unigram counts and V derive from vocab-sized aggregations and
+    BROADCAST onto it (vocab ≪ vocab²).  The score-back join does NOT
+    broadcast the model — at 100 TB a bigram table can be GBs-to-TBs,
+    so pairs and model co-shuffle on the (w1, w2) key (the price any
+    engine pays for order-2 scoring without an external model file) —
+    and the per-doc rollup re-shuffles on doc_id once."""
+    tok = tokens(F.col("text"))
+    pairs = documents.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(tok, 1, F.size(tok) - 1).alias("w1"),
+                F.slice(tok, 2, F.size(tok) - 1).alias("w2"),
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.w1", "e.w2")
+    uni = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vsize = uni.agg(F.count(F.lit(1)).alias("v"))
+    model = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("c1") + F.col("v")).cast("double")
+                    / (F.col("c2") + 1).cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("nll_q"),
+        )
+    )
+    return (
+        pairs.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll_q").alias("sum_nll_q"),
+        )
+        .withColumn("avg_nll_q", F.expr("sum_nll_q div n_bigrams"))
+    )
+
+
+def bigram_lm_oracle_sql() -> str:
+    """DuckDB twin of :func:`bigram_lm` — same smoothing, same
+    micro-unit quantization point, same truncating integer mean."""
+    from kafka_go_cardinality_spark.functions import tokens_sql
+
+    t = tokens_sql("text")
+    return f"""
+    WITH blm_toks AS (SELECT doc_id, {t} AS t FROM documents),
+    blm_pairs AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                  FROM blm_toks, unnest(range(1, len(t))) AS r(i)),
+    blm_uni AS (SELECT w1, count(*) AS c1
+                FROM (SELECT unnest(t) AS w1 FROM blm_toks) GROUP BY 1),
+    blm_v AS (SELECT count(*) AS v FROM blm_uni),
+    blm_model AS (
+      SELECT w1, w2,
+             CAST(round(ln(CAST(c1 + v AS DOUBLE) / (c2 + 1)) * 1e6)
+               AS BIGINT) AS nll_q
+      FROM (SELECT w1, w2, count(*) AS c2 FROM blm_pairs GROUP BY 1, 2)
+      JOIN blm_uni USING (w1) CROSS JOIN blm_v)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(nll_q) AS BIGINT) AS sum_nll_q,
+           CAST(sum(nll_q) AS BIGINT) // count(*) AS avg_nll_q
+    FROM blm_pairs JOIN blm_model USING (w1, w2)
+    GROUP BY doc_id
+    """
+
+
 # DSIR-style importance weights: two hashed unigram "models" (target and
 # source) whose integer bucket weights are pure arithmetic functions of
 # the md5 bucket id — the documented stand-in for trained hashed-ngram

@@ -984,6 +984,20 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_topk(_emb(spark, sf_dir))
 
 
+@query("q_sim_ann_ivfpq", oracle=None)  # quantized estimates: rows-only
+def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E21] IVF+PQ composed ANN — the production billion-scale index
+    shape (FAISS IVFPQ, non-residual variant): the IVF coarse quantizer
+    bounds WHICH vectors a probe scores (4 of 16 cells), PQ/ADC bounds
+    WHAT each candidate costs (8 table lookups on nibble codes).  One
+    map pass assigns cells + codes, the corpus shuffles once into the
+    inverted file, the LUT-carrying probe side broadcasts
+    (operators/similarity.ivfpq_topk).  Planted-twin recall,
+    pq-consistency on shared pairs, and the selected-beat-average floor
+    pinned in tests/test_similarity.py."""
+    return sim.ivfpq_topk(_emb(spark, sf_dir))
+
+
 @query(
     "q_text_unigram_nll",
     f"""
@@ -1010,6 +1024,18 @@ def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-units end-to-end so sums and means are engine-exact
     (operators/text.unigram_surprisal)."""
     return tx.unigram_surprisal(_docs(spark, sf_dir))
+
+
+@query("q_text_bigram_lm", tx.bigram_lm_oracle_sql())
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22+] Order-2 corpus LM surprisal per document — the next rung
+    above q_text_unigram_nll on the KenLM-perplexity ladder of
+    CCNet-style quality filtering: add-one-smoothed bigram NLL in
+    integer micro-units end-to-end (engine-exact sums and truncating
+    integer means).  The bigram model co-shuffles with the pairs stream
+    on the (w1, w2) key — never broadcast, since a 100 TB corpus's
+    bigram table is itself big data (operators/text.bigram_lm)."""
+    return tx.bigram_lm(_docs(spark, sf_dir))
 
 
 @query("q_dedup_semantic", sim.semantic_dedup_oracle_sql())

@@ -470,3 +470,75 @@ def test_knn_ivf_retrieval_recall_floor_at_32x(spark):
         len(ivf.get(q, set()) & ns) / len(ns) for q, ns in exact.items()
     ]
     assert exact and sum(recalls) / len(recalls) >= 0.45
+
+
+def test_ivfpq_finds_planted_neighbors(spark, sf_dir):
+    """The composed IVF+PQ path must retrieve genuinely-near planted
+    twins (cos ≈ 0.99): a near-identical vector lands in the probed
+    cells AND its quantized codes give a near-minimal ADC estimate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = sim.with_planted_neighbors(emb).select("vec_id", "embedding")
+    res = sim.ivfpq_topk(corpus, n_queries=56, k=5)
+    got = {(r.query_id, r.vec_id) for r in res.collect()}
+    planted = [i for i in range(56) if i % 11 == 0]
+    assert all((q, q + 1_000_000) in got for q in planted)
+
+
+def test_ivfpq_consistent_with_pq_on_shared_pairs(spark, sf_dir):
+    """IVF+PQ shares pq_topk's codebooks (same deterministic sample),
+    so any (query, vec) pair both indexes select must carry the
+    bit-identical est_dist — the composition changes WHICH pairs are
+    scored, never WHAT a scored pair costs.  Also a coverage floor:
+    probing 4/16 cells still overlaps the unconstrained PQ top-k
+    meaningfully (measured 40/50 on this fixture)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pq = {
+        (r.query_id, r.vec_id): r.est_dist for r in sim.pq_topk(emb).collect()
+    }
+    ivfpq = {
+        (r.query_id, r.vec_id): r.est_dist
+        for r in sim.ivfpq_topk(emb).collect()
+    }
+    shared = set(pq) & set(ivfpq)
+    assert len(shared) / len(pq) >= 0.5
+    assert all(pq[p] == ivfpq[p] for p in shared)
+
+
+def test_ivfpq_selected_neighbors_beat_average(spark, sf_dir):
+    """Same ranking-quality floor as the PQ test (exact ≈ 0.68, PQ
+    0.71-0.86, random 1.0): the cell restriction must not degrade the
+    picks to random draws.  Measured mean 0.755 on this fixture; floor
+    at 0.85 mean."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    picks: dict[int, list[int]] = {}
+    for r in sim.ivfpq_topk(emb).collect():
+        picks.setdefault(r.query_id, []).append(r.vec_id)
+
+    def l2sq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    assert len(picks) == 10
+    ratios = []
+    for q, chosen in picks.items():
+        pv = vecs[q]
+        dists = {vid: l2sq(pv, v) for vid, v in vecs.items() if vid != q}
+        ratios.append(
+            (sum(dists[v] for v in chosen) / len(chosen))
+            / (sum(dists.values()) / len(dists))
+        )
+    assert sum(ratios) / len(ratios) < 0.85, ratios
+
+
+def test_ivfpq_empty_corpus_typed_empty(spark):
+    emb = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>, label int"
+    )
+    out = sim.ivfpq_topk(emb)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "vec_id", "est_dist",
+    ]
