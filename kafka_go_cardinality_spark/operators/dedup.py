@@ -557,6 +557,106 @@ def substring_dup_stats(corpus: DataFrame, w: int = SUBSTR_W) -> DataFrame:
     )
 
 
+def substring_span_removal(corpus: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """Exact-substring SPAN REMOVAL accounting (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): where
+    :func:`substring_dup_stats` only *profiles* duplication, this
+    operator computes what the trim step would actually cut — per doc,
+    the corpus-duplicated length-``w`` token windows are merged into
+    maximal spans (overlapping/adjacent windows coalesce) and the doc's
+    post-removal token count is reported:
+
+      ``(doc_id, n_tokens, dup_spans, tokens_removed, clean_tokens)``
+
+    with ``tokens_removed`` = |union of [p, p+w) over flagged window
+    starts p| and ``dup_spans`` = the number of maximal merged runs.
+
+    Scale shape: ONE corpus scan — windows are hashed in-row, postings
+    ``(doc_id, pos)`` group once on the window hash (shuffle 1, 16-byte
+    postings; document text never shuffles), the per-bucket dup verdict
+    is array-side, and a single groupBy doc_id (shuffle 2) collects each
+    doc's flagged start positions, which an in-row ``aggregate`` fold
+    merges into spans — per-doc state bounded by the doc's own window
+    count, the same bound every per-doc array op here carries.  No join
+    back to the corpus and no branch re-computation: totals and flagged
+    positions come out of the SAME doc_id aggregation.
+
+    Interval-merge fold over the ASC-sorted start positions (0-based),
+    state (end, covered, spans), init end = -1:
+      - covered += (p + w) - greatest(p, end)  — w on a gap/adjacency,
+        the non-overlapped suffix otherwise (sorted starts of equal
+        width ⇒ end < p + w, so the increment is ≥ 1);
+      - spans   += 1 iff p > end  — strictly greater: a window starting
+        exactly at the previous end extends the same maximal run;
+      - end      = p + w.
+    The oracle computes the identical quantities as |DISTINCT covered
+    positions| and lag-gap run starts — equal by definition of interval
+    union.  Docs shorter than ``w`` tokens have no windows and are
+    absent (contract shared with substring_dup_stats and the oracle).
+    """
+    from kafka_go_cardinality_spark.functions import grams
+
+    corpus = spread(corpus)
+    flat = (
+        corpus.select("doc_id", tokens(F.col("text")).alias("t"))
+        .select("doc_id", grams(F.col("t"), w).alias("g"))
+        # posexplode_outer + null-filter, NOT posexplode: the inferred
+        # size()>0 filter would be pushed below the repartition and
+        # re-run tokenize→grams at scan parallelism (the pathology
+        # ngram_jaccard_pairs documents).
+        .select(
+            "doc_id",
+            F.posexplode_outer(
+                F.transform(F.col("g"), lambda g: hash64(g))
+            ).alias("pos", "h"),
+        )
+        .filter(F.col("h").isNotNull())
+    )
+    buckets = flat.groupBy("h").agg(
+        F.collect_list(F.struct("doc_id", "pos")).alias("occ")
+    )
+    occ = (
+        buckets.select(
+            (F.size("occ") >= 2).alias("dup"), F.explode_outer("occ").alias("o")
+        )
+        .filter(F.col("o").isNotNull())
+        .select(F.col("o.doc_id").alias("doc_id"), F.col("o.pos").alias("pos"), "dup")
+    )
+    # collect_list drops the NULLs of clean windows, so `ps` holds only
+    # the flagged starts while count(*) still sees every window.
+    per_doc = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("dup"), F.col("pos").cast("long")))
+        ).alias("ps"),
+    )
+    init = F.struct(
+        F.lit(-1).cast("long").alias("end"),
+        F.lit(0).cast("long").alias("covered"),
+        F.lit(0).cast("long").alias("spans"),
+    )
+    merged = F.aggregate(
+        F.col("ps"),
+        init,
+        lambda acc, p: F.struct(
+            (p + w).alias("end"),
+            (acc["covered"] + (p + w) - F.greatest(p, acc["end"])).alias("covered"),
+            (acc["spans"] + F.when(p > acc["end"], 1).otherwise(0)).alias("spans"),
+        ),
+    )
+    # Bind the fold ONCE — referencing `merged` per output column would
+    # re-run the O(|ps|) aggregate once per reference.
+    return per_doc.select(
+        "doc_id", (F.col("n_windows") + (w - 1)).alias("n_tokens"), merged.alias("m")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.col("m.spans").alias("dup_spans"),
+        F.col("m.covered").alias("tokens_removed"),
+        (F.col("n_tokens") - F.col("m.covered")).alias("clean_tokens"),
+    )
+
+
 def source_overlap(documents: DataFrame) -> DataFrame:
     """Corpus-level contamination matrix: pairwise shingle-set Jaccard
     between SOURCES (crawls/dumps/domains) — the audit every multi-source
@@ -744,6 +844,48 @@ def minhash_incremental(
 # test, the next SPLIT_VAL_PCT are validation, the rest train.
 SPLIT_TEST_PCT = 10
 SPLIT_VAL_PCT = 10
+
+
+def cluster_keep_best(corpus: DataFrame) -> DataFrame:
+    """Near-dup cluster REPRESENTATIVE SELECTION — the decision step a
+    dedup pipeline runs after clustering: within every connected
+    component of the exact n-gram pair graph, keep the single document
+    with the HIGHEST quality score (C4-style heuristic, ties broken by
+    the lower doc_id), instead of the arbitrary min-id doc naive dedup
+    keeps.  Emits every doc with its cluster and the keep verdict:
+
+      ``(doc_id, cluster_id, quality, keep)``
+
+    Docs in no pair are their own singleton cluster (kept).  Selecting
+    by quality rather than id is what makes dedup IMPROVE a training
+    set: the retained copy of boilerplate-heavy mirror pages is the
+    cleanest one, not the first-crawled one.
+
+    Scale shape: pair generation and connected components reuse their
+    operators unchanged (banded postings / pointer-jumping — see those
+    docstrings); the quality score is one in-row scan; the label
+    join is corpus × (docs-in-pairs) on doc_id; the keep window
+    partitions by cluster_id, whose groups are near-dup components —
+    bounded by duplication multiplicity, never corpus-proportional.
+    """
+    from pyspark.sql import Window
+
+    from kafka_go_cardinality_spark.operators.text import quality_score
+
+    labels = connected_components(ngram_jaccard_pairs(corpus))
+    scored = quality_score(corpus).select("doc_id", "quality")
+    joined = scored.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        "quality",
+    )
+    # Explicit NULLS FIRST: Spark's ASC default — spelled out so the
+    # oracle's (NULLS LAST by default) window is forced to match on
+    # poisoned NULL-id rows.
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc_nulls_first()
+    )
+    return joined.withColumn("keep", F.row_number().over(w) == F.lit(1))
 
 
 def leakage_safe_split(

@@ -228,6 +228,71 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs)
 
 
+def _quality_sql(src: str) -> str:
+    """The q_text_quality score expression against an arbitrary relation
+    — (doc_id, quality) rows, formula text identical to that oracle's
+    so both compute bit-equal doubles."""
+    return f"""
+      SELECT doc_id,
+             round(0.4 * least((CASE WHEN len(t) > 0 THEN CAST(n_stop AS DOUBLE) / len(t) ELSE 0.0 END) * 5, 1.0)
+                 + 0.3 * (1.0 - least((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 10, 1.0))
+                 + 0.3 * (CASE WHEN (CASE WHEN len(t) > 0 THEN CAST(n_chars AS DOUBLE) / len(t) ELSE 0.0 END) >= 3
+                                AND (CASE WHEN len(t) > 0 THEN CAST(n_chars AS DOUBLE) / len(t) ELSE 0.0 END) <= 10
+                               THEN 1.0 ELSE 0.0 END), 6) AS quality
+      FROM (SELECT doc_id,
+                   {tokens_sql('text')} AS t,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+                   len(list_filter({tokens_sql('text')},
+                       x -> list_contains({tx.STOPWORDS['en']!r}, x))) AS n_stop
+            FROM {src})
+    """
+
+
+@query(
+    "q_dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ngram_pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM ngram_pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    q AS ({_quality_sql('corpus')}),
+    joined AS (
+      SELECT q.doc_id,
+             coalesce(l.cluster_id, q.doc_id) AS cluster_id,
+             q.quality
+      FROM q LEFT JOIN labels l ON q.doc_id = l.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, cluster_id, quality,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC,
+                                         doc_id ASC NULLS FIRST) AS rn
+      FROM joined
+    )
+    SELECT doc_id, cluster_id, quality, (rn = 1) AS keep FROM ranked
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E20+] Cluster REPRESENTATIVE SELECTION: within each near-dup
+    connected component keep the highest-quality doc (C4-style score,
+    min-id tie-break) instead of naive dedup's arbitrary min-id copy —
+    the decision step that makes dedup improve a training set
+    (operators/dedup.cluster_keep_best).  Singletons keep themselves."""
+    return dd.cluster_keep_best(dd.with_near_dupes(_docs(spark, sf_dir)))
+
+
 def _cos_sql(a: str, b: str) -> str:
     """Explicit sequential-double cosine — bitwise equal to the Spark
     fold (functions.cosine); both verified equal to DuckDB
@@ -1224,6 +1289,61 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-heavy documents (operators/dedup.substring_dup_stats).
     Runs over the near-dup-planted corpus so duplicated runs exist."""
     return dd.substring_dup_stats(dd.with_near_dupes(_docs(spark, sf_dir)))
+
+
+def _span_removal_oracle() -> str:
+    """The interval-union quantities computed set-wise: covered tokens =
+    |DISTINCT flagged positions ⊕ [0, W)|, spans = lag-gap run starts —
+    equal to the engine's interval-merge fold by definition of union.
+    DuckDB zips the parallel ``unnest``s in `win`, so pos aligns with
+    the gram list's own ordering (1-based there, 0-based in Spark — the
+    outputs carry only counts, never positions)."""
+    from kafka_go_cardinality_spark.functions import grams_sql
+
+    w = dd.SUBSTR_W
+    return f"""
+    WITH corpus AS ({dd.WITH_NEAR_DUPES_SQL}),
+    toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM corpus),
+    g AS (SELECT doc_id, {grams_sql('t', w)} AS gl FROM toks),
+    win AS (SELECT doc_id,
+                   unnest(range(1, len(gl) + 1)) AS pos,
+                   unnest(list_transform(gl, x -> {hash64_sql('x')})) AS h
+            FROM g),
+    tot AS (SELECT h, count(*) AS tot FROM win GROUP BY 1),
+    flagged AS (SELECT doc_id, pos FROM win JOIN tot USING (h)
+                WHERE tot >= 2),
+    cov AS (SELECT DISTINCT doc_id, pos + off AS tk
+            FROM flagged CROSS JOIN (SELECT unnest(range(0, {w})) AS off)),
+    runs AS (SELECT doc_id, tk,
+                    lag(tk) OVER (PARTITION BY doc_id ORDER BY tk) AS prev
+             FROM cov),
+    rem AS (SELECT doc_id,
+                   count(*) AS tokens_removed,
+                   sum(CASE WHEN prev IS NULL OR tk - prev > 1
+                            THEN 1 ELSE 0 END) AS dup_spans
+            FROM runs GROUP BY 1),
+    base AS (SELECT doc_id, count(*) + {w - 1} AS n_tokens
+             FROM win GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(r.dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(coalesce(r.tokens_removed, 0) AS BIGINT) AS tokens_removed,
+           CAST(b.n_tokens - coalesce(r.tokens_removed, 0) AS BIGINT)
+             AS clean_tokens
+    FROM base b LEFT JOIN rem r USING (doc_id)
+    """
+
+
+@query("q_dedup_span_removal", _span_removal_oracle())
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E20+] Exact-substring SPAN REMOVAL accounting (the trim step of
+    Lee et al. 2022): corpus-duplicated length-W token windows merged
+    into maximal per-doc spans; reports what the cut would remove and
+    the post-removal token count — where q_dedup_substring only profiles
+    the duplicated fraction, this is the operator the actual ExactSubstr
+    pipeline runs (operators/dedup.substring_span_removal).  Runs over
+    the near-dup-planted corpus so duplicated runs exist."""
+    return dd.substring_span_removal(dd.with_near_dupes(_docs(spark, sf_dir)))
 
 
 def _source_overlap_oracle() -> str:

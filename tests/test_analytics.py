@@ -1217,3 +1217,81 @@ def test_avro_roundtrip_or_gate(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_span_removal_merges_gap_adjacency_overlap(spark):
+    """The three interval-merge regimes, hand-computed at W=8:
+    a GAP between flagged windows makes a second span, ADJACENCY
+    (next start == previous end) extends the same span, and OVERLAP
+    only adds the non-overlapped suffix.  Sub-W docs are absent;
+    all-unique docs report zero removal."""
+    from kafka_go_cardinality_spark.operators.dedup import (
+        substring_span_removal,
+    )
+
+    a_h = "a b c d e f g h"          # shared window #1
+    m_t = "m n o p q r s t"          # shared window #2
+    docs = spark.createDataFrame(
+        [
+            # flagged starts {0, 1, 12}: [0,9) ∪ [12,20) -> 2 spans, 17 cut
+            (1, f"{a_h} i j k l {m_t}"),
+            # gap at the Z: flagged {0, 9} -> 2 spans, 16 cut, 1 kept
+            (2, f"{a_h} Z {m_t}"),
+            # adjacency: flagged {0, 8} -> ONE span, 16 cut, 0 kept
+            (3, f"{a_h} {m_t}"),
+            # overlap: flagged {0, 1} -> one span, 9 cut (8 + 1 suffix)
+            (4, f"{a_h} i"),
+            # doc4's window #1 duplicated -> fully cut
+            (5, "b c d e f g h i"),
+            # >= W tokens, all windows unique -> zero removal
+            (6, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+            # < W tokens -> no windows -> absent from the output
+            (7, "v1 v2 v3"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["dup_spans"], r["tokens_removed"], r["clean_tokens"]
+        )
+        for r in substring_span_removal(docs).collect()
+    }
+    assert got == {
+        1: (20, 2, 17, 3),
+        2: (17, 2, 16, 1),
+        3: (16, 1, 16, 0),
+        4: (9, 1, 9, 0),
+        5: (8, 1, 8, 0),
+        6: (10, 0, 0, 10),
+    }
+
+
+def test_keep_best_selects_highest_quality_per_cluster(spark):
+    """Exactly one keep per cluster; the kept doc carries the cluster's
+    max quality; singletons keep themselves.  Docs 1/2 are near-dups
+    (one trailing token apart -> shingle Jaccard >= 0.6); doc 3 shares
+    nothing."""
+    from kafka_go_cardinality_spark.operators.dedup import cluster_keep_best
+
+    base = (
+        "the cat sat on the mat and then the dog sat on the mat too "
+        "while it was raining outside all afternoon long"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base + " extra", "web"),
+            (2, base, "web"),
+            (3, "completely different words nothing shared here at all", "web"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = cluster_keep_best(docs).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert set(by_cluster) == {1, 3}
+    assert len(by_cluster[1]) == 2 and len(by_cluster[3]) == 1
+    for cl, members in by_cluster.items():
+        kept = [r for r in members if r["keep"]]
+        assert len(kept) == 1
+        assert kept[0]["quality"] == max(r["quality"] for r in members)
