@@ -1285,6 +1285,115 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
     )
 
 
+STD_Q = 1_000_000
+
+
+def standardize(embeddings: DataFrame) -> DataFrame:
+    """Per-DIMENSION z-score standardization of the embedding column —
+    the whitening preprocessing run before clustering / ANN indexing so
+    no coordinate dominates the metric.  Emits per vector the
+    standardized coordinates in integer micro-units (CSV-joined — array
+    renderings differ across engines) plus their integer square norm:
+
+      ``(vec_id, z_csv, z_sq_norm)``
+
+    Cross-engine exactness: coordinates are quantized to micro-unit
+    integers with ``floor(x·1e6 + 0.5)`` (floor is bit-identical where
+    round() half-rules diverge on negatives — quantize_int8's device),
+    the per-dimension Σq / Σq² / n moments are EXACT integer sums
+    (DECIMAL(38,0) here, HUGEINT in DuckDB), and both engines then run
+    the same double expression ``(q - S/n) / sqrt(Sq/n - (S/n)²)`` on
+    moments that are exactly representable doubles at oracle scale.  A
+    zero/degenerate-variance dimension standardizes to 0 on both
+    engines (the guard compares the identically-computed variance).
+
+    Scale shape: one posexplode + ONE d-row aggregation for the moments
+    (map-side partial combine; the shuffle carries d·parallelism rows),
+    the d-row model broadcasts back onto the corpus, and the transform
+    is an in-row zip — no second shuffle, no driver collect.  NULL /
+    non-finite / wrong-dimension vectors are excluded up front on both
+    engines (vec_finite + the 64-dim contract the similarity family
+    shares); duplicate vec_ids are just rows — they weight the moments
+    identically everywhere.
+    """
+    base = embeddings.filter(
+        vec_finite(F.col("embedding")) & (F.size("embedding") == 64)
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * STD_Q + F.lit(0.5)).cast("long"),
+        ).alias("vq"),
+    )
+    flat = base.select(F.posexplode("vq").alias("dim", "q"))
+    mom = flat.groupBy("dim").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    packed = mom.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("dim", "s", "sq", "n"))).alias("m")
+    )
+
+    def _z(q, mm):
+        mu = mm["s"].cast("double") / mm["n"]
+        var = mm["sq"].cast("double") / mm["n"] - mu * mu
+        z = F.when(var > 0, (q.cast("double") - mu) / F.sqrt(var)).otherwise(
+            F.lit(0.0)
+        )
+        return F.floor(z * STD_Q + F.lit(0.5)).cast("long")
+
+    zq = F.zip_with(F.col("vq"), F.col("m"), _z)
+    return (
+        base.crossJoin(F.broadcast(packed))
+        .select("vec_id", zq.alias("zq"))
+        .select(
+            "vec_id",
+            F.array_join("zq", ",").alias("z_csv"),
+            F.aggregate(
+                "zq", F.lit(0).cast("long"), lambda acc, z: acc + z * z
+            ).alias("z_sq_norm"),
+        )
+    )
+
+
+STANDARDIZE_ORACLE_SQL = f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {STD_Q} + 0.5) AS BIGINT))
+               AS vq
+      FROM embeddings
+      WHERE {vec_finite_sql('embedding')} AND len(embedding) = 64),
+    flat AS (
+      SELECT unnest(range(1, len(vq) + 1)) AS dim, unnest(vq) AS q
+      FROM base),
+    mom AS (
+      SELECT dim, sum(q) AS s, sum(q * q) AS sq, count(*) AS n
+      FROM flat GROUP BY 1),
+    marr AS (
+      SELECT list(CAST(s AS DOUBLE) ORDER BY dim) AS s_arr,
+             list(CAST(sq AS DOUBLE) ORDER BY dim) AS sq_arr,
+             list(n ORDER BY dim) AS n_arr
+      FROM mom),
+    zed AS (
+      SELECT vec_id,
+             list_transform(range(1, len(vq) + 1), i ->
+               CAST(floor((CASE WHEN (sq_arr[i] / n_arr[i]
+                                      - (s_arr[i] / n_arr[i]) * (s_arr[i] / n_arr[i])) > 0
+                                THEN (CAST(vq[i] AS DOUBLE) - s_arr[i] / n_arr[i])
+                                     / sqrt(sq_arr[i] / n_arr[i]
+                                            - (s_arr[i] / n_arr[i]) * (s_arr[i] / n_arr[i]))
+                                ELSE 0.0 END) * {STD_Q} + 0.5) AS BIGINT))
+               AS zq
+      FROM base CROSS JOIN marr)
+    SELECT vec_id,
+           array_to_string(zq, ',') AS z_csv,
+           CAST(list_sum(list_transform(zq, z -> z * z)) AS BIGINT) AS z_sq_norm
+    FROM zed
+"""
+
+
 # The registered query projects ``codes`` to a comma-joined string:
 # the driver stringifies result frames, and engine-native array
 # renderings differ (numpy "[ 1 2 ]" vs Spark "[1, 2]") even when the

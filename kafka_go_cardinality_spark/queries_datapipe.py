@@ -1213,6 +1213,16 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_sim_standardize", sim.STANDARDIZE_ORACLE_SQL)
+def q_sim_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E21+] Per-DIMENSION z-score standardization (whitening) of the
+    embedding corpus — exact integer micro-unit moments (DECIMAL/HUGEINT
+    sums), the d-row model broadcast back, one in-row zip transform; no
+    second shuffle, no driver collect
+    (operators/similarity.standardize)."""
+    return sim.standardize(_emb(spark, sf_dir))
+
+
 @query("q_text_textrank", tx.textrank_oracle_sql())
 def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E22] TextRank keyword scoring: 5 fixed PageRank iterations over

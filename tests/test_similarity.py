@@ -542,3 +542,39 @@ def test_ivfpq_empty_corpus_typed_empty(spark):
     assert [f.name for f in out.schema.fields] == [
         "query_id", "vec_id", "est_dist",
     ]
+
+
+def test_standardize_moments_and_degenerate_dim(spark):
+    """Standardized coordinates must have per-dimension mean ~0 and
+    variance ~1 (within micro-unit rounding), a constant dimension maps
+    to exactly 0 everywhere, and wrong-dimension vectors are excluded
+    by the 64-dim contract."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        v[5] = 0.25            # constant dim -> zero variance
+        rows.append((i, v, 0))
+    rows.append((999, [0.5] * 32, 1))  # wrong dim -> dropped
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    out = {r["vec_id"]: r for r in sim.standardize(emb).collect()}
+    assert 999 not in out and len(out) == 40
+    zs = [[int(t) / 1e6 for t in out[i]["z_csv"].split(",")] for i in range(40)]
+    n = len(zs)
+    for d in range(64):
+        col = [z[d] for z in zs]
+        mean = sum(col) / n
+        var = sum(c * c for c in col) / n - mean * mean
+        if d == 5:
+            assert col == [0.0] * n
+        else:
+            assert abs(mean) < 1e-4, (d, mean)
+            assert abs(var - 1.0) < 1e-3, (d, var)
+    for i in range(40):
+        assert out[i]["z_sq_norm"] == sum(
+            int(t) ** 2 for t in out[i]["z_csv"].split(",")
+        )
