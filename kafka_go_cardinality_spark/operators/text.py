@@ -143,6 +143,54 @@ def quality_topfrac(documents: DataFrame, frac: float = 0.2) -> DataFrame:
     )
 
 
+def quality_domain_gate(documents: DataFrame, pct: int = 30) -> DataFrame:
+    """Per-DOMAIN adaptive quality threshold — keep every doc scoring at
+    or above its own source's ``pct``-th percentile, so a clean domain
+    isn't gutted by a corpus-global cutoff and a dirty one isn't waved
+    through.  Emits the kept docs with the threshold that admitted them:
+
+      ``(doc_id, source, quality, thr)``
+
+    This is the HISTOGRAM-BROADCAST form quality_topfrac's docstring
+    declares as the 1000-executor scale path, implemented: scores are
+    rounded to 6dp, so a (source, quality) GROUP BY is a BOUNDED
+    histogram (≤ 1e6+1 distinct values per domain no matter the corpus
+    size); the exact order statistic k = ceil(pct·n/100) — integer
+    arithmetic ``(pct·n + 99) div 100``, no float percentile rules —
+    comes from a cumulative sum over that histogram; and the cutoff
+    joins back broadcast for a stateless filter.  No corpus-sized
+    window sort anywhere; the only corpus-wide shuffle is the histogram
+    aggregation's map-side-combined partial counts.  NULL-source docs
+    drop at the inner join on both engines (SQL equi-join semantics).
+    """
+    scored = quality_score(documents, keep=("source",)).select(
+        "doc_id", "source", "quality"
+    )
+    hist = scored.groupBy("source", "quality").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "quality",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    thr = (
+        cum.filter(F.col("cum") >= F.expr(f"({pct} * n + 99) div 100"))
+        .groupBy("source")
+        .agg(F.min("quality").alias("thr"))
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .filter(F.col("quality") >= F.col("thr"))
+        .select("doc_id", "source", "quality", "thr")
+    )
+
+
 def with_dirty_text(documents: DataFrame) -> DataFrame:
     """Corpus with deterministically 'dirtied' text — the raw-crawl
     formatting noise a normalization pass exists to remove.  Every 3rd

@@ -228,18 +228,19 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs)
 
 
-def _quality_sql(src: str) -> str:
+def _quality_sql(src: str, keep: tuple[str, ...] = ()) -> str:
     """The q_text_quality score expression against an arbitrary relation
-    — (doc_id, quality) rows, formula text identical to that oracle's
-    so both compute bit-equal doubles."""
+    — (doc_id, *keep, quality) rows, formula text identical to that
+    oracle's so both compute bit-equal doubles."""
+    keep_cols = "".join(f"{c}, " for c in keep)
     return f"""
-      SELECT doc_id,
+      SELECT doc_id, {keep_cols}
              round(0.4 * least((CASE WHEN len(t) > 0 THEN CAST(n_stop AS DOUBLE) / len(t) ELSE 0.0 END) * 5, 1.0)
                  + 0.3 * (1.0 - least((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 10, 1.0))
                  + 0.3 * (CASE WHEN (CASE WHEN len(t) > 0 THEN CAST(n_chars AS DOUBLE) / len(t) ELSE 0.0 END) >= 3
                                 AND (CASE WHEN len(t) > 0 THEN CAST(n_chars AS DOUBLE) / len(t) ELSE 0.0 END) <= 10
                                THEN 1.0 ELSE 0.0 END), 6) AS quality
-      FROM (SELECT doc_id,
+      FROM (SELECT doc_id, {keep_cols}
                    {tokens_sql('text')} AS t,
                    length(text) AS n_chars,
                    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
@@ -1037,6 +1038,36 @@ def q_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
     per language by quality score — percentile cut, not an absolute
     cutoff that drifts with corpus mix (operators/text.quality_topfrac)."""
     return tx.quality_topfrac(_docs(spark, sf_dir), frac=0.2)
+
+
+@query(
+    "q_quality_domain_gate",
+    f"""
+    WITH q AS ({_quality_sql('documents', keep=('source',))}),
+    hist AS (SELECT source, quality, count(*) AS c FROM q GROUP BY 1, 2),
+    cum AS (
+      SELECT source, quality,
+             sum(c) OVER (PARTITION BY source ORDER BY quality
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY source) AS n
+      FROM hist),
+    thr AS (
+      SELECT source, min(quality) AS thr
+      FROM cum WHERE cum >= (30 * n + 99) // 100
+      GROUP BY 1)
+    SELECT q.doc_id, q.source, q.quality, thr.thr AS thr
+    FROM q JOIN thr ON q.source = thr.source
+    WHERE q.quality >= thr.thr
+    """,
+)
+def q_quality_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22+] Per-DOMAIN adaptive quality gate: keep docs at or above
+    their own source's exact 30th-percentile score — the histogram-
+    broadcast order statistic (bounded (source, 6dp-quality) histogram,
+    integer-arithmetic rank, broadcast cutoff + stateless filter), i.e.
+    the 1000-executor form quality_topfrac's percent_rank window only
+    declares (operators/text.quality_domain_gate)."""
+    return tx.quality_domain_gate(_docs(spark, sf_dir))
 
 
 @query("q_sim_ann_pq", oracle=None)  # quantized estimates: rows-only

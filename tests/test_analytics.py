@@ -1295,3 +1295,37 @@ def test_keep_best_selects_highest_quality_per_cluster(spark):
         kept = [r for r in members if r["keep"]]
         assert len(kept) == 1
         assert kept[0]["quality"] == max(r["quality"] for r in members)
+
+
+def test_quality_domain_gate_exact_order_statistic(spark, sf_dir):
+    """The per-source threshold must equal the exact k-th smallest
+    quality (k = ceil(0.3*n)) recomputed naively, and the gate keeps
+    precisely the docs scoring >= it."""
+    import math
+
+    from kafka_go_cardinality_spark.operators.text import (
+        quality_domain_gate,
+        quality_score,
+    )
+    from kafka_go_cardinality_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = [
+        (r["doc_id"], r["source"], r["quality"])
+        for r in quality_score(docs, keep=("source",)).collect()
+    ]
+    by_src = {}
+    for doc_id, src, q in scored:
+        by_src.setdefault(src, []).append(q)
+    want_thr = {
+        src: sorted(qs)[max(1, math.ceil(0.3 * len(qs))) - 1]
+        for src, qs in by_src.items()
+    }
+    got = quality_domain_gate(docs).collect()
+    for r in got:
+        assert r["thr"] == want_thr[r["source"]]
+        assert r["quality"] >= r["thr"]
+    want_kept = {
+        (d, s) for d, s, q in scored if q >= want_thr[s]
+    }
+    assert {(r["doc_id"], r["source"]) for r in got} == want_kept
