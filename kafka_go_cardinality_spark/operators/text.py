@@ -963,6 +963,109 @@ def vocab_top_oracle_sql(v: int = VOCAB_SIZE) -> str:
     """
 
 
+COVERAGE_SIZES = (4, 16, 64)
+
+
+def vocab_coverage(
+    documents: DataFrame, sizes: tuple[int, ...] = COVERAGE_SIZES
+) -> DataFrame:
+    """Vocabulary COVERAGE CURVE / OOV-rate accounting: for each
+    candidate vocab size V, the fraction of the corpus token stream a
+    frequency-rank top-V vocabulary covers — the measurement a
+    tokenizer-design or word-LM pipeline runs before fixing V (sizes
+    span the fixture vocabulary so the curve is non-degenerate; the
+    plan is size-generic):
+
+      ``(v, vocab_words, covered_tokens, total_tokens, coverage,
+         oov_rate)``
+
+    with ``vocab_words`` = min(V, distinct words), coverage =
+    covered/total (0.0 on an empty corpus, same guard both engines) and
+    oov_rate its complement.
+
+    Scale shape: same skeleton as vocab_top — ONE explode + map-side-
+    combined hash aggregation for counts (the only corpus-proportional
+    shuffle; a raw web vocab is billions of rows at 100 TB), then
+    TakeOrderedAndProject for the top max(sizes) candidates (never a
+    global sort of the counts) with the rank window over those ≤ 1024
+    rows — SinglePartition on a constant-size frame only.  The total
+    token count re-reads the counts aggregation through a reused
+    exchange; per-V coverage is |sizes| conditional sums over the
+    model-sized ranked frame, unioned and cross-joined onto the 1-row
+    total.  Ties rank (count DESC, token ASC) — the deterministic total
+    order the whole vocab family uses.
+    """
+    counts = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counts.orderBy(F.col("freq").desc(), "token").limit(max(sizes))
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    ranked = top.select("freq", F.row_number().over(w).alias("r"))
+    per_v = None
+    for v in sizes:
+        one = ranked.filter(F.col("r") <= v).agg(
+            F.lit(v).cast("long").alias("v"),
+            F.count(F.lit(1)).alias("vocab_words"),
+            F.coalesce(F.sum("freq"), F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+        )
+        per_v = one if per_v is None else per_v.unionByName(one)
+    totals = counts.agg(
+        F.coalesce(F.sum("freq"), F.lit(0)).cast("long").alias("total_tokens")
+    )
+    cov = F.when(
+        F.col("total_tokens") > 0,
+        F.round(
+            F.col("covered_tokens") / F.col("total_tokens").cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        per_v.crossJoin(F.broadcast(totals))
+        .withColumn("coverage", cov)
+        .withColumn(
+            "oov_rate",
+            F.round(F.lit(1.0) - F.col("coverage"), 6),
+        )
+    )
+
+
+def vocab_coverage_oracle_sql(sizes: tuple[int, ...] = COVERAGE_SIZES) -> str:
+    from kafka_go_cardinality_spark.functions import tokens_sql
+
+    arms = "\n      UNION ALL\n".join(
+        f"""      SELECT CAST({v} AS BIGINT) AS v,
+             count(*) AS vocab_words,
+             CAST(coalesce(sum(freq), 0) AS BIGINT) AS covered_tokens
+      FROM ranked WHERE r <= {v}"""
+        for v in sizes
+    )
+    return f"""
+    WITH tokstream AS (SELECT unnest({tokens_sql('text')}) AS token
+                       FROM documents),
+    counts AS (SELECT token, count(*) AS freq FROM tokstream GROUP BY 1),
+    ranked AS (SELECT freq,
+                      row_number() OVER (ORDER BY freq DESC, token) AS r
+               FROM counts
+               ORDER BY freq DESC, token LIMIT {max(sizes)}),
+    tot AS (SELECT CAST(coalesce(sum(freq), 0) AS BIGINT) AS total_tokens
+            FROM counts),
+    per_v AS (
+{arms}
+    )
+    SELECT v, vocab_words, covered_tokens, total_tokens,
+           (CASE WHEN total_tokens > 0
+                 THEN round(covered_tokens / CAST(total_tokens AS DOUBLE), 6)
+                 ELSE 0.0 END) AS coverage,
+           round(1.0 - (CASE WHEN total_tokens > 0
+                 THEN round(covered_tokens / CAST(total_tokens AS DOUBLE), 6)
+                 ELSE 0.0 END), 6) AS oov_rate
+    FROM per_v CROSS JOIN tot
+    """
+
+
 # RAG chunking geometry: window length and stride in tokens (overlap =
 # CHUNK_LEN - CHUNK_STRIDE).  Chunk starts advance by stride while they
 # stay inside the document; the last chunks truncate at the end.

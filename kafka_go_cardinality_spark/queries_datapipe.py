@@ -1503,6 +1503,16 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.vocab_top(_docs(spark, sf_dir))
 
 
+@query("q_text_oov_rate", tx.vocab_coverage_oracle_sql())
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22+] Vocabulary coverage curve / OOV rate at candidate sizes
+    V ∈ {4, 16, 64}: the fraction of the token stream a top-V
+    frequency vocab covers — counts aggregation + TakeOrdered top-V
+    (no global sort), conditional sums over the model-sized ranked
+    frame (operators/text.vocab_coverage)."""
+    return tx.vocab_coverage(_docs(spark, sf_dir))
+
+
 @query("q_text_chunk", tx.chunk_documents_oracle_sql())
 def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E22+] RAG document chunking: overlapping fixed-length token

@@ -1329,3 +1329,26 @@ def test_quality_domain_gate_exact_order_statistic(spark, sf_dir):
         (d, s) for d, s, q in scored if q >= want_thr[s]
     }
     assert {(r["doc_id"], r["source"]) for r in got} == want_kept
+
+
+def test_vocab_coverage_hand_computed(spark):
+    """Coverage at V must equal the summed counts of the top-V words
+    under (count DESC, word ASC) order, monotone in V, with oov_rate
+    the complement."""
+    from kafka_go_cardinality_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d"), (3, None)],
+        ["doc_id", "text"],
+    )
+    # counts: a=4 b=3 c=1 d=1 ; top order: a, b, c, d (tie c<d)
+    got = {
+        r["v"]: (
+            r["vocab_words"], r["covered_tokens"], r["total_tokens"],
+            r["coverage"], r["oov_rate"],
+        )
+        for r in vocab_coverage(docs, sizes=(1, 2, 3)).collect()
+    }
+    assert got[1] == (1, 4, 9, round(4 / 9, 6), round(1 - round(4 / 9, 6), 6))
+    assert got[2] == (2, 7, 9, round(7 / 9, 6), round(1 - round(7 / 9, 6), 6))
+    assert got[3] == (3, 8, 9, round(8 / 9, 6), round(1 - round(8 / 9, 6), 6))
