@@ -420,6 +420,17 @@ def ngram_jaccard_pairs(
     """EXACT n-gram Jaccard pairs within a blocking key — no LSH, no
     approximation: explode distinct shingles, self-join on (block,
     shingle), count shared, Jaccard from distinct-set sizes."""
+    shared = _shared_shingle_counts(corpus, block_col)
+    jac = F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared"))
+    return shared.select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def _shared_shingle_counts(corpus: DataFrame, block_col: str) -> DataFrame:
+    """(doc_a, doc_b, size_a, size_b, shared) for every doc pair sharing
+    ≥ 1 shingle within a block — the common engine under Jaccard and
+    containment pair generation (plan documented inline)."""
     # Spread the CPU-heavy tokenize/shingle/md5 map stage across all
     # cores — a couple of parquet files would otherwise pin it to a
     # couple of tasks (the shuffle moves raw text once; the stage it
@@ -476,17 +487,80 @@ def ngram_jaccard_pairs(
     )
     # explode_outer for the same reason as `flat` above: the inferred
     # size()>0 filter would re-enumerate every bucket's pair array twice.
-    shared = (
+    return (
         buckets.select(F.explode_outer(pair_arrays).alias("p"))
         .filter(F.col("p").isNotNull())
         .select("p.*")
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+
+
+def with_subset_dupes(documents: DataFrame) -> DataFrame:
+    """Corpus ∪ HALF-COPIES of every 13th doc (id+2_000_000, first half
+    of the tokens): the contained-document case — a quote, excerpt, or
+    truncated re-crawl whose shingle set is a SUBSET of its source's.
+    Containment(half → full) = 1.0 while Jaccard ≈ 0.5 sits far below
+    any near-dup threshold; this plant is what separates the two
+    detectors."""
+    tok = tokens(F.col("text"))
+    half = (
+        documents.filter(F.col("doc_id") % 13 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn(
+            "text",
+            F.array_join(
+                F.slice(
+                    tok, 1, F.greatest(F.floor(F.size(tok) / 2), F.lit(1)).cast("int")
+                ),
+                " ",
+            ),
+        )
+    )
+    return documents.unionByName(half)
+
+
+WITH_SUBSET_DUPES_SQL = f"""
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           array_to_string(list_slice(toks, 1, greatest(len(toks) // 2, 1)), ' ')
+             AS text,
+           lang, source, n_chars
+    FROM (SELECT *, {tokens_sql('text')} AS toks FROM documents)
+    WHERE doc_id % 13 = 0
+"""
+
+
+def containment_pairs(
+    corpus: DataFrame, threshold: float = 0.9, block_col: str = "source"
+) -> DataFrame:
+    """Exact shingle-set CONTAINMENT pairs: max(|A∩B|/|A|, |A∩B|/|B|) =
+    shared / min(|A|, |B|) — the asymmetric overlap that catches a
+    document EMBEDDED in another (quotes, excerpts, truncated
+    re-crawls), which symmetric Jaccard structurally misses: a half-doc
+    inside its source scores containment 1.0 but Jaccard ≈ 0.5, below
+    any near-dup cut.  Emits both measures so the separation is visible:
+
+      ``(doc_a, doc_b, containment, jaccard)``
+
+    Shares :func:`_shared_shingle_counts`'s bucket plan with
+    ngram_jaccard_pairs (banded postings, pairs born array-side, no
+    self-join of the corpus); pairs exist only for docs with ≥ 1
+    shingle, so min(|A|,|B|) ≥ 1 and the division is total.
+    """
+    shared = _shared_shingle_counts(corpus, block_col)
+    cont = F.col("shared") / F.least("size_a", "size_b")
     jac = F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared"))
-    return shared.select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+    return (
+        shared.select(
+            "doc_a",
+            "doc_b",
+            F.round(cont, 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
 
 
 # Exact-substring dedup: window length in tokens.  Real pipelines use

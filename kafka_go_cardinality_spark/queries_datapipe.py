@@ -228,6 +228,43 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs)
 
 
+@query(
+    "q_dedup_containment",
+    f"""
+    WITH corpus AS ({dd.WITH_SUBSET_DUPES_SQL}),
+    toks AS (SELECT doc_id, source, {tokens_sql('text')} AS t FROM corpus),
+    sh AS (SELECT doc_id, source AS block, {shingles_sql('t')} AS s FROM toks),
+    flat AS (SELECT doc_id, block, len(s) AS set_size,
+                    unnest(list_transform(s, x -> {hash64_sql('x')})) AS sh_h
+             FROM sh),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.set_size AS size_a, b.set_size AS size_b,
+             count(*) AS shared
+      FROM flat a JOIN flat b
+        ON a.block = b.block AND a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, containment, jaccard FROM (
+      SELECT doc_a, doc_b,
+             round(CAST(shared AS DOUBLE) / least(size_a, size_b), 6)
+               AS containment,
+             round(CAST(shared AS DOUBLE) / (size_a + size_b - shared), 6)
+               AS jaccard
+      FROM shared
+    ) WHERE containment >= 0.9
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E20+] Exact shingle CONTAINMENT pairs — the asymmetric overlap
+    (shared / min set size) that catches a doc EMBEDDED in another
+    (quotes, excerpts, truncated re-crawls): the planted half-copies
+    score containment 1.0 but Jaccard ≈ 0.5, invisible to every
+    symmetric near-dup cut (operators/dedup.containment_pairs); shares
+    the banded posting-bucket plan with q_dedup_ngram."""
+    return dd.containment_pairs(dd.with_subset_dupes(_docs(spark, sf_dir)))
+
+
 def _quality_sql(src: str, keep: tuple[str, ...] = ()) -> str:
     """The q_text_quality score expression against an arbitrary relation
     — (doc_id, *keep, quality) rows, formula text identical to that

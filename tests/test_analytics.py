@@ -1352,3 +1352,25 @@ def test_vocab_coverage_hand_computed(spark):
     assert got[1] == (1, 4, 9, round(4 / 9, 6), round(1 - round(4 / 9, 6), 6))
     assert got[2] == (2, 7, 9, round(7 / 9, 6), round(1 - round(7 / 9, 6), 6))
     assert got[3] == (3, 8, 9, round(8 / 9, 6), round(1 - round(8 / 9, 6), 6))
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A half-doc embedded in its source scores containment 1.0 while
+    its Jaccard sits near 0.5 — below the 0.6 near-dup cut — so the
+    pair appears in containment_pairs but NOT in ngram_jaccard_pairs."""
+    from kafka_go_cardinality_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    full = " ".join(f"w{i}" for i in range(40))
+    half = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, full, "web"), (2, half, "web")], ["doc_id", "text", "source"]
+    )
+    cont = containment_pairs(docs).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["doc_a"], r["doc_b"], r["containment"]) == (1, 2, 1.0)
+    assert r["jaccard"] < 0.6
+    assert ngram_jaccard_pairs(docs).count() == 0
