@@ -963,6 +963,115 @@ def vocab_top_oracle_sql(v: int = VOCAB_SIZE) -> str:
     """
 
 
+ENTROPY_Q = 1_000_000
+
+
+def token_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document Shannon ENTROPY of the in-doc word distribution, in
+    integer micro-nats — the information-density quality signal that
+    separates natural prose from keyword-stuffed / template / spam text
+    (low entropy = few words dominate), complementary to
+    repetition_stats' distinct-ratio (which can't tell "one word
+    repeated" from "two words alternating"):
+
+      ``(doc_id, n_tokens, n_distinct_tokens, entropy_q, norm_entropy)``
+
+    with ``entropy_q`` = Σ_w floor(−(c_w/n)·ln(c_w/n)·1e6 + 0.5) and
+    ``norm_entropy`` = entropy / ln(distinct) (0.0 when distinct ≤ 1,
+    same guard both engines).
+
+    Scale shape: ZERO shuffle — the word histogram is never
+    materialized; the doc's token array is sorted IN-ROW and one
+    ``aggregate`` fold walks the runs (a run in the sorted array IS a
+    word's count), quantizing each run's term to an exact integer
+    before summation.  One codegen'd scan pass at any corpus size.
+    The oracle GROUPs BY (doc, word) instead — run lengths and group
+    counts are the same integers, so the quantized terms are equal by
+    construction.  NULL-text docs emit no row on both engines
+    (chunk_documents' contract); empty/whitespace text is the single
+    '' pseudo-token — one run of c = n → entropy exactly 0.
+    """
+    docs = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    n = F.size("t")
+
+    def term(c):
+        p = c.cast("double") / n
+        return F.floor((-p) * F.log(p) * ENTROPY_Q + F.lit(0.5)).cast("long")
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("c"),
+        F.lit(0).cast("long").alias("acc"),
+        F.lit(0).cast("long").alias("runs"),
+    )
+
+    def step(acc, w):
+        new_run = acc["prev"].isNull() | (w != acc["prev"])
+        return F.struct(
+            w.alias("prev"),
+            F.when(new_run, F.lit(1).cast("long")).otherwise(acc["c"] + 1).alias("c"),
+            F.when(
+                new_run & acc["prev"].isNotNull(), acc["acc"] + term(acc["c"])
+            ).otherwise(acc["acc"]).alias("acc"),
+            (acc["runs"] + F.when(new_run, 1).otherwise(0)).alias("runs"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            F.when(acc["prev"].isNotNull(), acc["acc"] + term(acc["c"]))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("entropy_q"),
+            acc["runs"].alias("n_distinct"),
+        )
+
+    folded = F.aggregate(F.array_sort("t"), init, step, finish)
+    out = docs.select("doc_id", n.cast("long").alias("n_tokens"), folded.alias("f"))
+    norm = F.when(
+        F.col("f.n_distinct") > 1,
+        F.round(
+            F.col("f.entropy_q").cast("double")
+            / ENTROPY_Q
+            / F.log(F.col("f.n_distinct").cast("double")),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.col("f.n_distinct").alias("n_distinct_tokens"),
+        F.col("f.entropy_q").alias("entropy_q"),
+        norm.alias("norm_entropy"),
+    )
+
+
+def token_entropy_oracle_sql() -> str:
+    from kafka_go_cardinality_spark.functions import tokens_sql
+
+    return f"""
+    WITH d AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+               WHERE text IS NOT NULL),
+    tok AS (SELECT doc_id, len(t) AS n, unnest(t) AS w FROM d),
+    cw AS (SELECT doc_id, n, w, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+    terms AS (
+      SELECT doc_id, n,
+             CAST(floor((-(CAST(c AS DOUBLE) / n))
+                        * ln(CAST(c AS DOUBLE) / n)
+                        * {ENTROPY_Q} + 0.5) AS BIGINT) AS tq
+      FROM cw)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(sum(tq) AS BIGINT) AS entropy_q,
+           (CASE WHEN count(*) > 1
+                 THEN round(CAST(sum(tq) AS DOUBLE) / {ENTROPY_Q}
+                            / ln(CAST(count(*) AS DOUBLE)), 6)
+                 ELSE 0.0 END) AS norm_entropy
+    FROM terms GROUP BY doc_id, n
+    """
+
+
 COVERAGE_SIZES = (4, 16, 64)
 
 

@@ -1540,6 +1540,16 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.vocab_top(_docs(spark, sf_dir))
 
 
+@query("q_text_entropy", tx.token_entropy_oracle_sql())
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22+] Per-doc Shannon entropy of the in-doc word distribution
+    (integer micro-nats + ln(distinct)-normalized ratio) — the
+    information-density spam/template signal repetition_stats' distinct
+    ratio can't express.  ZERO shuffle: in-row sort + one aggregate
+    fold over the runs (operators/text.token_entropy)."""
+    return tx.token_entropy(_docs(spark, sf_dir))
+
+
 @query("q_text_oov_rate", tx.vocab_coverage_oracle_sql())
 def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E22+] Vocabulary coverage curve / OOV rate at candidate sizes

@@ -1374,3 +1374,37 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
     assert (r["doc_a"], r["doc_b"], r["containment"]) == (1, 2, 1.0)
     assert r["jaccard"] < 0.6
     assert ngram_jaccard_pairs(docs).count() == 0
+
+
+def test_token_entropy_hand_computed(spark):
+    """Entropy terms quantized per word run exactly as the formula says:
+    uniform docs hit ln(k) (normalized ~1), single-word docs are 0, and
+    NULL text emits no row."""
+    import math
+
+    from kafka_go_cardinality_spark.operators.text import (
+        ENTROPY_Q,
+        token_entropy,
+    )
+
+    def tq(c, n):
+        p = c / n
+        return math.floor(-p * math.log(p) * ENTROPY_Q + 0.5)
+
+    docs = spark.createDataFrame(
+        [(1, "a a b b"), (2, "x x x x"), (3, "a b c"), (4, None)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_distinct_tokens"], r["entropy_q"],
+            r["norm_entropy"],
+        )
+        for r in token_entropy(docs).collect()
+    }
+    assert 4 not in got
+    e1 = 2 * tq(2, 4)
+    assert got[1] == (4, 2, e1, round(e1 / ENTROPY_Q / math.log(2), 6))
+    assert got[2] == (4, 1, tq(4, 4), 0.0)
+    e3 = 3 * tq(1, 3)
+    assert got[3] == (3, 3, e3, round(e3 / ENTROPY_Q / math.log(3), 6))
