@@ -267,11 +267,12 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _quality_sql(src: str, keep: tuple[str, ...] = ()) -> str:
     """The q_text_quality score expression against an arbitrary relation
-    — (doc_id, *keep, quality) rows, formula text identical to that
-    oracle's so both compute bit-equal doubles."""
+    — (doc_id, *keep, n_tokens, quality) rows, formula text identical to
+    that oracle's so both compute bit-equal doubles."""
     keep_cols = "".join(f"{c}, " for c in keep)
     return f"""
       SELECT doc_id, {keep_cols}
+             CAST(len(t) AS BIGINT) AS n_tokens,
              round(0.4 * least((CASE WHEN len(t) > 0 THEN CAST(n_stop AS DOUBLE) / len(t) ELSE 0.0 END) * 5, 1.0)
                  + 0.3 * (1.0 - least((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 10, 1.0))
                  + 0.3 * (CASE WHEN (CASE WHEN len(t) > 0 THEN CAST(n_chars AS DOUBLE) / len(t) ELSE 0.0 END) >= 3
@@ -930,6 +931,42 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization — scores are exact integer products, so ranking and
     values hash-match across engines (operators/text.tfidf_topk)."""
     return tx.tfidf_topk(_docs(spark, sf_dir))
+
+
+@query(
+    "q_pipeline_emb_curate",
+    f"""
+    WITH sem AS ({sim.semantic_dedup_oracle_sql()}),
+    q AS ({_quality_sql('documents', keep=('lang',))})
+    SELECT q.lang,
+           count(*) AS n_docs,
+           CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens
+    FROM q JOIN (SELECT vec_id FROM sem WHERE is_kept) s
+      ON q.doc_id = s.vec_id
+    WHERE q.quality >= 0.5
+    GROUP BY q.lang
+    """,
+)
+def q_pipeline_emb_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E20/E21/E22 composite] CROSS-MODAL curation pipeline in one
+    Catalyst plan: text-side quality gate (C4 score ≥ 0.5) ∧
+    embedding-side SemDeDup survival (doc_id = vec_id), then per-lang
+    doc/token accounting of the final training set — the fusion shape a
+    multimodal curation run has (text signals alone keep boilerplate
+    mirrors whose EMBEDDINGS are near-identical; embedding signals
+    alone keep junk text).  The quality filter prunes before the id
+    join; the join is co-partitionable on the shared key; SemDeDup's
+    planted +1M mutant vectors fall out at the inner join (no matching
+    doc_id) identically on both engines."""
+    sem = sim.semantic_dedup(_emb(spark, sf_dir)).filter(F.col("is_kept"))
+    scored = tx.quality_score(_docs(spark, sf_dir), keep=("lang",))
+    kept = scored.filter(F.col("quality") >= 0.5).join(
+        sem.select(F.col("vec_id").alias("doc_id")), "doc_id"
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
 
 
 @query("q_kmeans", oracle=None)  # iterative algorithm: rows-only by contract
