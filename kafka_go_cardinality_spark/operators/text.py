@@ -162,9 +162,22 @@ def quality_domain_gate(documents: DataFrame, pct: int = 30) -> DataFrame:
     window sort anywhere; the only corpus-wide shuffle is the histogram
     aggregation's map-side-combined partial counts.  NULL-source docs
     drop at the inner join on both engines (SQL equi-join semantics).
+
+    The scoring map is consumed by BOTH the histogram branch and the
+    final gate join; unspread and unpersisted it ran at scan
+    parallelism TWICE — the 32× probe measured 5.5× wall.  ``spread``
+    restores full-core map parallelism (→ 3.0×) and ``tracked_persist``
+    on the narrow (doc_id, source, quality) projection collapses the
+    two branch computations into one (→ ~1.4×); the cache is released
+    on the next registry query like every multi-branch intermediate.
     """
-    scored = quality_score(documents, keep=("source",)).select(
-        "doc_id", "source", "quality"
+    from kafka_go_cardinality_spark.caching import tracked_persist
+
+    documents = spread(documents)
+    scored = tracked_persist(
+        quality_score(documents, keep=("source",)).select(
+            "doc_id", "source", "quality"
+        )
     )
     hist = scored.groupBy("source", "quality").agg(F.count(F.lit(1)).alias("c"))
     w_cum = (
