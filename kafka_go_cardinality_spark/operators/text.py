@@ -2345,6 +2345,75 @@ def _bpe_doc_counts(
     )
 
 
+def bpe_fertility(
+    documents: DataFrame,
+    top_words: int = BPE_TOP_WORDS,
+    n_merges: int = BPE_MERGES,
+) -> DataFrame:
+    """Tokenizer FERTILITY by language: BPE tokens emitted per
+    whitespace word under the induced merge table, per ``lang`` — the
+    cross-lingual cost/fairness audit run before fixing a tokenizer (a
+    merge table trained on a mixed corpus fragments under-represented
+    scripts into more subtokens; fertility is the number that shows
+    it):
+
+      ``(lang, n_docs, n_words, n_bpe_tokens, fertility)``
+
+    with fertility = round(Σ bpe_tokens / Σ words, 6) (Σ words ≥ 1 per
+    group — every doc carries at least its '' pseudo-token).
+
+    Scale shape: everything expensive is :func:`_bpe_doc_counts`
+    unchanged (driver-side merge model, vocab-sized fold per DISTINCT
+    word, broadcast join, one doc shuffle); the lang join adds one
+    corpus-thin (doc_id, lang) projection joined on the aggregated
+    doc-level counts, then a #langs-sized aggregation.  Duplicate
+    doc_ids (re-crawls) duplicate the join row identically on both
+    engines — the unit of accounting is the (doc row × count) pair.
+    """
+    counts = _bpe_doc_counts(documents, top_words, n_merges)
+    langs = documents.filter(F.col("doc_id").isNotNull()).select(
+        "doc_id", "lang"
+    )
+    return (
+        counts.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(
+                F.col("n_bpe_tokens") / F.col("n_words").cast("double"), 6
+            ),
+        )
+    )
+
+
+def bpe_fertility_oracle_sql(
+    top_words: int = BPE_TOP_WORDS, n_merges: int = BPE_MERGES
+) -> str:
+    """DuckDB twin of :func:`bpe_fertility` — the bpe_encode oracle's
+    per-doc counts joined to (doc_id, lang) and re-aggregated."""
+    ctes = _bpe_counts_oracle_ctes(top_words, n_merges, skip_blank=False)
+    return (
+        "WITH\n    " + ",\n    ".join(ctes) + """,
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_words, sum(n_sub) AS n_bpe
+      FROM bpe_stream JOIN bpe_wt USING (w) GROUP BY doc_id),
+    langd AS (SELECT doc_id, lang FROM documents WHERE doc_id IS NOT NULL)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE), 6)
+             AS fertility
+    FROM per_doc JOIN langd USING (doc_id)
+    GROUP BY lang"""
+    )
+
+
 def seq_pack_bpe(
     documents: DataFrame,
     seq_len: int = PACK_SEQ_LEN,

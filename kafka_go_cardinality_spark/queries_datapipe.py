@@ -2025,6 +2025,18 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_encode(_docs(spark, sf_dir))
 
 
+@query("q_text_fertility", tx.bpe_fertility_oracle_sql())
+def q_text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22+] Tokenizer fertility by language (BPE tokens per whitespace
+    word under the induced merge table) — the cross-lingual tokenizer
+    cost/fairness audit: a mixed-corpus merge table fragments
+    under-represented scripts into more subtokens, and fertility is the
+    number that shows it.  All heavy lifting is the shared
+    _bpe_doc_counts core; one thin lang join + #langs-sized aggregation
+    on top (operators/text.bpe_fertility)."""
+    return tx.bpe_fertility(_docs(spark, sf_dir))
+
+
 @query("q_seq_pack_bpe", tx.seq_pack_bpe_oracle_sql())
 def q_seq_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E22+] Sequence packing by REAL tokenizer counts — the

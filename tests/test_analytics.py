@@ -1408,3 +1408,26 @@ def test_token_entropy_hand_computed(spark):
     assert got[2] == (4, 1, tq(4, 4), 0.0)
     e3 = 3 * tq(1, 3)
     assert got[3] == (3, 3, e3, round(e3 / ENTROPY_Q / math.log(3), 6))
+
+
+def test_bpe_fertility_lower_bound_and_totals(spark, sf_dir):
+    """Every word yields >= 1 BPE token, so fertility >= 1 per language
+    and the lang totals must re-add to the corpus-wide bpe_encode
+    totals."""
+    from kafka_go_cardinality_spark.operators.text import (
+        bpe_encode,
+        bpe_fertility,
+    )
+    from kafka_go_cardinality_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = bpe_fertility(docs).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bpe_tokens"] >= r["n_words"] >= r["n_docs"]
+        assert r["fertility"] >= 1.0
+    enc = bpe_encode(docs).agg(
+        {"n_words": "sum", "n_bpe_tokens": "sum"}
+    ).collect()[0]
+    assert sum(r["n_words"] for r in rows) == enc["sum(n_words)"]
+    assert sum(r["n_bpe_tokens"] for r in rows) == enc["sum(n_bpe_tokens)"]
