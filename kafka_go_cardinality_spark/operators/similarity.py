@@ -1394,6 +1394,130 @@ STANDARDIZE_ORACLE_SQL = f"""
 """
 
 
+def winsorize(
+    embeddings: DataFrame, lo_pct: int = 5, hi_pct: int = 95
+) -> DataFrame:
+    """Per-DIMENSION WINSORIZATION: clip every coordinate to its
+    dimension's exact [P5, P95] — the outlier-robust preprocessing run
+    before moments/standardization so a handful of corrupt vectors
+    can't stretch a dimension's scale.  Emits the clipped vector in
+    micro-unit integers (CSV — array renderings differ across engines)
+    and the per-vector count of clipped coordinates:
+
+      ``(vec_id, w_csv, n_clipped)``
+
+    EXACT order statistics at any corpus size, no sort of the corpus:
+    coordinates quantize to micro-unit integers (value-range-BOUNDED —
+    a dimension's histogram has at most range·1e6 distinct keys no
+    matter how many rows), the (dim, q) histogram aggregates once
+    map-side-combined, a histogram-sized cumulative window yields both
+    cut ranks k = ceil(pct·n/100) in pure integer arithmetic, and the
+    d-row bounds broadcast back onto an in-row zip clip — the same
+    histogram-broadcast pattern as the per-domain quality gate, on the
+    vector axis.  Everything after quantization is integer, so the two
+    engines agree bit-for-bit with no float rules involved.  NULL /
+    non-finite / wrong-dimension vectors are excluded by the family's
+    64-dim contract; duplicate vec_ids weight the histogram
+    identically everywhere.
+    """
+    from pyspark.sql import Window
+
+    base = embeddings.filter(
+        vec_finite(F.col("embedding")) & (F.size("embedding") == 64)
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * STD_Q + F.lit(0.5)).cast("long"),
+        ).alias("vq"),
+    )
+    flat = base.select(F.posexplode("vq").alias("dim", "q"))
+    hist = flat.groupBy("dim", "q").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("dim")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("dim")
+    cum = hist.select(
+        "dim",
+        "q",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    bounds = cum.groupBy("dim").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr(f"({lo_pct} * n + 99) div 100"), F.col("q"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("cum") >= F.expr(f"({hi_pct} * n + 99) div 100"), F.col("q"))
+        ).alias("hi"),
+    )
+    packed = bounds.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("dim", "lo", "hi"))).alias("b")
+    )
+    clipped = F.zip_with(
+        F.col("vq"),
+        F.col("b"),
+        lambda q, bb: F.least(F.greatest(q, bb["lo"]), bb["hi"]),
+    )
+    return (
+        base.crossJoin(F.broadcast(packed))
+        .select("vec_id", "vq", clipped.alias("w"))
+        .select(
+            "vec_id",
+            F.array_join("w", ",").alias("w_csv"),
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        F.col("vq"), F.col("w"), lambda a, b: a != b
+                    ),
+                    lambda x: x,
+                )
+            ).cast("long").alias("n_clipped"),
+        )
+    )
+
+
+WINSORIZE_ORACLE_SQL = f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {STD_Q} + 0.5) AS BIGINT))
+               AS vq
+      FROM embeddings
+      WHERE {vec_finite_sql('embedding')} AND len(embedding) = 64),
+    flat AS (
+      SELECT unnest(range(1, len(vq) + 1)) AS dim, unnest(vq) AS q
+      FROM base),
+    hist AS (SELECT dim, q, count(*) AS c FROM flat GROUP BY 1, 2),
+    cum AS (
+      SELECT dim, q,
+             sum(c) OVER (PARTITION BY dim ORDER BY q
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY dim) AS n
+      FROM hist),
+    bounds AS (
+      SELECT dim,
+             min(CASE WHEN cum >= (5 * n + 99) // 100 THEN q END) AS lo,
+             min(CASE WHEN cum >= (95 * n + 99) // 100 THEN q END) AS hi
+      FROM cum GROUP BY 1),
+    barr AS (
+      SELECT list(lo ORDER BY dim) AS lo_arr, list(hi ORDER BY dim) AS hi_arr
+      FROM bounds),
+    zed AS (
+      SELECT vec_id, vq,
+             list_transform(range(1, len(vq) + 1),
+               i -> least(greatest(vq[i], lo_arr[i]), hi_arr[i])) AS w
+      FROM base CROSS JOIN barr)
+    SELECT vec_id,
+           array_to_string(w, ',') AS w_csv,
+           CAST(len(list_filter(range(1, len(vq) + 1),
+                                i -> vq[i] <> w[i])) AS BIGINT) AS n_clipped
+    FROM zed
+"""
+
+
 # The registered query projects ``codes`` to a comma-joined string:
 # the driver stringifies result frames, and engine-native array
 # renderings differ (numpy "[ 1 2 ]" vs Spark "[1, 2]") even when the

@@ -1318,6 +1318,16 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_sim_winsorize", sim.WINSORIZE_ORACLE_SQL)
+def q_sim_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E21+] Per-dimension winsorization: clip every coordinate to its
+    dim's exact [P5, P95] via the value-range-bounded micro-unit
+    histogram + integer-rank cumulative window — the histogram-
+    broadcast order statistic on the vector axis; integer end-to-end
+    after quantization (operators/similarity.winsorize)."""
+    return sim.winsorize(_emb(spark, sf_dir))
+
+
 @query("q_sim_standardize", sim.STANDARDIZE_ORACLE_SQL)
 def q_sim_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E21+] Per-DIMENSION z-score standardization (whitening) of the

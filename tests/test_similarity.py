@@ -578,3 +578,37 @@ def test_standardize_moments_and_degenerate_dim(spark):
         assert out[i]["z_sq_norm"] == sum(
             int(t) ** 2 for t in out[i]["z_csv"].split(",")
         )
+
+
+def test_winsorize_clips_to_exact_percentiles(spark):
+    """Per-dim bounds must equal the naive exact order statistics
+    (k = ceil(p*n/100), values at rank k ascending) and a planted
+    outlier coordinate must clip to the P95 bound while interior
+    coordinates pass through unchanged."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(50):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((i, v, 0))
+    rows[7] = (7, [100.0] + rows[7][1][1:], 0)  # dim-0 outlier
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    out = {r["vec_id"]: r for r in sim.winsorize(emb).collect()}
+    q0 = sorted(
+        math.floor(r[1][0] * 1e6 + 0.5) for r in rows
+    )
+    n = len(rows)
+    lo = q0[max(1, math.ceil(0.05 * n)) - 1]
+    hi = q0[max(1, math.ceil(0.95 * n)) - 1]
+    got7 = [int(t) for t in out[7]["w_csv"].split(",")]
+    assert got7[0] == hi  # outlier clipped to the exact P95
+    assert out[7]["n_clipped"] >= 1
+    # a vector whose dim-0 lies strictly inside (lo, hi) is untouched there
+    for i in range(50):
+        q = math.floor(rows[i][1][0] * 1e6 + 0.5)
+        if lo < q < hi:
+            assert [int(t) for t in out[i]["w_csv"].split(",")][0] == q
