@@ -1394,6 +1394,157 @@ STANDARDIZE_ORACLE_SQL = f"""
 """
 
 
+MMR_K = 8
+MMR_LAMBDA = 0.7
+
+
+def mmr_select(embeddings: DataFrame, k: int = MMR_K) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) exemplar
+    selection: greedily pick ``k`` vectors maximizing
+    ``λ·cos(d, q) − (1−λ)·max_{s∈S} cos(d, s)`` — the diversity-aware
+    selection a few-shot/curation pipeline runs so its exemplars don't
+    all say the same thing (plain top-k returns near-duplicates of the
+    best hit).  The query is the min-id vector; emits the selection
+    sequence:
+
+      ``(sel_rank, vec_id, rel, score)``
+
+    FULLY ORACLED despite being greedy-iterative: the k rounds unroll
+    into generated DuckDB CTEs (the textrank/ann_ivf in-oracle
+    precedent) — every cosine is the sequential-double fold both
+    engines share bit-for-bit, the score is the same double expression,
+    and ties break on vec_id, so the selection SEQUENCE is
+    deterministic and engine-identical.
+
+    Scale shape: per round ONE distributed argmax (TakeOrdered, never a
+    global sort) and one in-row max-sim update against the single
+    just-selected vector as a 64-literal array (the broadcast-centroid
+    device) — driver state is k rows, candidates localCheckpoint
+    between rounds so the plan doesn't stack k cosine layers.
+    Duplicate vec_ids dedup to one physical row first (rid-1 by
+    elementwise vector order — semantic_dedup's mirrored rule);
+    NULL / non-finite / ragged vectors are excluded by the 64-dim
+    contract.
+    """
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    schema = (
+        "sel_rank int, vec_id bigint, rel double, score double"
+    )
+    base = embeddings.filter(
+        vec_finite(F.col("embedding")) & (F.size("embedding") == 64)
+    ).select("vec_id", as_double(F.col("embedding")).alias("v"))
+    w = Window.partitionBy("vec_id").orderBy("v")
+    base = (
+        base.withColumn("rid", F.row_number().over(w))
+        .filter(F.col("rid") == 1)
+        .drop("rid")
+    )
+    qrow = base.orderBy("vec_id").limit(1).collect()
+    if not qrow:
+        return spark.createDataFrame([], schema)
+
+    def lit_arr(vals):
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    qid = qrow[0]["vec_id"]
+    cand = (
+        base.filter(F.col("vec_id") != qid)
+        .select(
+            "vec_id",
+            "v",
+            cosine(F.col("v"), lit_arr(qrow[0]["v"])).alias("rel"),
+            F.lit(0.0).alias("ms"),
+        )
+        .localCheckpoint()
+    )
+    lam, mu = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    picked = []
+    for i in range(k):
+        score = F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("ms")
+        top = (
+            cand.select("vec_id", "v", "rel", score.alias("score"))
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        t = top[0]
+        picked.append(
+            (i + 1, t["vec_id"], round(t["rel"], 6), round(t["score"], 6))
+        )
+        if i + 1 < k:
+            cand = (
+                cand.filter(F.col("vec_id") != t["vec_id"])
+                .select(
+                    "vec_id",
+                    "v",
+                    "rel",
+                    F.greatest(
+                        F.col("ms"), cosine(F.col("v"), lit_arr(t["v"]))
+                    ).alias("ms"),
+                )
+                .localCheckpoint()
+            )
+    return spark.createDataFrame(picked, schema)
+
+
+def mmr_oracle_sql(k: int = MMR_K) -> str:
+    """DuckDB twin of :func:`mmr_select`: the k greedy rounds unrolled
+    as generated CTEs — s_i is round i's argmax, m_i the surviving
+    candidates with their max-sim updated against s_i."""
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, len({x}) + 1), "
+            f"i -> {x}[i] * {y}[i]), (acc, v) -> acc + v)"
+        )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(CASE WHEN sqrt({dot(a, a)}) > 0 AND sqrt({dot(b, b)}) > 0 "
+            f"THEN {dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})) "
+            f"ELSE 0.0 END)"
+        )
+
+    lam, mu = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    parts = [
+        f"""vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE {vec_finite_sql('embedding')} AND len(embedding) = 64),
+    ded AS (
+      SELECT vec_id, v FROM (
+        SELECT vec_id, v,
+               row_number() OVER (PARTITION BY vec_id ORDER BY v) AS rid
+        FROM vecs) WHERE rid = 1),
+    qv AS (SELECT vec_id AS q_id, v AS q FROM ded ORDER BY vec_id LIMIT 1),
+    m0 AS (
+      SELECT d.vec_id, d.v, {cos('d.v', 'qv.q')} AS rel, 0.0 AS ms
+      FROM ded d CROSS JOIN qv WHERE d.vec_id <> qv.q_id)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""s{i} AS (
+      SELECT vec_id, v, rel, {lam} * rel - {mu} * ms AS score
+      FROM m{i - 1} ORDER BY score DESC, vec_id LIMIT 1)"""
+        )
+        if i < k:
+            parts.append(
+                f"""m{i} AS (
+      SELECT m.vec_id, m.v, m.rel,
+             greatest(m.ms, {cos('m.v', 's.v')}) AS ms
+      FROM m{i - 1} m CROSS JOIN s{i} s WHERE m.vec_id <> s.vec_id)"""
+            )
+    arms = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({i} AS INT) AS sel_rank, vec_id,
+           round(rel, 6) AS rel, round(score, 6) AS score FROM s{i}"""
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n" + arms
+
+
 def winsorize(
     embeddings: DataFrame, lo_pct: int = 5, hi_pct: int = 95
 ) -> DataFrame:

@@ -1318,6 +1318,18 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_sim_mmr", sim.mmr_oracle_sql())
+def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E21+] Maximal Marginal Relevance exemplar selection (greedy
+    λ·relevance − (1−λ)·max-sim-to-selected, k=8, min-id query) — the
+    diversity-aware pick a few-shot/curation pipeline uses where plain
+    top-k returns near-duplicates.  FULLY ORACLED despite being
+    iterative: the rounds unroll into generated DuckDB CTEs with the
+    shared bit-exact cosine fold and vec_id tie-breaks
+    (operators/similarity.mmr_select)."""
+    return sim.mmr_select(_emb(spark, sf_dir))
+
+
 @query("q_sim_winsorize", sim.WINSORIZE_ORACLE_SQL)
 def q_sim_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E21+] Per-dimension winsorization: clip every coordinate to its

@@ -612,3 +612,54 @@ def test_winsorize_clips_to_exact_percentiles(spark):
         q = math.floor(rows[i][1][0] * 1e6 + 0.5)
         if lo < q < hi:
             assert [int(t) for t in out[i]["w_csv"].split(",")][0] == q
+
+
+def test_mmr_matches_python_model_and_diversifies(spark):
+    """The selection sequence must equal an independent Python MMR over
+    the same vectors, and a near-duplicate of the best hit — which
+    plain top-k would take second — must rank behind a diverse pick."""
+    import math
+    import random
+
+    rng = random.Random(3)
+
+    def rand_vec():
+        return [rng.uniform(-1, 1) for _ in range(64)]
+
+    best = rand_vec()
+    near = [x + 0.001 for x in best]          # near-dup of the best hit
+    rows = [(0, rand_vec(), 0), (1, best, 0), (2, near, 0)]
+    rows += [(i, rand_vec(), 0) for i in range(3, 20)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    got = [
+        (r["sel_rank"], r["vec_id"])
+        for r in sim.mmr_select(emb).orderBy("sel_rank").collect()
+    ]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    vecs = {i: v for i, v, _ in rows}
+    q = vecs.pop(0)  # min-id vector is the query
+    rel = {i: cos(v, q) for i, v in vecs.items()}
+    ms = {i: 0.0 for i in vecs}
+    want = []
+    for rank in range(1, sim.MMR_K + 1):
+        if not vecs:
+            break
+        pick = max(vecs, key=lambda i: (0.7 * rel[i] - 0.3 * ms[i], -i))
+        want.append((rank, pick))
+        pv = vecs.pop(pick)
+        ms.pop(pick)
+        for i, v in vecs.items():
+            ms[i] = max(ms[i], cos(v, pv))
+    assert got == want
+    # top-2 by plain relevance are the near-dup pair; MMR must not take
+    # both in its first two picks
+    top2 = sorted(rel, key=lambda i: -rel[i])[:2]
+    if set(top2) == {1, 2}:
+        assert {got[0][1], got[1][1]} != {1, 2}
