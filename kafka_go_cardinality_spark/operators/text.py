@@ -1515,6 +1515,87 @@ def dsir_weights_oracle_sql() -> str:
     """
 
 
+DSIR_SAMPLE_K = 64
+DSIR_TEMP = 1000.0
+DSIR_GUMBEL_M = 1_048_576  # 2^20 uniform grid for the hash-derived u
+
+
+def dsir_gumbel_sample(documents: DataFrame, k: int = DSIR_SAMPLE_K) -> DataFrame:
+    """The RESAMPLING step of DSIR (Xie et al.): draw ``k`` documents
+    with probability ∝ exp(logratio/T) via the GUMBEL-TOP-K trick —
+    ``key = logratio/T + g`` with ``g = −ln(−ln(u))`` and the top-k by
+    key being exactly a weighted sample-without-replacement.
+    dsir_weights scores; this draws — thresholded keep (its ``keep``
+    bit) over-selects whole modes, importance RESAMPLING preserves the
+    target distribution's shape.
+
+      ``(sel_rank, doc_id, logratio_q, key)``
+
+    Deterministic and fully oracled: ``u`` comes from the md5 hash
+    (``(h mod 2^20 + 0.5) / 2^20`` — never 0 or 1, so both logs are
+    finite), every float step is the same double expression on both
+    engines, and ties break on doc_id.  Scale shape: dsir_weights'
+    zero-shuffle scan plus ONE TakeOrderedAndProject for the top-k —
+    never a global sort; the rank window runs over the k-row frame
+    only (model-sized SinglePartition, the vocab_top contract).
+    """
+    scored = dsir_weights(documents).select("doc_id", "logratio_q")
+    u = (
+        (hash64(F.col("doc_id").cast("string"), salt="dsir_gumbel")
+         % DSIR_GUMBEL_M).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(DSIR_GUMBEL_M))
+    g = -F.log(-F.log(u))
+    key = F.col("logratio_q").cast("double") / F.lit(DSIR_TEMP) + g
+    top = (
+        scored.select("doc_id", "logratio_q", F.round(key, 6).alias("key"))
+        .orderBy(F.col("key").desc(), "doc_id")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("key").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).alias("sel_rank"),
+        "doc_id",
+        "logratio_q",
+        "key",
+    )
+
+
+def dsir_gumbel_oracle_sql(k: int = DSIR_SAMPLE_K) -> str:
+    from kafka_go_cardinality_spark.functions import hash64_sql, tokens_sql
+
+    half = (DSIR_RANGE - 1) // 2
+
+    def w(salt: str) -> str:
+        b = f"({hash64_sql('x', salt=salt)} % {DSIR_BUCKETS})"
+        return f"(({b} * {DSIR_MULT}) % {DSIR_RANGE} - {half})"
+
+    u = (
+        f"((CAST({hash64_sql('CAST(doc_id AS VARCHAR)', salt='dsir_gumbel')} "
+        f"% {DSIR_GUMBEL_M} AS DOUBLE) + 0.5) / {float(DSIR_GUMBEL_M)})"
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+                  WHERE text IS NOT NULL),
+    scored AS (
+      SELECT doc_id,
+             CAST(coalesce(list_sum(list_transform(t, x ->
+                  {w('dsir_tgt')} - {w('dsir_src')})), 0) AS BIGINT)
+               AS logratio_q
+      FROM toks),
+    keyed AS (
+      SELECT doc_id, logratio_q,
+             round(CAST(logratio_q AS DOUBLE) / {DSIR_TEMP}
+                   + (-ln(-ln({u}))), 6) AS key
+      FROM scored),
+    top AS (SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT {k})
+    SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT)
+             AS sel_rank,
+           doc_id, logratio_q, key
+    FROM top
+    """
+
+
 # Winnowing (Schleimer, Wilkerson, Aiken — "Winnowing: Local Algorithms
 # for Document Fingerprinting", SIGMOD 2003): hash every k-token gram,
 # slide a w-hash window, keep each window's MINIMUM hash.  Guarantees a

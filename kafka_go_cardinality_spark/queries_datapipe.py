@@ -1599,6 +1599,17 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.vocab_top(_docs(spark, sf_dir))
 
 
+@query("q_text_dsir_sample", tx.dsir_gumbel_oracle_sql())
+def q_text_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22+] DSIR importance RESAMPLING via Gumbel-top-k: draw k=64
+    docs with probability ∝ exp(logratio/T) — the actual sampling
+    mechanism of Xie et al. (q_text_dsir only scores; a thresholded
+    keep over-selects whole modes).  Deterministic hash-derived Gumbel
+    keys, the zero-shuffle dsir scan + one TakeOrdered
+    (operators/text.dsir_gumbel_sample)."""
+    return tx.dsir_gumbel_sample(_docs(spark, sf_dir))
+
+
 @query("q_text_entropy", tx.token_entropy_oracle_sql())
 def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E22+] Per-doc Shannon entropy of the in-doc word distribution

@@ -1431,3 +1431,39 @@ def test_bpe_fertility_lower_bound_and_totals(spark, sf_dir):
     ).collect()[0]
     assert sum(r["n_words"] for r in rows) == enc["sum(n_words)"]
     assert sum(r["n_bpe_tokens"] for r in rows) == enc["sum(n_bpe_tokens)"]
+
+
+def test_dsir_gumbel_sample_is_weighted_without_replacement(spark, sf_dir):
+    """Exactly k distinct docs; keys reproduce the documented formula
+    from the logratio and the doc's own hash; high-logratio docs are
+    overrepresented vs a uniform draw."""
+    import math
+
+    from kafka_go_cardinality_spark.functions import fold_py
+    from kafka_go_cardinality_spark.operators.text import (
+        DSIR_GUMBEL_M,
+        DSIR_SAMPLE_K,
+        DSIR_TEMP,
+        dsir_gumbel_sample,
+        dsir_weights,
+    )
+    from kafka_go_cardinality_spark.sources import load_table
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = dsir_gumbel_sample(docs).collect()
+    assert len(got) == DSIR_SAMPLE_K
+    ids = [r["doc_id"] for r in got]
+    assert len(set(ids)) == DSIR_SAMPLE_K  # without replacement
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for r in got[:10]:
+        u = (h64(f"{r['doc_id']}#dsir_gumbel") % DSIR_GUMBEL_M + 0.5) / DSIR_GUMBEL_M
+        want = round(r["logratio_q"] / DSIR_TEMP + (-math.log(-math.log(u))), 6)
+        assert r["key"] == want
+    # weighting bites: the sampled mean logratio exceeds the corpus mean
+    corpus = [x["logratio_q"] for x in dsir_weights(docs).collect()]
+    sampled = [r["logratio_q"] for r in got]
+    assert sum(sampled) / len(sampled) > sum(corpus) / len(corpus)
