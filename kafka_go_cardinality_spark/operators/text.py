@@ -1515,6 +1515,192 @@ def dsir_weights_oracle_sql() -> str:
     """
 
 
+NB_BUCKETS = 1024
+NB_Q = 1_000_000
+
+
+def with_planted_domain(documents: DataFrame) -> DataFrame:
+    """Corpus with PLANTED in-domain marker tokens: 4 of 5 English-
+    labeled docs get two marker words appended.  The raw fixture's lang
+    labels are TEXT-INDEPENDENT (measured: every one of the 31 corpus
+    words has en-share 0.35-0.39 — pure noise), so an unplanted
+    classifier target is unlearnable by construction; the plant gives
+    the in-domain class a real lexical signature while the remaining
+    1-in-5 positives keep the problem non-degenerate.  Same fixture-
+    planting discipline as with_near_dupes/with_planted_contamination;
+    the rule is replicated in the oracle CTE."""
+    marked = F.when(
+        (F.col("lang") == "en") & (F.col("doc_id") % 5 != 0),
+        F.concat(F.col("text"), F.lit(" qdom0 qdom1")),
+    ).otherwise(F.col("text"))
+    return documents.withColumn("text", marked)
+
+
+WITH_PLANTED_DOMAIN_SQL = """
+    SELECT doc_id,
+           (CASE WHEN lang = 'en' AND doc_id % 5 != 0
+                 THEN text || ' qdom0 qdom1' ELSE text END) AS text,
+           lang, source, n_chars
+    FROM documents
+"""
+
+
+def nb_classifier(documents: DataFrame) -> DataFrame:
+    """TRAINED naive-Bayes domain classifier, corpus-trained and
+    corpus-applied in one plan — the self-supervised quality/domain
+    scorer one rung above hash_classifier_scores' fixed arithmetic
+    weights: multinomial NB over 1024 hashed unigram buckets, target
+    class = English-labeled docs (the in-domain proxy, DSIR's framing),
+    Laplace-smoothed log-likelihood ratios in integer micro-units:
+
+      ``(doc_id, labeled_en, n_tokens, score_q, pred_en)``
+
+    with score = prior + Σ_tok llr[bucket(tok)] and pred = score > 0.
+
+    Cross-engine exactness: bucket counts are exact integers, both
+    engines evaluate the SAME ln expression on the same
+    exactly-representable ratios (the unigram_nll precedent), and the
+    quantized llr/prior are exact longs from there on — so scores
+    hash-match.
+
+    Scale shape: TRAINING is one token-stream hash aggregation into ≤
+    1024 bucket rows (map-side combined; the model is
+    BOUNDED-by-construction however large the corpus) + two scalar
+    count rows; the llr table is computed engine-side on the 1024-row
+    frame and collected as a MODEL-SIZED array (the PQ-codebook
+    discipline).  APPLICATION is a zero-shuffle in-row fold — one
+    1024-literal array lookup per token, the hash_classifier plan.
+    The oracle applies via a bucket join instead of literals — same
+    values.  NULL-text docs emit no row (the scoring-family contract);
+    NULL lang is class 0 on both engines (CASE/when agree).
+    """
+    from kafka_go_cardinality_spark.caching import tracked_persist
+
+    base = documents.filter(F.col("text").isNotNull())
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    toks = base.select(
+        y.alias("y"), F.explode_outer(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    hashed = toks.select(
+        "y", (hash64(F.col("tok"), salt="nb") % NB_BUCKETS).alias("b")
+    )
+    counts = hashed.groupBy("b").agg(
+        F.sum("y").alias("c1"), F.count(F.lit(1)).alias("ct")
+    )
+    spark = documents.sparkSession
+    full = (
+        spark.range(NB_BUCKETS)
+        .select(F.col("id").alias("b"))
+        .join(counts, "b", "left")
+        .select(
+            "b",
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    totals = counts.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).alias("t1"),
+        F.coalesce(F.sum("ct") - F.sum("c1"), F.lit(0)).alias("t0"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    # Laplace-smooth by the OBSERVED vocabulary size v, not the bucket
+    # count: with T1 < T0, a fixed +1024 denominator biases every
+    # token's llr by ~ -(B/T1 - B/T0) — on the fixture ~-0.02 nats/token,
+    # ~-1 nat/doc, which drowned the real signal (measured: the skew
+    # pushed 95% of docs negative).  v is exact on both engines.
+    llr = F.floor(
+        (
+            F.log(
+                (F.col("c1") + 1).cast("double") / (F.col("t1") + F.col("v"))
+            )
+            - F.log(
+                (F.col("ct") - F.col("c1") + 1).cast("double")
+                / (F.col("t0") + F.col("v"))
+            )
+        )
+        * NB_Q
+        + F.lit(0.5)
+    ).cast("long")
+    model_rows = (
+        full.crossJoin(F.broadcast(totals))
+        .select("b", llr.alias("llr_q"))
+        .collect()
+    )
+    llr_by_bucket = {r["b"]: r["llr_q"] for r in model_rows}
+    llr_arr = F.array(
+        *[F.lit(int(llr_by_bucket[i])) for i in range(NB_BUCKETS)]
+    )
+    d1 = base.filter(F.col("lang") == "en").count()
+    d0 = base.count() - d1
+    # The prior is computed ENGINE-side (F.log over exact-int literals)
+    # so no Python-libm double ever enters the result.
+    tok_col = tokens(F.col("text"))
+    score = F.aggregate(
+        tok_col,
+        F.floor(
+            F.log(F.lit(float(d1 + 1)) / F.lit(float(d0 + 1))) * NB_Q
+            + F.lit(0.5)
+        ).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(llr_arr, (hash64(t, salt="nb") % NB_BUCKETS + 1).cast("int")),
+    )
+    return base.select(
+        "doc_id",
+        y.cast("int").alias("labeled_en"),
+        F.size(tok_col).cast("long").alias("n_tokens"),
+        score.alias("score_q"),
+        (score > 0).cast("int").alias("pred_en"),
+    )
+
+
+def nb_classifier_oracle_sql() -> str:
+    from kafka_go_cardinality_spark.functions import hash64_sql, tokens_sql
+
+    b_of = f"({hash64_sql('x', salt='nb')} % {NB_BUCKETS})"
+    return f"""
+    WITH corpus AS ({WITH_PLANTED_DOMAIN_SQL}),
+    base AS (SELECT doc_id, lang, {tokens_sql('text')} AS t
+             FROM corpus WHERE text IS NOT NULL),
+    toks AS (SELECT (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS y,
+                    unnest(list_transform(t, x -> {b_of})) AS b
+             FROM base),
+    counts AS (SELECT b, sum(y) AS c1, count(*) AS ct FROM toks GROUP BY 1),
+    allb AS (
+      SELECT r.b, coalesce(c.c1, 0) AS c1, coalesce(c.ct, 0) AS ct
+      FROM (SELECT unnest(range({NB_BUCKETS})) AS b) r
+      LEFT JOIN counts c USING (b)),
+    tot AS (SELECT coalesce(sum(c1), 0) AS t1,
+                   coalesce(sum(ct) - sum(c1), 0) AS t0,
+                   count(*) AS v
+            FROM counts),
+    model AS (
+      SELECT b,
+             CAST(floor((ln(CAST(c1 + 1 AS DOUBLE) / (t1 + v))
+                       - ln(CAST(ct - c1 + 1 AS DOUBLE) / (t0 + v)))
+                        * {NB_Q} + 0.5) AS BIGINT) AS llr_q
+      FROM allb CROSS JOIN tot),
+    dc AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS d1,
+                  sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS d0
+           FROM base),
+    prior AS (SELECT CAST(floor(ln(CAST(d1 + 1 AS DOUBLE)
+                                   / CAST(d0 + 1 AS DOUBLE))
+                                * {NB_Q} + 0.5) AS BIGINT) AS prior_q
+              FROM dc),
+    -- apply IN-ROW against the model as an array (mirrors the engine's
+    -- 1024-literal fold): a stream/join/group-by-doc_id apply would
+    -- MERGE duplicate doc_ids that the engine scores per physical row
+    marr AS (SELECT list(llr_q ORDER BY b) AS arr FROM model)
+    SELECT doc_id,
+           (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS labeled_en,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(t, x -> arr[{b_of} + 1]))
+                + prior_q AS BIGINT) AS score_q,
+           CAST((list_sum(list_transform(t, x -> arr[{b_of} + 1]))
+                 + prior_q) > 0 AS INT) AS pred_en
+    FROM base CROSS JOIN marr CROSS JOIN prior
+    """
+
+
 DSIR_SAMPLE_K = 64
 DSIR_TEMP = 1000.0
 DSIR_GUMBEL_M = 1_048_576  # 2^20 uniform grid for the hash-derived u

@@ -1599,6 +1599,20 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.vocab_top(_docs(spark, sf_dir))
 
 
+@query("q_text_nb_classifier", tx.nb_classifier_oracle_sql())
+def q_text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22+] TRAINED naive-Bayes domain classifier, corpus-trained and
+    corpus-applied in one plan: multinomial NB over 1024 hashed unigram
+    buckets (English-labeled docs as the in-domain class, over the
+    marker-planted corpus — the raw fixture's lang labels are
+    text-independent noise), Laplace-smoothed integer-micro-unit
+    log-likelihood ratios.  Training is one bounded-bucket aggregation;
+    the model collects PQ-codebook-style into a 1024-literal array and
+    application is a zero-shuffle in-row fold
+    (operators/text.nb_classifier)."""
+    return tx.nb_classifier(tx.with_planted_domain(_docs(spark, sf_dir)))
+
+
 @query("q_text_dsir_sample", tx.dsir_gumbel_oracle_sql())
 def q_text_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E22+] DSIR importance RESAMPLING via Gumbel-top-k: draw k=64

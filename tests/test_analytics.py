@@ -1467,3 +1467,39 @@ def test_dsir_gumbel_sample_is_weighted_without_replacement(spark, sf_dir):
     corpus = [x["logratio_q"] for x in dsir_weights(docs).collect()]
     sampled = [r["logratio_q"] for r in got]
     assert sum(sampled) / len(sampled) > sum(corpus) / len(corpus)
+
+
+def test_nb_classifier_learns_real_signal(spark, sf_dir):
+    """In-sample BALANCED accuracy must beat a constant predictor's
+    0.5, the trained scores must separate the classes
+    (mean en score > mean non-en score), and a synthetic corpus with
+    disjoint vocabularies must classify perfectly."""
+    from kafka_go_cardinality_spark.operators.text import nb_classifier
+    from kafka_go_cardinality_spark.sources import load_table
+
+    from kafka_go_cardinality_spark.operators.text import (
+        with_planted_domain,
+    )
+
+    rows = nb_classifier(
+        with_planted_domain(load_table(spark, sf_dir, "documents"))
+    ).collect()
+    tpr = [r["pred_en"] for r in rows if r["labeled_en"]]
+    tnr = [1 - r["pred_en"] for r in rows if not r["labeled_en"]]
+    bal_acc = (sum(tpr) / len(tpr) + sum(tnr) / len(tnr)) / 2
+    # a constant predictor scores exactly 0.5 here regardless of the
+    # class mix; the planted markers cover 4/5 of the positives, so an
+    # informative model must clear 0.8 while 1.0 stays out of reach
+    assert bal_acc > 0.8, bal_acc
+    mean = lambda xs: sum(xs) / len(xs)
+    assert mean([r["score_q"] for r in rows if r["labeled_en"]]) > mean(
+        [r["score_q"] for r in rows if not r["labeled_en"]]
+    )
+    # disjoint vocabularies -> perfect separation
+    toy = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "en") for i in range(10)]
+        + [(100 + i, "uno dos tres cuatro", "es") for i in range(10)],
+        ["doc_id", "text", "lang"],
+    )
+    out = nb_classifier(toy).collect()
+    assert all(r["pred_en"] == r["labeled_en"] for r in out)
