@@ -2202,6 +2202,93 @@ def curriculum_order(
     )
 
 
+BUDGET_TOKENS = 8_000
+
+
+def budget_select(
+    documents: DataFrame,
+    budget_tokens: int = BUDGET_TOKENS,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """TOKEN-BUDGET data selection: spend a fixed training-token budget
+    on the best documents — walk the corpus in (quality DESC, doc_id)
+    order and keep every doc that starts before the budget is exhausted
+    (the standard fill-until-exceeded greedy; the last kept doc may
+    overflow).  Emits the kept docs with their position in the spend:
+
+      ``(doc_id, quality, n_tokens, tokens_before)``
+
+    This is the budgeting step between scoring and packing: "we can
+    afford N tokens this run — which docs?".
+
+    Scale shape: the global quality-ordered PREFIX SUM never runs a
+    single-partition window — same bucket decomposition as
+    curriculum_order/seq_pack, but accumulating TOKENS instead of
+    counts: the 6dp quality round-trips to an exact integer key
+    (floor(q·1e6 + 0.5), identical on both engines), a 1-row min/max
+    broadcast splits the key range into width-first buckets, per-bucket
+    token sums make a ≤n_buckets cumulative frame, and a doc's
+    tokens_before = bucket token offset + bucket-local running sum.
+    The filter keeps tokens_before < budget.  NULL-text docs are
+    skipped on both engines (nothing to count); ties order by doc_id
+    NULLS FIRST, pinned to the oracle's single-window replay.
+    ``n_buckets=None`` derives from cluster parallelism
+    (partitioning.scaled_fanout), like the other bucket decompositions.
+    """
+    from kafka_go_cardinality_spark.caching import tracked_persist
+    from kafka_go_cardinality_spark.partitioning import session_fanout
+
+    if n_buckets is None:
+        n_buckets = session_fanout(documents, CURRICULUM_BUCKETS)
+
+    scored = tracked_persist(
+        quality_score(documents.filter(F.col("text").isNotNull())).select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "quality",
+            # ascending integer key == quality descending: quality is a
+            # 6dp-rounded double in [0, 1], so the micro-unit round-trip
+            # is exact and identical on both engines.
+            (
+                F.lit(1_000_000)
+                - F.floor(F.col("quality") * 1_000_000 + F.lit(0.5))
+            ).cast("long").alias("akey"),
+        )
+    )
+    stats = scored.agg(
+        F.min("akey").alias("smin"), F.max("akey").alias("smax")
+    )
+    bucketed = scored.crossJoin(F.broadcast(stats)).withColumn(
+        "bucket",
+        F.expr(
+            f"CAST((akey - smin) div (((smax - smin) div {n_buckets}) + 1)"
+            " AS INT)"
+        ),
+    )
+    toksums = bucketed.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("btok")
+    )
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = toksums.withColumn(
+        "boff", F.coalesce(F.sum("btok").over(cum), F.lit(0).cast("long"))
+    ).select("bucket", "boff")
+    local = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("akey"), F.col("doc_id").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "tokens_before",
+            F.col("boff")
+            + F.coalesce(F.sum("n_tokens").over(local), F.lit(0).cast("long")),
+        )
+        .filter(F.col("tokens_before") < budget_tokens)
+        .select("doc_id", "quality", "n_tokens", "tokens_before")
+    )
+
+
 # BPE trainer: model-sized word-frequency seed and merge count.
 BPE_TOP_WORDS = 256
 BPE_MERGES = 32

@@ -1599,6 +1599,33 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.vocab_top(_docs(spark, sf_dir))
 
 
+@query(
+    "q_text_budget_select",
+    f"""
+    WITH q AS ({_quality_sql("(SELECT * FROM documents WHERE text IS NOT NULL)")}),
+    ord AS (
+      SELECT doc_id, quality, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY quality DESC, doc_id ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tokens_before
+      FROM q)
+    SELECT doc_id, quality,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(tokens_before AS BIGINT) AS tokens_before
+    FROM ord WHERE tokens_before < {tx.BUDGET_TOKENS}
+    """,
+)
+def q_text_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E22+] Token-BUDGET data selection: spend a fixed training-token
+    budget on the best docs (quality DESC walk, fill-until-exceeded).
+    The global quality-ordered prefix sum uses the curriculum/seq_pack
+    bucket decomposition accumulating TOKENS — never a single-partition
+    corpus window; the oracle replays it as one window at checking
+    scale (operators/text.budget_select)."""
+    return tx.budget_select(_docs(spark, sf_dir))
+
+
 @query("q_text_nb_classifier", tx.nb_classifier_oracle_sql())
 def q_text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E22+] TRAINED naive-Bayes domain classifier, corpus-trained and

@@ -1503,3 +1503,44 @@ def test_nb_classifier_learns_real_signal(spark, sf_dir):
     )
     out = nb_classifier(toy).collect()
     assert all(r["pred_en"] == r["labeled_en"] for r in out)
+
+
+def test_budget_select_prefix_and_invariance(spark, sf_dir):
+    """Kept set = exact greedy prefix recomputed naively; result is
+    bucket-count invariant (the decomposition shapes the plan, never
+    the answer); the spend exceeds the budget by at most the last kept
+    doc."""
+    from kafka_go_cardinality_spark.operators.text import (
+        BUDGET_TOKENS,
+        budget_select,
+        quality_score,
+    )
+    from kafka_go_cardinality_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = sorted(
+        (
+            (-r["quality"], r["doc_id"], r["n_tokens"], r["quality"])
+            for r in quality_score(
+                docs.filter("text IS NOT NULL")
+            ).collect()
+        )
+    )
+    want, before = {}, 0
+    for _nq, doc_id, n_tok, q in scored:
+        if before >= BUDGET_TOKENS:
+            break
+        want[doc_id] = (q, n_tok, before)
+        before += n_tok
+    got = {
+        r["doc_id"]: (r["quality"], r["n_tokens"], r["tokens_before"])
+        for r in budget_select(docs).collect()
+    }
+    assert got == want
+    total = sum(v[1] for v in got.values())
+    assert total < BUDGET_TOKENS + max(v[1] for v in got.values())
+    got7 = {
+        r["doc_id"]: (r["quality"], r["n_tokens"], r["tokens_before"])
+        for r in budget_select(docs, n_buckets=7).collect()
+    }
+    assert got7 == want
