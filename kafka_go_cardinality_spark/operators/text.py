@@ -1725,7 +1725,10 @@ def dsir_gumbel_sample(documents: DataFrame, k: int = DSIR_SAMPLE_K) -> DataFram
     never a global sort; the rank window runs over the k-row frame
     only (model-sized SinglePartition, the vocab_top contract).
     """
-    scored = dsir_weights(documents).select("doc_id", "logratio_q")
+    # spread first: the per-token double-md5 scoring fold dominates and
+    # would otherwise run at scan parallelism — the 32x probe measured
+    # 4.3x wall from a couple of parquet-file tasks.
+    scored = dsir_weights(spread(documents)).select("doc_id", "logratio_q")
     u = (
         (hash64(F.col("doc_id").cast("string"), salt="dsir_gumbel")
          % DSIR_GUMBEL_M).cast("double")
