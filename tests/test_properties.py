@@ -808,3 +808,110 @@ def test_seq_pack_bpe_matches_composed_models(spark, docs, seq_len, n_merges):
         for d, t in docs
     ]
     assert got == _pack_model(model_docs, seq_len), (seq_len, n_merges)
+
+
+# --------------------------------------------------- span-removal fold
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    w=st.integers(min_value=2, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_span_removal_matches_interval_union_model(spark, docs, w):
+    """The engine's interval-merge fold must equal a brute-force Python
+    model over every random corpus: flag windows whose w-gram occurs
+    >= 2 times corpus-wide, union their [p, p+w) cover sets, count
+    covered tokens and maximal runs."""
+    from collections import Counter
+
+    from kafka_go_cardinality_spark.operators.dedup import (
+        substring_span_removal,
+    )
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["dup_spans"], r["tokens_removed"],
+            r["clean_tokens"],
+        )
+        for r in substring_span_removal(frame, w=w).collect()
+    }
+
+    grams = Counter()
+    per_doc = {}
+    for i, t in enumerate(docs):
+        gs = [tuple(t[p:p + w]) for p in range(len(t) - w + 1)]
+        per_doc[i] = gs
+        grams.update(gs)
+    want = {}
+    for i, gs in per_doc.items():
+        if not gs:
+            continue  # sub-w docs are absent by contract
+        covered = set()
+        for p, g in enumerate(gs):
+            if grams[g] >= 2:
+                covered.update(range(p, p + w))
+        runs = sum(1 for t_ in covered if t_ - 1 not in covered)
+        n = len(docs[i])
+        want[i] = (n, runs, len(covered), n - len(covered))
+    assert got == want, (docs, w)
+
+
+@given(
+    texts=st.lists(
+        st.sampled_from(
+            ["the a of to in", "x y z", "spam spam spam", "one two three four",
+             "", "the the the the the the"]
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    budget=st.integers(min_value=1, max_value=40),
+    n_buckets=st.sampled_from([1, 3, 64]),
+)
+@settings(**_SETTINGS)
+def test_budget_select_equals_greedy_on_tied_corpora(
+    spark, texts, budget, n_buckets
+):
+    """Duplicate-text corpora produce mass quality ties — the regime
+    where a broken tie-break or bucket decomposition would scramble the
+    greedy prefix.  The kept set must equal the naive (quality DESC,
+    doc_id) walk at every bucket count, including the degenerate
+    single-bucket plan."""
+    from kafka_go_cardinality_spark.operators.text import (
+        budget_select,
+        quality_score,
+    )
+
+    frame = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    scored = sorted(
+        (-r["quality"], r["doc_id"], r["n_tokens"])
+        for r in quality_score(frame).collect()
+    )
+    want, before = {}, 0
+    for _nq, doc_id, n_tok in scored:
+        if before >= budget:
+            break
+        want[doc_id] = before
+        before += n_tok
+    got = {
+        r["doc_id"]: r["tokens_before"]
+        for r in budget_select(
+            frame, budget_tokens=budget, n_buckets=n_buckets
+        ).collect()
+    }
+    assert got == want, (texts, budget, n_buckets)
