@@ -658,8 +658,13 @@ def _quantized(embeddings: DataFrame) -> DataFrame:
     round per coordinate — from here on the trainer is pure integer
     arithmetic, so results are identical at any parallelism/engine.
     Non-finite vectors are excluded by contract (functions.vec_finite):
-    a single NaN coordinate would CAST_OVERFLOW the micro-unit round."""
-    return embeddings.filter(vec_finite(F.col("embedding"))).select(
+    a single NaN coordinate would CAST_OVERFLOW the micro-unit round.
+    Wrong-dimension vectors are excluded by the family's 64-dim
+    contract (a ragged vector has no distance to a 64-dim centroid —
+    zip_with would NULL-pad it into a NULL distance)."""
+    return embeddings.filter(
+        vec_finite(F.col("embedding")) & (F.size("embedding") == 64)
+    ).select(
         "vec_id",
         F.transform(
             F.col("embedding"),
@@ -816,6 +821,79 @@ def _int_div_round(sx: int, n: int) -> int:
     if sx >= 0:
         return (2 * sx + n) // (2 * n)
     return -((2 * (-sx) + n) // (2 * n))
+
+
+def kmeans_oracle_sql(
+    k: int = KMEANS_K, n_iter: int = KMEANS_ITERS, dim: int = 64
+) -> str:
+    """DuckDB twin of :func:`kmeans_fit` — the ITERATIVE Lloyd loop
+    unrolled into generated CTE pairs (the textrank/MMR in-oracle
+    device taken to a full trainer): per round an assignment CTE
+    (exact integer squared-L2 argmin, ties → lowest cluster) and a
+    centroid CTE (integer round-half-away-from-zero means; empty
+    clusters keep their previous centroid via the LEFT JOIN coalesce).
+    Everything after the micro-unit quantization — which both engines
+    round identically, verified on half values of both signs — is
+    exact integer arithmetic, so the final model hash-matches.
+    Duplicate vec_ids stay distinct physical rows (rid), mirroring the
+    engine; the seed table keeps rid-1 per id (_dedup_rows_by_id's
+    rule) with cluster = rank of vec_id among the seeds."""
+    dist = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"j -> (vq[j] - cent[j]) * (vq[j] - cent[j])))"
+    )
+    mean = """list(CASE WHEN sx >= 0 THEN (2 * sx + n) // (2 * n)
+                        ELSE -((2 * (-sx) + n) // (2 * n)) END
+                   ORDER BY pos)"""
+    parts = [
+        f"""q0 AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_Q}) AS BIGINT))
+               AS vq,
+             row_number() OVER (PARTITION BY vec_id ORDER BY embedding)
+               AS rid
+      FROM embeddings
+      WHERE {vec_finite_sql('embedding')} AND len(embedding) = {dim}),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+               AS cluster,
+             vq AS cent
+      FROM q0 WHERE vec_id < {k} AND rid = 1)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, rid, vq, cluster FROM (
+        SELECT q0.vec_id, q0.rid, q0.vq, c.cluster,
+               row_number() OVER (
+                 PARTITION BY q0.vec_id, q0.rid
+                 ORDER BY {dist}, c.cluster) AS rn
+        FROM q0 CROSS JOIN c{i - 1} c) WHERE rn = 1),
+    s{i} AS (
+      SELECT cluster, pos, sum(x) AS sx, count(*) AS n FROM (
+        SELECT cluster,
+               unnest(range(1, {dim} + 1)) AS pos,
+               unnest(vq) AS x
+        FROM a{i}) GROUP BY 1, 2),
+    c{i} AS (
+      SELECT c.cluster, coalesce(nc.cent, c.cent) AS cent
+      FROM c{i - 1} c LEFT JOIN (
+        SELECT cluster, {mean} AS cent FROM s{i} GROUP BY cluster) nc
+      USING (cluster))"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(c.cluster AS BIGINT) AS cluster,
+           CAST(sz.n AS BIGINT) AS n_vectors,
+           array_to_string(c.cent, ',') AS centroid_q6,
+           CAST({n_iter} AS INT) AS n_iter
+    FROM c{n_iter} c
+    JOIN (SELECT cluster, min(n) AS n FROM s{n_iter} GROUP BY 1) sz
+      USING (cluster)"""
+    )
 
 
 # Product-quantization geometry: 64-dim vectors → 8 subspaces × 8 dims,

@@ -969,13 +969,15 @@ def q_pipeline_emb_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_kmeans", oracle=None)  # iterative algorithm: rows-only by contract
+@query("q_kmeans", sim.kmeans_oracle_sql())
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[E21] Lloyd's k-means trainer (8 clusters, 5 iterations) in exact
+    """[E21] Lloyd's k-means trainer (8 clusters, 3 iterations) in exact
     micro-unit integer arithmetic — deterministic at any parallelism;
     pinned against a pure-Python model in tests/test_similarity.py
-    (operators/similarity.kmeans_fit).  The iterative-loop shape the
-    driver contract classes as non-SQL-expressible (rows-only)."""
+    (operators/similarity.kmeans_fit).  FULLY ORACLED as of round 8:
+    the iterations unroll into generated assignment/centroid CTE pairs
+    (operators/similarity.kmeans_oracle_sql) — exact integers after the
+    micro-unit quantization, so the final model hash-matches."""
     return sim.kmeans_fit(_emb(spark, sf_dir))
 
 

@@ -157,7 +157,9 @@ def test_kmeans_corpus_smaller_than_k(spark):
     )
     import decimal
 
-    vec = [0.5, -0.25, 0.125]
+    # 64-dim per the family contract (ragged vectors are excluded since
+    # the oracle landed — they have no distance to a 64-dim centroid)
+    vec = ([0.5, -0.25, 0.125] * 22)[:64]
     emb = spark.createDataFrame(
         [(0, vec)], "vec_id bigint, embedding array<double>"
     )
