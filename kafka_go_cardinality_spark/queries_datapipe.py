@@ -1724,15 +1724,98 @@ def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(_emb(spark, sf_dir))
 
 
-@query("q_sim_knn_ivf", oracle=None)  # ANN candidates: rows-only by design
+def _knn_ivf_oracle() -> str:
+    """DuckDB twin of operators/similarity.knn_classify_ivf — the
+    ann_ivf in-oracle derivation extended through the vote tail and the
+    coverage fallback.  APPROXIMATE refers to prediction QUALITY (a
+    true neighbor in an unprobed cell is missed), not to determinism:
+    cells, probes, candidates, the salted top-k (provably equal to the
+    plain window replayed here), the majority vote, and the
+    training-prior fallback are all exact functions of the corpus, so
+    the label table hash-matches.  Probe/train rows stay PER PHYSICAL
+    ROW (no rid dedup — the twins' shared duplicate-id contract:
+    a duplicated probe id's scored pairs merge into one query group);
+    only the centroid seeds take the rid-1 lexicographic-min rule.
+    The output carries labels and flags only — no float column ever
+    reaches the hash."""
+    K, MOD = sim.KNN_K, sim.KNN_TEST_MOD
+    return f"""
+    WITH c0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE {vec_finite_sql('embedding')}),
+    c AS (SELECT vec_id, label, v,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY v) AS rid
+          FROM c0),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM c
+             WHERE vec_id < {sim.IVF_CENTROIDS} AND rid = 1),
+    cc AS (
+      SELECT c.vec_id, c.rid, c.label, c.v, cent.cid,
+             {_cos_sql('c.v', 'cent.cv')} AS cos
+      FROM c CROSS JOIN cent),
+    cells AS (
+      SELECT vec_id, rid, label, v, cid AS cell FROM (
+        SELECT vec_id, rid, label, v, cid,
+               row_number() OVER (PARTITION BY vec_id, rid
+                                  ORDER BY cos DESC, cid ASC) AS r
+        FROM cc) WHERE r = 1),
+    train AS (SELECT vec_id AS neighbor_id, rid, label AS n_label, v AS cv,
+                     cell
+              FROM cells WHERE vec_id % {MOD} != 0),
+    probes AS (
+      SELECT vec_id AS query_id, rid, label AS true_label, v AS qv,
+             cid AS cell
+      FROM (
+        SELECT vec_id, rid, label, v, cid,
+               row_number() OVER (PARTITION BY vec_id, rid
+                                  ORDER BY cos DESC, cid DESC) AS pr
+        FROM cc WHERE vec_id % {MOD} = 0) WHERE pr <= {sim.IVF_PROBES}),
+    kn AS (
+      SELECT query_id, true_label, n_label FROM (
+        SELECT p.query_id, p.true_label, t.n_label,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY {_cos_sql('p.qv', 't.cv')} DESC, t.neighbor_id)
+                 AS rank
+        FROM probes p JOIN train t USING (cell)
+        WHERE p.query_id <> t.neighbor_id) WHERE rank <= {K}),
+    voted AS (
+      SELECT query_id AS vec_id, true_label, n_label AS predicted,
+             CAST(n_label = true_label AS INT) AS correct FROM (
+        SELECT query_id, true_label, n_label, count(*) AS cnt,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY count(*) DESC, n_label) AS r
+        FROM kn GROUP BY query_id, true_label, n_label) WHERE r = 1),
+    prior AS (
+      SELECT n_label AS p_label FROM (
+        SELECT n_label, count(*) AS pc FROM train GROUP BY 1
+        ORDER BY pc DESC, n_label LIMIT 1)),
+    probe_ids AS (
+      SELECT vec_id, min(label) AS tl
+      FROM c WHERE vec_id % {MOD} = 0 GROUP BY 1)
+    SELECT p.vec_id,
+           CAST(coalesce(v.true_label, p.tl) AS INT) AS true_label,
+           CAST(coalesce(v.predicted, prior.p_label) AS INT) AS predicted,
+           CAST(coalesce(v.correct,
+                         CAST(prior.p_label = p.tl AS INT)) AS INT)
+             AS correct
+    FROM probe_ids p
+    LEFT JOIN voted v USING (vec_id)
+    CROSS JOIN prior
+    """
+
+
+@query("q_sim_knn_ivf", _knn_ivf_oracle())
 def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E21+] BULK k-NN labeling via the IVF candidate plan — the
     documented flip of q_sim_knn_classify for corpus-proportional probe
     sets: cell-bucketed candidate equi join (no corpus-sized broadcast),
     exact cosine re-rank over ~n_probe/n_centroids of the pairs, salted
-    two-level top-k, shared vote tail.  Approximate by construction
-    (rows-only); agreement vs the exact twin pinned in
-    tests/test_similarity.py (operators/similarity.knn_classify_ivf)."""
+    two-level top-k, shared vote tail.  Prediction quality approximate
+    by construction, but deterministic end to end — FULLY ORACLED as of
+    round 8 (_knn_ivf_oracle: the ann_ivf derivation extended through
+    the vote and coverage fallback); agreement vs the exact twin and
+    recall@k also pinned in tests/test_similarity.py
+    (operators/similarity.knn_classify_ivf)."""
     return sim.knn_classify_ivf(_emb(spark, sf_dir))
 
 
