@@ -927,41 +927,54 @@ def pq_topk(
       64-dim float op against the corpus.
     - top-k per probe by (estimated distance, vec_id) — total order.
 
-    Rows-only: estimates are quantized by construction; the ranking-
-    quality floor (PQ-selected neighbors are genuinely closer than
-    average) is pinned in tests/test_similarity.py.
+    FULLY ORACLED as of round 8: the integer codebook trainer makes
+    every number downstream an exact BIGINT (``est_dist`` is now
+    integer micro²-units), and :func:`pq_oracle_sql` replays training,
+    coding, and ADC ranking in DuckDB; the ranking-quality floor
+    (PQ-selected neighbors are genuinely closer than average) stays
+    pinned in tests/test_similarity.py.
     """
     # Non-finite / NULL-element vectors are excluded at EVERY embedding
     # ingress (functions.vec_finite contract): a NaN coordinate makes
     # cell/rank placement engine-divergent (Spark argmax yields no cell,
     # SQL NaN-sorts-greatest yields one) — skip-and-continue, mirrored
-    # in the oracle.
-    embeddings = embeddings.filter(vec_finite(F.col("embedding")))
-    base = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    # in the oracle.  The 64-dim contract joins it (round 8): a ragged
+    # vector's subspace slices zip against full-width codewords.
+    embeddings = embeddings.filter(
+        vec_finite(F.col("embedding")) & (F.size("embedding") == 64)
+    )
+    base = embeddings.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * KMEANS_Q).cast("long"),
+        ).alias("vq"),
+    )
     codebooks = _pq_codebooks(base)
     if codebooks is None:
         # Empty training sample: no codebook exists, nothing encodes —
-        # typed empty result, not a numpy shape error.
+        # typed empty result, not a shape error.
         return base.sparkSession.createDataFrame(
-            [], "query_id int, vec_id bigint, est_dist double"
+            [], "query_id int, vec_id bigint, est_dist bigint"
         )
     codes = _pq_codes_expr(codebooks)
-    coded = tracked_persist(base.select("vec_id", "v", codes.alias("codes")))
+    coded = tracked_persist(base.select("vec_id", "v", "vq", codes.alias("codes")))
 
-    # Probe LUTs computed driver-side with the same sequential float
-    # arithmetic (probe count is tiny; the corpus never re-reads floats).
+    # Probe LUTs computed driver-side in the same exact integers (probe
+    # count is tiny; the corpus never re-reads vectors).
     probes = _dedup_rows_by_id(
         coded.filter(F.col("vec_id") < n_queries).collect(), "v"
     )
     spark = embeddings.sparkSession
-    lut_rows = [(int(p["vec_id"]), _pq_lut(codebooks, p["v"])) for p in probes]
+    lut_rows = [(int(p["vec_id"]), _pq_lut(codebooks, p["vq"])) for p in probes]
     luts = spark.createDataFrame(
-        lut_rows, "query_id int, lut array<array<double>>"
+        lut_rows, "query_id int, lut array<array<bigint>>"
     )
     scored = (
-        coded.drop("v")
+        coded.drop("v", "vq")
         .join(F.broadcast(luts), F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", F.round(_pq_adc_expr(), 6).alias("est_dist"))
+        .select("query_id", "vec_id", _pq_adc_expr().alias("est_dist"))
     )
     from kafka_go_cardinality_spark.operators.relational import grouped_topk
 
@@ -973,42 +986,65 @@ def pq_topk(
     )
 
 
-def _pq_codebooks(base: DataFrame) -> list | None:
+PQ_ITERS = 4
+
+
+def _pq_codebooks(base_q: DataFrame) -> list | None:
     """Per-subspace Lloyd codebooks from the deterministic driver-side
     sample (first 256 ids, duplicate ids deduped by the lexicographic-
-    min rule) — the offline-training stand-in shared by :func:`pq_topk`
-    and :func:`ivfpq_topk`; production trains on a sample and ships the
-    codebooks exactly like this, as a broadcast-sized constant.  None
-    when the sample is empty (callers emit typed empties)."""
-    import numpy as np
+    min rule on the FLOAT vectors) — the offline-training stand-in
+    shared by :func:`pq_topk` and :func:`ivfpq_topk`; production trains
+    on a sample and ships the codebooks exactly like this, as a
+    broadcast-sized constant.  None when the sample is empty (callers
+    emit typed empties).
 
-    sample = _dedup_rows_by_id(base.filter(F.col("vec_id") < 256).collect(), "v")
+    EXACT INTEGER Lloyd (round 8 — the kmeans_fit discipline): the
+    sample's micro-unit ``vq`` integers (quantized ENGINE-side, so no
+    Python rounding rule ever enters), pure-Python integer argmin
+    (strict < keeps the lowest code on ties, numpy-argmin-compatible)
+    and round-half-away-from-zero means.  Every downstream number —
+    codes, LUT entries, ADC sums — is then an exact integer, which is
+    what lets the whole PQ family be DuckDB-oracled; the previous
+    numpy float trainer used pairwise-summed means no SQL engine can
+    replay bit-for-bit."""
+    sample = _dedup_rows_by_id(
+        base_q.filter(F.col("vec_id") < 256).collect(), "v"
+    )
     if not sample:
         return None
-    sample_mat = np.asarray([row["v"] for row in sample], dtype=np.float64)
+    vqs = [list(row["vq"]) for row in sample]
     codebooks = []
     for j in range(PQ_SUBSPACES):
-        subs = sample_mat[:, j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]
-        cents = subs[:PQ_CODEWORDS].copy()
-        for _ in range(4):
-            # (n, 16) pairwise squared distances, vectorized; argmin per row.
-            d2 = ((subs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            best = d2.argmin(axis=1)
-            for c in range(PQ_CODEWORDS):
-                members = subs[best == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
-        codebooks.append([[float(x) for x in cw] for cw in cents])
+        subs = [vq[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM] for vq in vqs]
+        cents = [list(s) for s in subs[:PQ_CODEWORDS]]
+        for _ in range(PQ_ITERS):
+            assign = []
+            for s in subs:
+                best, bd = 0, None
+                for ci, c in enumerate(cents):
+                    d = sum((a - b) * (a - b) for a, b in zip(s, c))
+                    if bd is None or d < bd:
+                        bd, best = d, ci
+                assign.append(best)
+            for ci in range(len(cents)):
+                members = [s for s, a in zip(subs, assign) if a == ci]
+                if members:  # empty codeword keeps its previous centroid
+                    n = len(members)
+                    cents[ci] = [
+                        _int_div_round(sum(col), n) for col in zip(*members)
+                    ]
+        codebooks.append([list(c) for c in cents])
     return codebooks
 
 
-def _pq_lut(codebooks: list, pv) -> list:
-    """One probe's 8×16 ADC lookup table (squared subspace distances),
-    sequential float arithmetic — probe count is model-sized."""
+def _pq_lut(codebooks: list, pvq) -> list:
+    """One probe's 8×16 ADC lookup table (squared subspace distances) —
+    exact integers from the probe's micro-unit vector and the integer
+    codebooks; probe count is model-sized."""
     return [
         [
             sum(
-                (float(pv[j * PQ_SUBDIM + d]) - cw[d]) ** 2
+                (int(pvq[j * PQ_SUBDIM + d]) - cw[d]) ** 2
                 for d in range(PQ_SUBDIM)
             )
             for cw in codebooks[j]
@@ -1019,10 +1055,11 @@ def _pq_lut(codebooks: list, pv) -> list:
 
 def _pq_adc_expr():
     """Estimated distance = 8 LUT lookups summed (columns ``lut`` and
-    ``codes`` in scope) — never a float op against the corpus."""
+    ``codes`` in scope) — exact BIGINT arithmetic, never a float op
+    against the corpus."""
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1)),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda acc, j: acc
         + F.element_at(
             F.element_at(F.col("lut"), j + 1),
@@ -1039,17 +1076,18 @@ def _pq_codes_expr(codebooks: list):
     # 16-distance array through transform→struct→array_min so the array
     # is evaluated once (array_position(d, array_min(d)) names it twice);
     # struct ordering (d, then index) reproduces the lowest-index
-    # tie-break exactly.
+    # tie-break exactly.  Distances are exact BIGINT squared-L2 over the
+    # micro-unit ``vq`` column against integer codeword literals.
     subspace_exprs = []
     for j, cents in enumerate(codebooks):
         ds = ", ".join(
-            "aggregate(zip_with(slice(v, %d, %d), array(%s), "
-            "(a, b) -> (a - b) * (a - b)), cast(0 as double), "
+            "aggregate(zip_with(slice(vq, %d, %d), array(%s), "
+            "(a, b) -> (a - b) * (a - b)), cast(0 as bigint), "
             "(acc, x) -> acc + x)"
             % (
                 j * PQ_SUBDIM + 1,
                 PQ_SUBDIM,
-                ", ".join(_dlit(x) for x in cw),
+                ", ".join(str(int(x)) + "L" for x in cw),
             )
             for cw in cents
         )
@@ -1058,6 +1096,179 @@ def _pq_codes_expr(codebooks: list):
             "(x, i) -> named_struct('d', x, 'c', i))).c as int)" % ds
         )
     return F.expr("array(%s)" % ", ".join(subspace_exprs))
+
+
+def _pq_oracle_ctes(n_queries: int) -> str:
+    """Shared DuckDB CTE chain replaying the integer PQ stack — the
+    kmeans_oracle device per subspace: q0/pr (quantized corpus + probe
+    set), 8 × (subspace sample, init codebook, PQ_ITERS assign/update
+    rounds), per-row nibble codes, and per-probe integer LUTs.  Ends
+    with ``codes(vec_id, rid, j, code)`` and ``lut(query_id, j, code,
+    dd)`` ready for the ADC sum.  Every value after quantization is an
+    exact integer; ties break to the lowest code, mirroring the
+    strict-< Python argmin."""
+    D, CW = PQ_SUBDIM, PQ_CODEWORDS
+
+    def sqdist(vec: str, off: int) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {D} + 1), "
+            f"d -> ({vec}[{off} + d] - c.cent[d]) * ({vec}[{off} + d] - c.cent[d])))"
+        )
+
+    mean = f"""(CASE WHEN sum(x) >= 0
+                     THEN (2 * sum(x) + count(*)) // (2 * count(*))
+                     ELSE -((2 * (-sum(x)) + count(*)) // (2 * count(*))) END)"""
+    parts = [
+        f"""q0a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_Q}) AS BIGINT))
+                     AS vq
+            FROM embeddings
+            WHERE {vec_finite_sql('embedding')} AND len(embedding) = 64),
+    q0 AS (SELECT vec_id, v, vq,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY v) AS rid
+           FROM q0a),
+    samp AS (SELECT vq, row_number() OVER (ORDER BY vec_id) AS sid
+             FROM q0 WHERE vec_id < 256 AND rid = 1),
+    pr AS (SELECT vec_id AS query_id, vq FROM q0
+           WHERE vec_id < {n_queries} AND rid = 1)"""
+    ]
+    for j in range(PQ_SUBSPACES):
+        off = j * D
+        parts.append(
+            f"""s{j} AS (SELECT sid, vq[{off + 1}:{off + D}] AS sub FROM samp),
+    cb{j}_0 AS (SELECT sid - 1 AS code, sub AS cent FROM s{j}
+                WHERE sid <= {CW})"""
+        )
+        for i in range(1, PQ_ITERS + 1):
+            parts.append(
+                f"""a{j}_{i} AS (
+      SELECT sid, sub, code FROM (
+        SELECT s.sid, s.sub, c.code,
+               row_number() OVER (PARTITION BY s.sid
+                 ORDER BY {sqdist('s.sub', 0)}, c.code) AS rn
+        FROM s{j} s CROSS JOIN cb{j}_{i - 1} c) WHERE rn = 1),
+    cb{j}_{i} AS (
+      SELECT c.code, coalesce(nc.cent, c.cent) AS cent
+      FROM cb{j}_{i - 1} c LEFT JOIN (
+        SELECT code, list(m ORDER BY pos) AS cent FROM (
+          SELECT code, pos, {mean} AS m FROM (
+            SELECT code, unnest(range(1, {D} + 1)) AS pos, unnest(sub) AS x
+            FROM a{j}_{i}) GROUP BY code, pos)
+        GROUP BY code) nc USING (code))"""
+            )
+        parts.append(
+            f"""cd{j} AS (
+      SELECT vec_id, rid, code FROM (
+        SELECT q.vec_id, q.rid, c.code,
+               row_number() OVER (PARTITION BY q.vec_id, q.rid
+                 ORDER BY {sqdist('q.vq', off)}, c.code) AS rn
+        FROM q0 q CROSS JOIN cb{j}_{PQ_ITERS} c) WHERE rn = 1),
+    lut{j} AS (
+      SELECT p.query_id, c.code, {sqdist('p.vq', off)} AS dd
+      FROM pr p CROSS JOIN cb{j}_{PQ_ITERS} c)"""
+        )
+    parts.append(
+        "codes AS ("
+        + "\n      UNION ALL ".join(
+            f"SELECT vec_id, rid, {j} AS j, code FROM cd{j}"
+            for j in range(PQ_SUBSPACES)
+        )
+        + ")"
+    )
+    parts.append(
+        "lut AS ("
+        + "\n      UNION ALL ".join(
+            f"SELECT query_id, {j} AS j, code, dd FROM lut{j}"
+            for j in range(PQ_SUBSPACES)
+        )
+        + ")"
+    )
+    return ",\n    ".join(parts)
+
+
+def pq_oracle_sql(n_queries: int = 10, k: int = 5) -> str:
+    """DuckDB twin of :func:`pq_topk`: the shared PQ replay scored over
+    ALL (probe, corpus-row) pairs, top-k per probe by (est_dist ASC,
+    vec_id ASC)."""
+    return f"""
+    WITH {_pq_oracle_ctes(n_queries)},
+    est AS (
+      SELECT l.query_id, c.vec_id, c.rid,
+             CAST(sum(l.dd) AS BIGINT) AS est_dist
+      FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+      GROUP BY 1, 2, 3)
+    SELECT CAST(query_id AS INT) AS query_id, vec_id, est_dist FROM (
+      SELECT query_id, vec_id, est_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY est_dist, vec_id) AS rn
+      FROM est WHERE vec_id <> query_id) WHERE rn <= {k}
+    """
+
+
+def ivfpq_oracle_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBES,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_topk`: the ann_ivf cell derivation
+    (data-derived coarse centroids, per-physical-row cells, probe cells
+    ranked (cos DESC, cid DESC)) composed with the PQ replay — a
+    candidate is scored only when its cell is probed, by the identical
+    integer ADC sum."""
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, len({x}) + 1), "
+            f"i -> {x}[i] * {y}[i]), (acc, v) -> acc + v)"
+        )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(CASE WHEN sqrt({dot(a, a)}) > 0 AND sqrt({dot(b, b)}) > 0 "
+            f"THEN {dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})) "
+            f"ELSE 0.0 END)"
+        )
+
+    return f"""
+    WITH {_pq_oracle_ctes(n_queries)},
+    cent AS (SELECT vec_id AS cid, v AS cv FROM q0
+             WHERE vec_id < {n_centroids} AND rid = 1),
+    cc AS (
+      SELECT q0.vec_id, q0.rid, cent.cid, {cos('q0.v', 'cent.cv')} AS cos
+      FROM q0 CROSS JOIN cent),
+    cells AS (
+      SELECT vec_id, rid, cid AS cell FROM (
+        SELECT vec_id, rid, cid,
+               row_number() OVER (PARTITION BY vec_id, rid
+                                  ORDER BY cos DESC, cid ASC) AS r
+        FROM cc) WHERE r = 1),
+    pcells AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid DESC) AS prr
+        FROM cc WHERE vec_id < {n_queries} AND rid = 1)
+      WHERE prr <= {n_probe}),
+    cand AS (
+      SELECT p.query_id, x.vec_id, x.rid
+      FROM pcells p JOIN cells x USING (cell)
+      WHERE x.vec_id <> p.query_id),
+    est AS (
+      SELECT a.query_id, a.vec_id, a.rid,
+             CAST(sum(l.dd) AS BIGINT) AS est_dist
+      FROM cand a
+      JOIN codes c ON c.vec_id = a.vec_id AND c.rid = a.rid
+      JOIN lut l ON l.query_id = a.query_id AND l.j = c.j
+                AND l.code = c.code
+      GROUP BY 1, 2, 3)
+    SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, est_dist FROM (
+      SELECT query_id, vec_id, est_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY est_dist, vec_id) AS rn
+      FROM est) WHERE rn <= {k}
+    """
 
 
 def ivfpq_topk(
@@ -1088,24 +1299,31 @@ def ivfpq_topk(
     the corpus shuffles once keyed by cell (the inverted file); the
     probe side is model-sized (n_queries×n_probe rows carrying 8×16
     LUTs) and broadcasts, so the candidate join never shuffles the
-    coded corpus again.  Rows-only (estimates quantized by
-    construction); quality pinned in tests via planted-twin recall,
+    coded corpus again.  FULLY ORACLED as of round 8 (integer trainer +
+    ivfpq_oracle_sql — the ann_ivf cell derivation composed with the PQ
+    replay); quality stays pinned in tests via planted-twin recall,
     pq-consistency on shared pairs, and the selected-beat-average
     floor."""
-    embeddings = embeddings.filter(vec_finite(F.col("embedding")))
+    embeddings = embeddings.filter(
+        vec_finite(F.col("embedding")) & (F.size("embedding") == 64)
+    )
     scored_cells, seed_vecs = _centroid_scored_cells(embeddings, n_centroids)
     empty = scored_cells.sparkSession.createDataFrame(
-        [], "query_id int, vec_id bigint, est_dist double"
+        [], "query_id int, vec_id bigint, est_dist bigint"
     )
     if not seed_vecs:
         return empty
-    base = scored_cells.select("vec_id", "v")
+    vq_col = F.transform(
+        F.col("v"), lambda x: F.round(x * KMEANS_Q).cast("long")
+    )
+    base = scored_cells.select("vec_id", "v", vq_col.alias("vq"))
     codebooks = _pq_codebooks(base)
     if codebooks is None:
         return empty
     with_cell = scored_cells.select(
         "vec_id",
         "v",
+        vq_col.alias("vq"),
         (F.array_position(F.col("ca"), F.array_max("ca")) - 1)
         .cast("int")
         .alias("cell"),
@@ -1139,20 +1357,27 @@ def ivfpq_topk(
             F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])
         ).alias("cell"),
     ).filter(F.col("cell").isNotNull())
-    # LUTs driver-side from the SAME deduped probe rows (model-sized).
+    # LUTs driver-side from the SAME deduped probe rows (model-sized),
+    # in exact integers from the engine-quantized vq.
     probes = _dedup_rows_by_id(
-        probe_rows.select("vec_id", "v").collect(), "v"
+        probe_rows.select(
+            "vec_id", "v",
+            F.transform(
+                F.col("v"), lambda x: F.round(x * KMEANS_Q).cast("long")
+            ).alias("vq"),
+        ).collect(),
+        "v",
     )
     spark = embeddings.sparkSession
     luts = spark.createDataFrame(
-        [(int(p["vec_id"]), _pq_lut(codebooks, p["v"])) for p in probes],
-        "query_id int, lut array<array<double>>",
+        [(int(p["vec_id"]), _pq_lut(codebooks, p["vq"])) for p in probes],
+        "query_id int, lut array<array<bigint>>",
     )
     cands = F.broadcast(probe_cells.join(luts, "query_id")).join(
         coded, "cell"
     ).filter(F.col("query_id") != F.col("vec_id"))
     scored = cands.select(
-        "query_id", "vec_id", F.round(_pq_adc_expr(), 6).alias("est_dist")
+        "query_id", "vec_id", _pq_adc_expr().alias("est_dist")
     )
     from kafka_go_cardinality_spark.operators.relational import grouped_topk
 

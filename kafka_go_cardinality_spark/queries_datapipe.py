@@ -1146,7 +1146,7 @@ def q_quality_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_domain_gate(_docs(spark, sf_dir))
 
 
-@query("q_sim_ann_pq", oracle=None)  # quantized estimates: rows-only
+@query("q_sim_ann_pq", sim.pq_oracle_sql())
 def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E21] Product-quantization ANN (ADC): corpus encoded to 8 nibble
     codes per vector (64× memory reduction — the compression that makes
@@ -1156,7 +1156,7 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_topk(_emb(spark, sf_dir))
 
 
-@query("q_sim_ann_ivfpq", oracle=None)  # quantized estimates: rows-only
+@query("q_sim_ann_ivfpq", sim.ivfpq_oracle_sql())
 def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E21] IVF+PQ composed ANN — the production billion-scale index
     shape (FAISS IVFPQ, non-residual variant): the IVF coarse quantizer
