@@ -58,7 +58,13 @@ ANN_BAND_BITS = ANN_PLANES // ANN_BANDS
 TOPK_SALTS = 32
 
 
-def _grouped_topk(scored: DataFrame, k: int, tie_col: str = "neighbor_id") -> DataFrame:
+def _grouped_topk(
+    scored: DataFrame,
+    k: int,
+    tie_col: str = "neighbor_id",
+    order_col: str = "cos",
+    descending: bool = True,
+) -> DataFrame:
     """Two-level (salted) grouped top-k over a scored (query_id, ...,
     cos) frame — the scale-safe replacement for a single
     ``Window.partitionBy("query_id")`` row_number.
@@ -89,21 +95,18 @@ def _grouped_topk(scored: DataFrame, k: int, tie_col: str = "neighbor_id") -> Da
     """
     from kafka_go_cardinality_spark.partitioning import session_fanout
 
+    lead = F.col(order_col).desc() if descending else F.col(order_col).asc()
     salted = scored.withColumn(
         "_salt",
         F.pmod(F.hash(F.col(tie_col)), F.lit(session_fanout(scored, TOPK_SALTS))),
     )
-    w1 = Window.partitionBy("query_id", "_salt").orderBy(
-        F.col("cos").desc(), F.col(tie_col)
-    )
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(lead, F.col(tie_col))
     survivors = (
         salted.withColumn("_r1", F.row_number().over(w1))
         .filter(F.col("_r1") <= k)
         .drop("_r1", "_salt")
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col(tie_col)
-    )
+    w2 = Window.partitionBy("query_id").orderBy(lead, F.col(tie_col))
     return survivors.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= k
     )
@@ -940,8 +943,15 @@ def pq_topk(
     # SQL NaN-sorts-greatest yields one) — skip-and-continue, mirrored
     # in the oracle.  The 64-dim contract joins it (round 8): a ragged
     # vector's subspace slices zip against full-width codewords.
-    embeddings = embeddings.filter(
-        vec_finite(F.col("embedding")) & (F.size("embedding") == 64)
+    from kafka_go_cardinality_spark.partitioning import spread
+
+    # spread: the 128-codeword encode fold is the dominant map cost and
+    # would otherwise run at scan parallelism (the 32x probe measured
+    # 2.8x wall from a couple of parquet-file tasks).
+    embeddings = spread(
+        embeddings.filter(
+            vec_finite(F.col("embedding")) & (F.size("embedding") == 64)
+        )
     )
     base = embeddings.select(
         "vec_id",
@@ -976,14 +986,13 @@ def pq_topk(
         .join(F.broadcast(luts), F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", _pq_adc_expr().alias("est_dist"))
     )
-    from kafka_go_cardinality_spark.operators.relational import grouped_topk
-
-    return grouped_topk(
-        scored,
-        ["query_id"],
-        [F.col("est_dist").asc(), F.col("vec_id").asc()],
-        k,
-    )
+    # Salted two-level top-k (ascending): the plain per-query window put
+    # the whole scored frame through n_queries reducers — the 32x probe
+    # measured 2.9x wall; no reducer sorts a corpus-proportional frame
+    # now, and the exactness proof on _grouped_topk applies verbatim.
+    return _grouped_topk(
+        scored, k, tie_col="vec_id", order_col="est_dist", descending=False
+    ).drop("rank")
 
 
 PQ_ITERS = 4
@@ -1304,8 +1313,14 @@ def ivfpq_topk(
     replay); quality stays pinned in tests via planted-twin recall,
     pq-consistency on shared pairs, and the selected-beat-average
     floor."""
-    embeddings = embeddings.filter(
-        vec_finite(F.col("embedding")) & (F.size("embedding") == 64)
+    from kafka_go_cardinality_spark.partitioning import spread
+
+    # spread: cell-cosine + 128-codeword encode folds dominate; scan
+    # parallelism alone measured 4.3x at the 32x probe.
+    embeddings = spread(
+        embeddings.filter(
+            vec_finite(F.col("embedding")) & (F.size("embedding") == 64)
+        )
     )
     scored_cells, seed_vecs = _centroid_scored_cells(embeddings, n_centroids)
     empty = scored_cells.sparkSession.createDataFrame(
@@ -1379,14 +1394,11 @@ def ivfpq_topk(
     scored = cands.select(
         "query_id", "vec_id", _pq_adc_expr().alias("est_dist")
     )
-    from kafka_go_cardinality_spark.operators.relational import grouped_topk
-
-    return grouped_topk(
-        scored,
-        ["query_id"],
-        [F.col("est_dist").asc(), F.col("vec_id").asc()],
-        k,
-    )
+    # Salted ascending top-k — same rationale as pq_topk (3.4x at the
+    # 32x probe through the plain window; in family after).
+    return _grouped_topk(
+        scored, k, tie_col="vec_id", order_col="est_dist", descending=False
+    ).drop("rank")
 
 
 # Semantic dedup: coarse cells (same deterministic seeding as ivf_topk)
