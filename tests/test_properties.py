@@ -915,3 +915,138 @@ def test_budget_select_equals_greedy_on_tied_corpora(
         ).collect()
     }
     assert got == want, (texts, budget, n_buckets)
+
+
+# ------------------------------------------- NB classifier vs Python model
+
+
+def _nb_python_model(docs):
+    """Independent multinomial NB over md5-hashed buckets — reimplements
+    the documented formula from scratch (hashlib, not the engine's
+    expressions)."""
+    import hashlib
+    import math
+
+    from kafka_go_cardinality_spark.operators.text import NB_BUCKETS, NB_Q
+
+    def fold_tokens(text):
+        return text.strip().lower().split() if text.strip() else [""]
+
+    def bucket(tok):
+        return (
+            int(hashlib.md5((tok + "#nb").encode()).hexdigest()[:15], 16)
+            % NB_BUCKETS
+        )
+
+    rows = [(d, t, lang) for d, t, lang in docs if t is not None]
+    c1, c0 = {}, {}
+    for _d, t, lang in rows:
+        y = 1 if lang == "en" else 0
+        for tok in fold_tokens(t):
+            b = bucket(tok)
+            (c1 if y else c0)[b] = (c1 if y else c0).get(b, 0) + 1
+    t1, t0 = sum(c1.values()), sum(c0.values())
+    v = len(set(c1) | set(c0))
+    d1 = sum(1 for _d, _t, lang in rows if lang == "en")
+    d0 = len(rows) - d1
+
+    def fl(x):
+        import math as m
+        return int(m.floor(x * NB_Q + 0.5))
+
+    llr = {
+        b: fl(
+            math.log((c1.get(b, 0) + 1) / (t1 + v))
+            - math.log((c0.get(b, 0) + 1) / (t0 + v))
+        )
+        for b in range(NB_BUCKETS)
+    }
+    prior = fl(math.log((d1 + 1) / (d0 + 1)))
+    out = {}
+    for d, t, lang in rows:
+        score = prior + sum(llr[bucket(tok)] for tok in fold_tokens(t))
+        out[d] = (1 if lang == "en" else 0, score, 1 if score > 0 else 0)
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["alpha beta", "uno dos tres", "alpha uno", "x", ""]
+            ),
+            st.sampled_from(["en", "es", None]),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_nb_classifier_matches_python_model(spark, docs):
+    """Engine scores must equal an independent hashlib/math NB on every
+    random corpus — llr quantization, smoothing-by-observed-vocab,
+    prior, and NULL-lang class-0 handling included."""
+    from kafka_go_cardinality_spark.operators.text import nb_classifier
+
+    rows = [(i, t, lang) for i, (t, lang) in enumerate(docs)]
+    frame = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r["doc_id"]: (r["labeled_en"], r["score_q"], r["pred_en"])
+        for r in nb_classifier(frame).collect()
+    }
+    assert got == _nb_python_model(rows), rows
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-4, max_value=4).map(lambda i: i / 4),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_mmr_matches_python_model_on_random_vectors(spark, vecs):
+    """The MMR selection SEQUENCE must equal an independent Python
+    greedy on every random corpus — including zero vectors (cosine 0
+    by the guard), mass cosine ties (quarter-unit grids collide), and
+    corpora smaller than k."""
+    import math
+
+    from kafka_go_cardinality_spark.operators import similarity as sim
+
+    rows = [(i, v, 0) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    got = [
+        (r["sel_rank"], r["vec_id"])
+        for r in sim.mmr_select(emb).orderBy("sel_rank").collect()
+    ]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    pool = {i: v for i, v in enumerate(vecs)}
+    q = pool.pop(0)
+    rel = {i: cos(v, q) for i, v in pool.items()}
+    ms = dict.fromkeys(pool, 0.0)
+    want = []
+    for rank in range(1, sim.MMR_K + 1):
+        if not pool:
+            break
+        pick = min(
+            pool, key=lambda i: (-(0.7 * rel[i] - 0.3 * ms[i]), i)
+        )
+        want.append((rank, pick))
+        pv = pool.pop(pick)
+        ms.pop(pick)
+        for i, v in pool.items():
+            ms[i] = max(ms[i], cos(v, pv))
+    assert got == want, vecs
