@@ -96,6 +96,24 @@ def stale_red_names(root: str = _REPO_ROOT) -> frozenset[str]:
     return frozenset(n for n, r in latest_rows(root).items() if not is_green(r))
 
 
+def rows_only_green_names(root: str = _REPO_ROOT) -> frozenset[str]:
+    """Queries whose latest driver row is a green ROWS-ONLY check
+    (``err == 'no_oracle'`` with rows returned) — i.e. the driver has
+    never value-hashed them.  The registry intersects this with the
+    current ORACLE_SQL keys to find HASH-PENDING queries: ones that
+    gained an oracle AFTER their latest driver visit (r8 verdict item
+    1 — six queries flipped to oracled in r8 carried only rows-only
+    evidence and the age-based rotation, blind to the evidence TYPE
+    changing, left them outside the sweep head).  Hash-capable but
+    never hash-checked outranks mere staleness: a sweep slot spent
+    there buys a first-ever hash row instead of a refresh."""
+    return frozenset(
+        n
+        for n, r in latest_rows(root).items()
+        if r.get("err") == "no_oracle" and r.get("spark_rows") is not None
+    )
+
+
 def evidence_age(root: str = _REPO_ROOT) -> dict[str, int]:
     """name -> 0-based index of the ROUND that produced its latest row.
 

@@ -70,6 +70,12 @@ from kafka_go_cardinality_spark import queries_udf  # noqa: E402,F401
 #   rank 0+  never driver-checked, front-loaded by family (similarity and
 #            multimodal first — zero driver evidence as of round 4 — then
 #            streaming, analytics, and everything else);
+#   rank 60  HASH-PENDING: latest driver row is a green rows-only check
+#            but the query NOW registers an oracle — it gained one after
+#            its last driver visit, so the driver's independent gate has
+#            never value-hashed it (r8 verdict item 1).  Ahead of the
+#            whole proven block regardless of age: a first-ever hash row
+#            outranks any refresh;
 #   rank 99  PROVEN: latest driver row green.  Parked at the back,
 #            ordered by evidence AGE (round of the latest row, oldest
 #            first): each round's sweep re-proves the queries whose
@@ -118,10 +124,20 @@ _PROVEN_POS: dict[str, int] = {
     for i, n in enumerate(sorted(_PROVEN, key=lambda n: (_effective_age(n), n)))
 }
 
+# HASH-PENDING (r8 verdict item 1): green rows-only evidence + an oracle
+# registered NOW means the oracle landed after the driver's last visit —
+# the independent gate has never hash-checked the query.  Computed here,
+# after all family modules have registered, so ORACLE_SQL is complete.
+_HASH_PENDING: frozenset[str] = (
+    driver_evidence.rows_only_green_names() & frozenset(ORACLE_SQL)
+)
+
 
 def _presentation_rank(name: str) -> tuple[int, int, str]:
     if name in _STALE_RED:
         return (-1, 0, name)
+    if name in _HASH_PENDING:
+        return (60, 0, name)
     if name in _PROVEN:
         return (99, _PROVEN_POS[name], name)
     for i, prefix in enumerate(_FAMILY_ORDER):

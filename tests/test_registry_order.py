@@ -9,7 +9,7 @@ from __future__ import annotations
 import json
 
 from kafka_go_cardinality_spark import driver_evidence
-from kafka_go_cardinality_spark.queries import QUERIES
+from kafka_go_cardinality_spark.queries import ORACLE_SQL, QUERIES
 
 
 def test_stale_red_queries_lead_the_registry():
@@ -43,13 +43,59 @@ def test_proven_block_is_oldest_evidence_first():
 
     age = driver_evidence.evidence_age()
     proven = driver_evidence.proven_names()
+    pending = driver_evidence.rows_only_green_names() & set(ORACLE_SQL)
     ages = [
         age[n]
         + (0 if n in ORACLE_SQL else ROWS_ONLY_STALENESS_PENALTY)
         for n in QUERIES
-        if n in proven and n in age
+        if n in proven and n in age and n not in pending
     ]
     assert ages == sorted(ages)
+
+
+def test_hash_pending_lead_the_proven_block():
+    """R8 verdict item 1: a query whose latest driver row is a green
+    rows-only check but which NOW registers an oracle has never been
+    value-hashed by the driver's independent gate — it must outrank
+    every merely-stale proven query, landing in the sweep head so the
+    next CORRECTNESS round produces its first hash row."""
+    proven = driver_evidence.proven_names()
+    pending = driver_evidence.rows_only_green_names() & set(ORACLE_SQL)
+    names = list(QUERIES)
+    if not pending:
+        return  # steady state: every oracled query has hash evidence
+    last_pending = max(i for i, n in enumerate(names) if n in pending)
+    for i, n in enumerate(names):
+        if n in proven and n not in pending:
+            assert i > last_pending, (
+                f"settled-proven {n} sorted before hash-pending block"
+            )
+    # and the pending block must actually fit in the driver's 50-slot
+    # sweep head, else the reorder bought nothing
+    assert last_pending < 50
+
+
+def test_r8_flipped_queries_are_hash_pending():
+    """The six queries that gained oracles in r8 after their last
+    driver visit (the concrete instance behind the tier) must classify
+    as hash-pending until a CORRECTNESS round hashes them; once r09
+    evidence lands this set naturally empties and the test still holds
+    (subset check against whatever is STILL pending)."""
+    flipped = {
+        "q_kmeans",
+        "q_sim_ann_pq",
+        "q_sim_knn_ivf",
+        "q_text_bpe_merges",
+        "q_text_bpe_encode",
+        "q_seq_pack_bpe",
+    }
+    pending = driver_evidence.rows_only_green_names() & set(ORACLE_SQL)
+    rows = driver_evidence.latest_rows()
+    for n in flipped:
+        assert n in ORACLE_SQL, f"{n} lost its oracle"
+        if rows.get(n, {}).get("err") == "no_oracle":
+            assert n in pending
+            assert list(QUERIES).index(n) < 50, f"{n} outside sweep head"
 
 
 def test_sweep_head_is_mostly_hash_capable():
