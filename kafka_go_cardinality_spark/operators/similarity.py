@@ -347,6 +347,27 @@ def ann_lsh_topk(
 IVF_CENTROIDS = 16
 IVF_PROBES = 4
 
+# k-NN retrieval dial (r8 verdict item 2).  The knn_ivf path already
+# scores EXACT cosine over every candidate, so its recall is bounded
+# purely by cell coverage — "re-rank an over-fetched candidate set"
+# buys nothing here (there is no second, coarser score to re-rank).
+# The levers that exist are grid fineness, probe count, and
+# multi-assignment; measured head-to-head at the 32×-vectors probe
+# (random near-orthogonal 64-d — the WORST case for IVF), mean
+# recall@5 vs the exact twin at matched candidate fraction 0.5:
+#   16 cells / 8 probes            0.807
+#   32 cells / 8 probes, assign-2  0.831  (+ a dropDuplicates shuffle)
+#   32 cells / 16 probes           0.850  (chosen: no extra shuffle)
+# Coarser fractions don't clear the 0.8 bar on this data (4/16 =
+# 0.55, 8/32 = 0.61, 16/64 = 0.65): with no cluster structure the
+# centroid ordering buys ~+0.3 over blind probing and the rest must
+# come from coverage.  Real embedding corpora cluster, so the same
+# fraction lands far higher recall there; the constants are the
+# honest worst-case setting, not a claim that 0.5 is the production
+# fraction.
+KNN_IVF_CENTROIDS = 32
+KNN_IVF_PROBES = 16
+
 
 def _centroid_scored_cells(embeddings: DataFrame, n_centroids: int, keep=()):
     """Shared IVF machinery: per-vector centroid-cosine array.
@@ -1021,11 +1042,40 @@ def _pq_codebooks(base_q: DataFrame) -> list | None:
     )
     if not sample:
         return None
-    vqs = [list(row["vq"]) for row in sample]
+    return _pq_train([list(row["vq"]) for row in sample])
+
+
+def _pq_train(vqs: list) -> list:
+    """The integer Lloyd loop over an in-memory micro-unit sample —
+    shared by the raw-vector trainer (:func:`_pq_codebooks`) and the
+    residual trainer (:func:`ivfpq_residual_topk`, which subtracts the
+    coarse centroid BEFORE training — integer subtraction is exact, so
+    the residual pipeline keeps the same oracle-replayable arithmetic).
+
+    Init is the first PQ_CODEWORDS DISTINCT subvectors in sample order,
+    not the first PQ_CODEWORDS rows: the residual sample's head is the
+    coarse SEEDS, whose residuals against their own cells are exactly
+    zero — a first-16-rows init there is 16 copies of the zero vector,
+    every point ties to code 0, only code 0 ever updates, and the
+    codebook collapses to ~1 effective codeword (measured: residual ADC
+    error 0.79 vs raw 0.29 on a clustered fixture — the OPPOSITE of
+    residual coding's point — recovering to 0.11 with this init).  For
+    the raw path distinct-init is a behavioral no-op unless two of the
+    first 16 sample rows collide in a subspace slice.  Mirrored in the
+    oracle (:func:`_pq_subspace_ctes` cb_0: distinct by first
+    appearance)."""
     codebooks = []
     for j in range(PQ_SUBSPACES):
         subs = [vq[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM] for vq in vqs]
-        cents = [list(s) for s in subs[:PQ_CODEWORDS]]
+        seen: set = set()
+        cents: list = []
+        for s in subs:
+            t = tuple(s)
+            if t not in seen:
+                seen.add(t)
+                cents.append(list(s))
+                if len(cents) == PQ_CODEWORDS:
+                    break
         for _ in range(PQ_ITERS):
             assign = []
             for s in subs:
@@ -1107,15 +1157,24 @@ def _pq_codes_expr(codebooks: list):
     return F.expr("array(%s)" % ", ".join(subspace_exprs))
 
 
-def _pq_oracle_ctes(n_queries: int) -> str:
-    """Shared DuckDB CTE chain replaying the integer PQ stack — the
-    kmeans_oracle device per subspace: q0/pr (quantized corpus + probe
-    set), 8 × (subspace sample, init codebook, PQ_ITERS assign/update
-    rounds), per-row nibble codes, and per-probe integer LUTs.  Ends
-    with ``codes(vec_id, rid, j, code)`` and ``lut(query_id, j, code,
-    dd)`` ready for the ADC sum.  Every value after quantization is an
-    exact integer; ties break to the lowest code, mirroring the
-    strict-< Python argmin."""
+def _pq_subspace_ctes(corpus: str, lut_src: str, lut_keys: tuple) -> list:
+    """The per-subspace slice of the PQ oracle replay, parameterized on
+    its sources (r8 verdict item 3 — the residual variant trains and
+    codes over residual vectors but the Lloyd/code/LUT algebra is
+    byte-identical):
+
+    - ``samp(sid, vq)`` must already be defined by the caller's
+      prelude — the (possibly residual) training sample;
+    - ``corpus(vec_id, rid, vq)`` — the rows to encode;
+    - ``lut_src(*lut_keys, vq)`` — the probe rows to build LUTs from
+      (plain PQ keys LUTs by ``query_id``; residual IVFPQ by
+      ``(query_id, cell)`` since each probed cell has its own residual).
+
+    Emits 8 × (subspace sample, init codebook, PQ_ITERS assign/update
+    rounds), ending with ``codes(vec_id, rid, j, code)`` and
+    ``lut(*lut_keys, j, code, dd)``.  Every value is an exact integer;
+    ties break to the lowest code, mirroring the strict-< Python
+    argmin."""
     D, CW = PQ_SUBDIM, PQ_CODEWORDS
 
     def sqdist(vec: str, off: int) -> str:
@@ -1127,27 +1186,27 @@ def _pq_oracle_ctes(n_queries: int) -> str:
     mean = f"""(CASE WHEN sum(x) >= 0
                      THEN (2 * sum(x) + count(*)) // (2 * count(*))
                      ELSE -((2 * (-sum(x)) + count(*)) // (2 * count(*))) END)"""
-    parts = [
-        f"""q0a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                   list_transform(embedding,
-                     x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_Q}) AS BIGINT))
-                     AS vq
-            FROM embeddings
-            WHERE {vec_finite_sql('embedding')} AND len(embedding) = 64),
-    q0 AS (SELECT vec_id, v, vq,
-                  row_number() OVER (PARTITION BY vec_id ORDER BY v) AS rid
-           FROM q0a),
-    samp AS (SELECT vq, row_number() OVER (ORDER BY vec_id) AS sid
-             FROM q0 WHERE vec_id < 256 AND rid = 1),
-    pr AS (SELECT vec_id AS query_id, vq FROM q0
-           WHERE vec_id < {n_queries} AND rid = 1)"""
-    ]
+    pkeys = ", ".join(f"p.{k}" for k in lut_keys)
+    keys = ", ".join(lut_keys)
+    parts = []
     for j in range(PQ_SUBSPACES):
         off = j * D
+        # Init = first CW DISTINCT subvectors by first appearance (the
+        # _pq_train anti-collapse rule): group identical subvectors to
+        # their earliest sid, rank by that sid, keep the first CW.
+        # MATERIALIZED throughout the chain: DuckDB inlines plain CTEs
+        # per reference, and s{j}/cb{j}_{{i}} are each referenced 2+
+        # times — inlined, the residual variant's corpus-join prelude
+        # re-evaluates inside all 8 subspace chains (measured: OOM at
+        # 8 GB / 68 s → 8.8 s materialized, identical rows).
         parts.append(
-            f"""s{j} AS (SELECT sid, vq[{off + 1}:{off + D}] AS sub FROM samp),
-    cb{j}_0 AS (SELECT sid - 1 AS code, sub AS cent FROM s{j}
-                WHERE sid <= {CW})"""
+            f"""s{j} AS MATERIALIZED (
+      SELECT sid, vq[{off + 1}:{off + D}] AS sub FROM samp),
+    cb{j}_0 AS MATERIALIZED (
+      SELECT rn - 1 AS code, cent FROM (
+        SELECT cent, row_number() OVER (ORDER BY sid) AS rn FROM (
+          SELECT sub AS cent, min(sid) AS sid FROM s{j} GROUP BY sub))
+      WHERE rn <= {CW})"""
         )
         for i in range(1, PQ_ITERS + 1):
             parts.append(
@@ -1157,7 +1216,7 @@ def _pq_oracle_ctes(n_queries: int) -> str:
                row_number() OVER (PARTITION BY s.sid
                  ORDER BY {sqdist('s.sub', 0)}, c.code) AS rn
         FROM s{j} s CROSS JOIN cb{j}_{i - 1} c) WHERE rn = 1),
-    cb{j}_{i} AS (
+    cb{j}_{i} AS MATERIALIZED (
       SELECT c.code, coalesce(nc.cent, c.cent) AS cent
       FROM cb{j}_{i - 1} c LEFT JOIN (
         SELECT code, list(m ORDER BY pos) AS cent FROM (
@@ -1172,10 +1231,10 @@ def _pq_oracle_ctes(n_queries: int) -> str:
         SELECT q.vec_id, q.rid, c.code,
                row_number() OVER (PARTITION BY q.vec_id, q.rid
                  ORDER BY {sqdist('q.vq', off)}, c.code) AS rn
-        FROM q0 q CROSS JOIN cb{j}_{PQ_ITERS} c) WHERE rn = 1),
+        FROM {corpus} q CROSS JOIN cb{j}_{PQ_ITERS} c) WHERE rn = 1),
     lut{j} AS (
-      SELECT p.query_id, c.code, {sqdist('p.vq', off)} AS dd
-      FROM pr p CROSS JOIN cb{j}_{PQ_ITERS} c)"""
+      SELECT {pkeys}, c.code, {sqdist('p.vq', off)} AS dd
+      FROM {lut_src} p CROSS JOIN cb{j}_{PQ_ITERS} c)"""
         )
     parts.append(
         "codes AS ("
@@ -1188,11 +1247,38 @@ def _pq_oracle_ctes(n_queries: int) -> str:
     parts.append(
         "lut AS ("
         + "\n      UNION ALL ".join(
-            f"SELECT query_id, {j} AS j, code, dd FROM lut{j}"
+            f"SELECT {keys}, {j} AS j, code, dd FROM lut{j}"
             for j in range(PQ_SUBSPACES)
         )
         + ")"
     )
+    return parts
+
+
+def _pq_oracle_ctes(n_queries: int) -> str:
+    """Shared DuckDB CTE chain replaying the integer PQ stack — the
+    kmeans_oracle device per subspace: q0/pr (quantized corpus + probe
+    set) + the parameterized subspace replay (:func:`_pq_subspace_ctes`)
+    over the RAW micro-unit vectors."""
+    parts = [
+        f"""q0a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_Q}) AS BIGINT))
+                     AS vq
+            FROM embeddings
+            WHERE {vec_finite_sql('embedding')} AND len(embedding) = 64),
+    q0 AS MATERIALIZED (
+           SELECT vec_id, v, vq,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY v) AS rid
+           FROM q0a),
+    samp AS MATERIALIZED (
+             SELECT vq, row_number() OVER (ORDER BY vec_id) AS sid
+             FROM q0 WHERE vec_id < 256 AND rid = 1),
+    pr AS MATERIALIZED (
+           SELECT vec_id AS query_id, vq FROM q0
+           WHERE vec_id < {n_queries} AND rid = 1)"""
+    ]
+    parts.extend(_pq_subspace_ctes("q0", "pr", ("query_id",)))
     return ",\n    ".join(parts)
 
 
@@ -1399,6 +1485,248 @@ def ivfpq_topk(
     return _grouped_topk(
         scored, k, tie_col="vec_id", order_col="est_dist", descending=False
     ).drop("rank")
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBES,
+) -> DataFrame:
+    """RESIDUAL IVF+PQ — FAISS's production IVFPQ encoding (Jégou et
+    al. 2011 §IV.B; r8 verdict item 3): codes quantize the residual
+    ``v − centroid[cell]`` instead of the raw vector.  Residuals are
+    much smaller in magnitude than raw vectors (the coarse quantizer
+    has already explained most of each vector), so the same 8×16 code
+    budget spends its resolution on the part that actually
+    distinguishes neighbors WITHIN a cell — this is most of
+    production IVFPQ's accuracy at a fixed code size.
+
+    Exactness discipline: residuals are computed in micro-unit
+    INTEGERS (``rq = vq − cq[cell]`` — integer subtraction is exact),
+    the codebooks come from the shared integer-Lloyd trainer
+    (:func:`_pq_train`) over the first-256-id residual sample, and the
+    per-(query, probed-cell) LUTs are exact integer squared distances
+    — every number downstream is a BIGINT, which is what makes the
+    variant DuckDB-oracle-able (:func:`ivfpq_residual_oracle_sql`)
+    where float residual math never could be.
+
+    Plan shape vs the non-residual :func:`ivfpq_topk` — the 100 TB
+    question: IDENTICAL map passes (cell argmax + residual subtract +
+    encode fold are all in-row expressions over broadcast-sized
+    constants; the corpus still shuffles exactly once, keyed by cell).
+    The one structural cost of residual encoding is the LUT side:
+    n_queries × n_probe tables instead of n_queries (each probed cell
+    has its own residual), still model-sized and broadcast.  Collects
+    are bounded model state: n_centroids quantized seeds, 256 sample
+    rows, n_queries probe rows."""
+    from kafka_go_cardinality_spark.partitioning import spread
+
+    # spread: cell-cosine + encode folds dominate the map side, same
+    # rationale as ivfpq_topk's 4.3x probe finding.
+    embeddings = spread(
+        embeddings.filter(
+            vec_finite(F.col("embedding")) & (F.size("embedding") == 64)
+        )
+    )
+    scored_cells, seed_vecs = _centroid_scored_cells(embeddings, n_centroids)
+    empty = scored_cells.sparkSession.createDataFrame(
+        [], "query_id int, vec_id bigint, est_dist bigint"
+    )
+    if not seed_vecs:
+        return empty
+    vq_col = F.transform(
+        F.col("v"), lambda x: F.round(x * KMEANS_Q).cast("long")
+    )
+    # Integer coarse centroids: the seeds' ENGINE-quantized micro
+    # vectors (no Python rounding rule enters — the _pq_codebooks
+    # discipline), deduped by the shared lexicographic-min rule so
+    # cq[i] pairs with seed_vecs[i] (both sorted by id).
+    seed_q = _dedup_rows_by_id(
+        scored_cells.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", "v", vq_col.alias("vq"))
+        .collect(),
+        "v",
+    )
+    cq = [[int(x) for x in r["vq"]] for r in seed_q]
+    with_cell = scored_cells.select(
+        "vec_id",
+        "v",
+        vq_col.alias("vq"),
+        (F.array_position(F.col("ca"), F.array_max("ca")) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    # rq = vq − cq[cell], one generated-SQL literal array-of-arrays
+    # (the _dot_sql py4j rationale) — exact BIGINTs in, exact out.
+    cq_sql = "array(%s)" % ", ".join(
+        "array(%s)" % ", ".join(f"{x}L" for x in c) for c in cq
+    )
+    resid = with_cell.select(
+        "vec_id",
+        "v",
+        "cell",
+        F.expr(
+            f"zip_with(vq, element_at({cq_sql}, cell + 1), (a, b) -> a - b)"
+        ).alias("vq"),
+    )
+    sample = _dedup_rows_by_id(
+        resid.filter(F.col("vec_id") < 256).collect(), "v"
+    )
+    if not sample:
+        return empty
+    codebooks = _pq_train([list(r["vq"]) for r in sample])
+    coded = tracked_persist(
+        resid.select("vec_id", "cell", _pq_codes_expr(codebooks).alias("codes"))
+    )
+    # Probe SET keyed by id (the shared rid=1 / lexicographic-min rule);
+    # each probe's n_probe best cells ride along so the LUT loop below
+    # knows which residuals to build — one bounded collect total.
+    pw = Window.partitionBy("vec_id").orderBy("v")
+    ranked = F.reverse(
+        F.array_sort(
+            F.transform(
+                F.col("ca"),
+                lambda c, i: F.struct(c.alias("cos"), i.cast("int").alias("cell")),
+            )
+        )
+    )
+    probes = _dedup_rows_by_id(
+        scored_cells.filter(F.col("vec_id") < n_queries)
+        .withColumn("rid", F.row_number().over(pw))
+        .filter(F.col("rid") == 1)
+        .select(
+            "vec_id",
+            "v",
+            vq_col.alias("vq"),
+            F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"]).alias(
+                "pcells"
+            ),
+        )
+        .collect(),
+        "v",
+    )
+    lut_rows = []
+    for p in probes:
+        for cell in p["pcells"]:
+            qrq = [int(a) - b for a, b in zip(p["vq"], cq[int(cell)])]
+            lut_rows.append(
+                (int(p["vec_id"]), int(cell), _pq_lut(codebooks, qrq))
+            )
+    if not lut_rows:
+        return empty
+    spark = embeddings.sparkSession
+    luts = spark.createDataFrame(
+        lut_rows, "query_id int, cell int, lut array<array<bigint>>"
+    )
+    # The candidate join keys on cell against the coded corpus — the
+    # inverted file's one shuffle; the (query, cell)-keyed LUT frame is
+    # model-sized and broadcasts.
+    cands = F.broadcast(luts).join(coded, "cell").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = cands.select(
+        "query_id", "vec_id", _pq_adc_expr().alias("est_dist")
+    )
+    return _grouped_topk(
+        scored, k, tie_col="vec_id", order_col="est_dist", descending=False
+    ).drop("rank")
+
+
+def ivfpq_residual_oracle_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBES,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_residual_topk`: the ann_ivf cell
+    derivation, integer residuals against the seeds' quantized
+    vectors, the parameterized PQ replay over the residual sample
+    (:func:`_pq_subspace_ctes` with (query_id, cell)-keyed LUTs), and
+    the cell-probed ADC top-k."""
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, len({x}) + 1), "
+            f"i -> {x}[i] * {y}[i]), (acc, v) -> acc + v)"
+        )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(CASE WHEN sqrt({dot(a, a)}) > 0 AND sqrt({dot(b, b)}) > 0 "
+            f"THEN {dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})) "
+            f"ELSE 0.0 END)"
+        )
+
+    prelude = f"""q0a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_Q}) AS BIGINT))
+                     AS vq
+            FROM embeddings
+            WHERE {vec_finite_sql('embedding')} AND len(embedding) = 64),
+    q0 AS MATERIALIZED (
+           SELECT vec_id, v, vq,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY v) AS rid
+           FROM q0a),
+    cent AS MATERIALIZED (
+             SELECT vec_id AS cid, v AS cv, vq AS cq FROM q0
+             WHERE vec_id < {n_centroids} AND rid = 1),
+    cc AS MATERIALIZED (
+      SELECT q0.vec_id, q0.rid, cent.cid, {cos('q0.v', 'cent.cv')} AS cos
+      FROM q0 CROSS JOIN cent),
+    cells AS MATERIALIZED (
+      SELECT vec_id, rid, cid AS cell FROM (
+        SELECT vec_id, rid, cid,
+               row_number() OVER (PARTITION BY vec_id, rid
+                                  ORDER BY cos DESC, cid ASC) AS r
+        FROM cc) WHERE r = 1),
+    rz AS MATERIALIZED (
+      SELECT q0.vec_id, q0.rid, x.cell,
+             list_transform(range(1, 65), d -> q0.vq[d] - cent.cq[d]) AS vq
+      FROM q0
+      JOIN cells x ON x.vec_id = q0.vec_id AND x.rid = q0.rid
+      JOIN cent ON cent.cid = x.cell),
+    samp AS MATERIALIZED (
+             SELECT vq, row_number() OVER (ORDER BY vec_id) AS sid
+             FROM rz WHERE vec_id < 256 AND rid = 1),
+    pcells AS MATERIALIZED (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid DESC) AS prr
+        FROM cc WHERE vec_id < {n_queries} AND rid = 1)
+      WHERE prr <= {n_probe}),
+    prc AS (
+      SELECT pc.query_id, pc.cell,
+             list_transform(range(1, 65), d -> p.vq[d] - cent.cq[d]) AS vq
+      FROM pcells pc
+      JOIN q0 p ON p.vec_id = pc.query_id AND p.rid = 1
+      JOIN cent ON cent.cid = pc.cell)"""
+    subspace = ",\n    ".join(
+        _pq_subspace_ctes("rz", "prc", ("query_id", "cell"))
+    )
+    return f"""
+    WITH {prelude},
+    {subspace},
+    cand AS (
+      SELECT p.query_id, x.vec_id, x.rid, x.cell
+      FROM pcells p JOIN cells x USING (cell)
+      WHERE x.vec_id <> p.query_id),
+    est AS (
+      SELECT a.query_id, a.vec_id, a.rid,
+             CAST(sum(l.dd) AS BIGINT) AS est_dist
+      FROM cand a
+      JOIN codes c ON c.vec_id = a.vec_id AND c.rid = a.rid
+      JOIN lut l ON l.query_id = a.query_id AND l.cell = a.cell
+                AND l.j = c.j AND l.code = c.code
+      GROUP BY 1, 2, 3)
+    SELECT CAST(query_id AS INT) AS query_id, vec_id, est_dist FROM (
+      SELECT query_id, vec_id, est_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY est_dist, vec_id) AS rn
+      FROM est) WHERE rn <= {k}
+    """
 
 
 # Semantic dedup: coarse cells (same deterministic seeding as ivf_topk)
@@ -2116,8 +2444,8 @@ def knn_classify_ivf(
     embeddings: DataFrame,
     k: int = KNN_K,
     test_mod: int = KNN_TEST_MOD,
-    n_centroids: int = IVF_CENTROIDS,
-    n_probe: int = IVF_PROBES,
+    n_centroids: int = KNN_IVF_CENTROIDS,
+    n_probe: int = KNN_IVF_PROBES,
 ) -> DataFrame:
     """BULK k-NN labeling via the IVF candidate plan — the documented
     flip of :func:`knn_classify` for when the probe set is
@@ -2202,8 +2530,8 @@ def knn_ivf_ranked(
     embeddings: DataFrame,
     k: int = KNN_K,
     test_mod: int = KNN_TEST_MOD,
-    n_centroids: int = IVF_CENTROIDS,
-    n_probe: int = IVF_PROBES,
+    n_centroids: int = KNN_IVF_CENTROIDS,
+    n_probe: int = KNN_IVF_PROBES,
 ) -> DataFrame:
     """The IVF candidate plan's ranked neighbor frame before the vote —
     the measured side of the knn retrieval-recall harness (r7 verdict

@@ -1170,6 +1170,20 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivfpq_topk(_emb(spark, sf_dir))
 
 
+@query("q_sim_ann_ivfpq_residual", sim.ivfpq_residual_oracle_sql())
+def q_sim_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E21] RESIDUAL IVF+PQ — FAISS's production IVFPQ encoding (r8
+    verdict item 3): codes quantize ``v − centroid[cell]`` so the 8×16
+    code budget resolves within-cell structure instead of re-describing
+    the cell itself — most of production IVFPQ's accuracy at the same
+    code size.  Exact integer residuals + the shared integer-Lloyd
+    trainer keep every downstream number a BIGINT, so the variant is
+    FULLY ORACLED (operators/similarity.ivfpq_residual_topk /
+    ivfpq_residual_oracle_sql); planted-twin recall and the
+    selected-beat-average floor pinned in tests/test_similarity.py."""
+    return sim.ivfpq_residual_topk(_emb(spark, sf_dir))
+
+
 @query(
     "q_text_unigram_nll",
     f"""
@@ -1746,7 +1760,7 @@ def _knn_ivf_oracle() -> str:
                  row_number() OVER (PARTITION BY vec_id ORDER BY v) AS rid
           FROM c0),
     cent AS (SELECT vec_id AS cid, v AS cv FROM c
-             WHERE vec_id < {sim.IVF_CENTROIDS} AND rid = 1),
+             WHERE vec_id < {sim.KNN_IVF_CENTROIDS} AND rid = 1),
     cc AS (
       SELECT c.vec_id, c.rid, c.label, c.v, cent.cid,
              {_cos_sql('c.v', 'cent.cv')} AS cos
@@ -1767,7 +1781,7 @@ def _knn_ivf_oracle() -> str:
         SELECT vec_id, rid, label, v, cid,
                row_number() OVER (PARTITION BY vec_id, rid
                                   ORDER BY cos DESC, cid DESC) AS pr
-        FROM cc WHERE vec_id % {MOD} = 0) WHERE pr <= {sim.IVF_PROBES}),
+        FROM cc WHERE vec_id % {MOD} = 0) WHERE pr <= {sim.KNN_IVF_PROBES}),
     kn AS (
       SELECT query_id, true_label, n_label FROM (
         SELECT p.query_id, p.true_label, t.n_label,

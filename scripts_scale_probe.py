@@ -196,8 +196,10 @@ def main() -> int:
         # knn_ivf retrieval quality at the scaled-vectors probe (r7
         # verdict item 6): mean per-query |ivf top-k ∩ exact top-k| /
         # |exact top-k|, exact twin as ground truth.  Blind probing of
-        # n_probe/n_centroids cells would land ~0.25; measured 0.55 at
-        # 32× from both sf0.001 and sf0.01 (2026-08-15).
+        # n_probe/n_centroids cells would land at that fraction;
+        # measured 0.85 at 32× after the r9 dial change to 32 cells /
+        # 16 probes (2026-08-16; was 0.55 at 16/4 — see the
+        # KNN_IVF_CENTROIDS selection evidence in similarity.py).
         import collections
 
         from kafka_go_cardinality_spark.operators import similarity as sim

@@ -445,14 +445,15 @@ def test_knn_ivf_empty_train_emits_nothing(spark):
 
 
 def test_knn_ivf_retrieval_recall_floor_at_32x(spark):
-    """R7 verdict item 6: quantify knn_ivf RETRIEVAL quality at the
-    32×-vectors probe scale, exact twin as ground truth (the same
-    harness the ANN recall floors use).  Probing n_probe=4 of 16 cells
-    blind would land ~0.25; the nearest-cell ordering must buy well
-    more — measured 0.55 mean recall@k at both 32× sources
-    (scripts_scale_probe.py --vectors --recall reproduces the number).
-    Floor at 0.45 to absorb fixture drift without masking a real
-    candidate-plan regression toward blind probing."""
+    """R8 verdict item 2: knn_ivf RETRIEVAL quality at the 32×-vectors
+    probe scale, exact twin as ground truth (the same harness the ANN
+    recall floors use).  The path scores exact cosine over every
+    candidate, so recall is bounded purely by cell coverage; at the
+    chosen 32-cell/16-probe dial (candidate fraction 0.5, the
+    constant-selection evidence on KNN_IVF_CENTROIDS) measured mean
+    recall@5 is 0.85 on this worst-case near-orthogonal fixture —
+    blind probing of the same fraction would land ~0.5.  Floor at 0.8
+    (the verdict bar) with the 0.05 margin absorbing fixture drift."""
     import collections
 
     from scripts_scale_probe import build_scaled_vectors_dir
@@ -471,7 +472,7 @@ def test_knn_ivf_retrieval_recall_floor_at_32x(spark):
     recalls = [
         len(ivf.get(q, set()) & ns) / len(ns) for q, ns in exact.items()
     ]
-    assert exact and sum(recalls) / len(recalls) >= 0.45
+    assert exact and sum(recalls) / len(recalls) >= 0.8
 
 
 def test_ivfpq_finds_planted_neighbors(spark, sf_dir):
@@ -544,6 +545,159 @@ def test_ivfpq_empty_corpus_typed_empty(spark):
     assert [f.name for f in out.schema.fields] == [
         "query_id", "vec_id", "est_dist",
     ]
+
+
+def test_ivfpq_residual_finds_planted_neighbors(spark, sf_dir):
+    """The residual variant must retrieve every planted twin, like the
+    non-residual composition — a regression canary for the codebook
+    collapse the distinct-init rule fixed (first-16-rows init made the
+    residual sample's head — the seeds' exactly-zero residuals — the
+    entire init, and query 22's twin fell from rank 1 to rank 19)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = sim.with_planted_neighbors(emb).select("vec_id", "embedding")
+    res = sim.ivfpq_residual_topk(corpus, n_queries=56, k=5)
+    got = {(r.query_id, r.vec_id) for r in res.collect()}
+    planted = [i for i in range(56) if i % 11 == 0]
+    assert all((q, q + 1_000_000) in got for q in planted)
+
+
+def test_ivfpq_residual_selected_neighbors_beat_average(spark, sf_dir):
+    """Same ranking-quality floor as the PQ/IVFPQ tests; measured mean
+    0.747 on this fixture — the best of the three PQ variants, as
+    residual coding should be."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    picks: dict[int, list[int]] = {}
+    for r in sim.ivfpq_residual_topk(emb).collect():
+        picks.setdefault(r.query_id, []).append(r.vec_id)
+
+    def l2sq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    assert len(picks) == 10
+    ratios = []
+    for q, chosen in picks.items():
+        pv = vecs[q]
+        dists = {vid: l2sq(pv, v) for vid, v in vecs.items() if vid != q}
+        ratios.append(
+            (sum(dists[v] for v in chosen) / len(chosen))
+            / (sum(dists.values()) / len(dists))
+        )
+    assert sum(ratios) / len(ratios) < 0.85, ratios
+
+
+def test_ivfpq_residual_empty_corpus_typed_empty(spark):
+    emb = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>, label int"
+    )
+    out = sim.ivfpq_residual_topk(emb)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "vec_id", "est_dist",
+    ]
+
+
+def test_ivfpq_residual_beats_raw_adc_when_cells_exceed_code_capacity(spark):
+    """THE reason residual encoding exists (Jégou et al. §IV.B): when
+    the coarse grid is finer than what 16 codewords per subspace can
+    re-describe, raw codes must spend their whole budget on cell
+    identity while residual codes spend it on within-cell structure.
+    Fixture: 48 random centers (48 modes per subspace > 16 codewords)
+    + small within-cluster noise.  Measured mean relative ADC error on
+    the IDENTICAL candidate pair set (cells are shared, so both
+    variants score exactly the same pairs): raw 7.68 vs residual 0.45
+    on same-cluster pairs — pin residual ≤ raw/5 and residual ≤ 0.8
+    absolute.  (On near-orthogonal random corpora the inequality
+    flips — subtracting a far centroid ADDS variance — which is why
+    the operator keeps both variants; see the ivfpq_topk docstring.)"""
+    import random
+
+    rng = random.Random(13)
+    NC = 48
+    centers = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(NC)]
+
+    def member(c):
+        return [centers[c][d] + rng.uniform(-0.1, 0.1) for d in range(64)]
+
+    rows = [(i, member(i), i) for i in range(NC)]
+    rows += [(i, member(i % NC), i % NC) for i in range(NC, NC + 240)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    vecs = {r[0]: r[1] for r in rows}
+    Q = 1_000_000
+
+    def true_q(a, b):
+        return sum((round(x * Q) - round(y * Q)) ** 2 for x, y in zip(a, b))
+
+    ests = {}
+    for name, fn in (("raw", sim.ivfpq_topk), ("res", sim.ivfpq_residual_topk)):
+        ests[name] = {
+            (r.query_id, r.vec_id): r.est_dist
+            for r in fn(
+                emb, n_queries=10, k=500, n_centroids=NC, n_probe=4
+            ).collect()
+        }
+    shared = set(ests["raw"]) & set(ests["res"])
+    same = [p for p in shared if p[0] % NC == p[1] % NC]
+    assert len(same) >= 20
+
+    def mean_rel_err(name):
+        errs = [
+            abs(ests[name][p] - true_q(vecs[p[0]], vecs[p[1]]))
+            / max(true_q(vecs[p[0]], vecs[p[1]]), 1)
+            for p in same
+        ]
+        return sum(errs) / len(errs)
+
+    raw_err, res_err = mean_rel_err("raw"), mean_rel_err("res")
+    assert res_err <= raw_err / 5, (raw_err, res_err)
+    assert res_err <= 0.8, res_err
+
+
+def test_pq_family_recall_floors_vs_exact_l2(spark, sf_dir):
+    """R8 verdict item 6: retrieval recall@5 of the PQ family against
+    the EXACT squared-L2 top-5 (the metric PQ estimates), not just
+    internal consistency.  Measured on this near-orthogonal fixture
+    (the worst case for a 128-bit code — random blind draw would be
+    5/499 ≈ 0.01): pq 0.22, ivfpq 0.30, ivfpq_residual 0.30.  Floors
+    at half the measured values to absorb fixture drift without
+    masking a collapse toward random ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+        if r["embedding"] is not None and len(r["embedding"]) == 64
+    }
+
+    def l2sq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def exact_top5(q):
+        pv = vecs[q]
+        ds = sorted(
+            (l2sq(pv, v), vid) for vid, v in vecs.items() if vid != q
+        )
+        return {vid for _, vid in ds[:5]}
+
+    floors = {"pq": 0.11, "ivfpq": 0.15, "ivfpq_residual": 0.15}
+    fns = {
+        "pq": sim.pq_topk,
+        "ivfpq": sim.ivfpq_topk,
+        "ivfpq_residual": sim.ivfpq_residual_topk,
+    }
+    for name, fn in fns.items():
+        picks: dict[int, set] = {}
+        for r in fn(emb).collect():
+            picks.setdefault(r.query_id, set()).add(r.vec_id)
+        recalls = [
+            len(chosen & exact_top5(q)) / 5 for q, chosen in picks.items()
+        ]
+        mean = sum(recalls) / len(recalls)
+        assert mean >= floors[name], (name, mean)
 
 
 def test_standardize_moments_and_degenerate_dim(spark):
