@@ -1050,3 +1050,68 @@ def test_mmr_matches_python_model_on_random_vectors(spark, vecs):
         for i, v in pool.items():
             ms[i] = max(ms[i], cos(v, pv))
     assert got == want, vecs
+
+
+# ------------------------------- round-9: BPE oracle sentinel contract
+#
+# The DuckDB BPE oracles encode symbols as chr(1)||sym||chr(2) strings
+# (operators/text._bpe_train_oracle_ctes), so they are exact for any
+# corpus whose tokens contain neither U+0001 nor U+0002.  The fixed
+# fixtures exercise one alphabet; this generator round-trips
+# trainer-vs-oracle on ARBITRARY short words drawn from an adversarial
+# alphabet — case-folding edges (İ→i, ς→σ), a combining mark, CJK,
+# astral-plane emoji (the r8 code-point discovery class), digits, and
+# the sentinel-ADJACENT control chr(3) — excluding only the sentinels
+# themselves and whitespace (word separators).  A future alphabet edge
+# case should be found by this suite shrinking a counterexample, not by
+# review (r8 verdict item 8).
+
+_BPE_ALPHABET = st.sampled_from(
+    list("abzAZ79-")
+    + ["é", "İ", "ς", "ß", "語", "🦀", "é", "\x03"]
+)
+
+# Words are JOINED fragments (not st.text(alphabet=...)): the combining
+# sequence e+U+0301 is two code points, which char-alphabet strategies
+# reject, and multi-codepoint fragments are exactly the point here.
+_bpe_words_strategy = st.lists(
+    st.lists(_BPE_ALPHABET, min_size=1, max_size=5).map("".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(
+    docs=st.lists(_bpe_words_strategy, min_size=1, max_size=5),
+    n_merges=st.integers(min_value=1, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_bpe_trainer_vs_oracle_on_adversarial_alphabet(spark, docs, n_merges):
+    """bpe_merges (Spark trainer) and bpe_merges_oracle_sql (DuckDB
+    generated-CTE replay) must agree on any sentinel-free corpus: merge
+    order, pair counts, merged symbols — and bpe_encode's per-doc
+    counts must agree through the same model."""
+    import duckdb
+
+    import pandas as pd
+
+    from kafka_go_cardinality_spark.operators import text as tx
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got_m = (
+        tx.bpe_merges(sdf, top_words=16, n_merges=n_merges)
+        .orderBy("rank")
+        .toPandas()
+    )
+    want_m = con.execute(
+        tx.bpe_merges_oracle_sql(top_words=16, n_merges=n_merges)
+    ).fetchdf()
+    assert_frames_match(got_m, want_m)
+    got_e = tx.bpe_encode(sdf, top_words=16, n_merges=n_merges).toPandas()
+    want_e = con.execute(
+        tx.bpe_encode_oracle_sql(top_words=16, n_merges=n_merges)
+    ).fetchdf()
+    assert_frames_match(got_e, want_e)
