@@ -1157,7 +1157,44 @@ def _pq_codes_expr(codebooks: list):
     return F.expr("array(%s)" % ", ".join(subspace_exprs))
 
 
-def _pq_subspace_ctes(corpus: str, lut_src: str, lut_keys: tuple) -> list:
+def _pq_lut_expr(codebooks: list, metric: str = "l2"):
+    """ENGINE-side ADC lookup table: the 8×16 per-subspace values of
+    the row's micro-unit ``vq`` column against the literal codebooks,
+    as one ``array<array<bigint>>`` — :func:`_pq_lut`'s arithmetic
+    moved into a generated-SQL projection (same strings as
+    :func:`_pq_codes_expr` minus the argmin).  ``metric='l2'`` emits
+    squared distances; ``metric='dot'`` emits inner products (the MIPS
+    ADC: with residual codes, dot(q, v̂) = dot(q, centroid[cell]) +
+    Σ dot-lookups, so the query side is the RAW vector, not a
+    residual).  This is what makes BULK probe sets possible: a
+    corpus-proportional probe side cannot ship LUTs as driver
+    literals, but it can compute them in-row — 128 8-dim folds per
+    probe-cell row, amortized over every candidate the cell holds
+    (each pair then costs 8 lookups instead of a 64-dim fold)."""
+    body = (
+        "(a, b) -> (a - b) * (a - b)" if metric == "l2" else "(a, b) -> a * b"
+    )
+    sub_arrays = []
+    for j, cents in enumerate(codebooks):
+        ds = ", ".join(
+            "aggregate(zip_with(slice(vq, %d, %d), array(%s), "
+            "%s), cast(0 as bigint), "
+            "(acc, x) -> acc + x)"
+            % (
+                j * PQ_SUBDIM + 1,
+                PQ_SUBDIM,
+                ", ".join(str(int(x)) + "L" for x in cw),
+                body,
+            )
+            for cw in cents
+        )
+        sub_arrays.append("array(%s)" % ds)
+    return F.expr("array(%s)" % ", ".join(sub_arrays))
+
+
+def _pq_subspace_ctes(
+    corpus: str, lut_src: str, lut_keys: tuple, lut_metric: str = "l2"
+) -> list:
     """The per-subspace slice of the PQ oracle replay, parameterized on
     its sources (r8 verdict item 3 — the residual variant trains and
     codes over residual vectors but the Lloyd/code/LUT algebra is
@@ -1182,6 +1219,17 @@ def _pq_subspace_ctes(corpus: str, lut_src: str, lut_keys: tuple) -> list:
             f"list_sum(list_transform(range(1, {D} + 1), "
             f"d -> ({vec}[{off} + d] - c.cent[d]) * ({vec}[{off} + d] - c.cent[d])))"
         )
+
+    def dotp(vec: str, off: int) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {D} + 1), "
+            f"d -> {vec}[{off} + d] * c.cent[d]))"
+        )
+
+    # Codes/training always use L2 (the codebook IS an L2 quantizer);
+    # only the LUT metric varies — 'dot' emits inner products for the
+    # MIPS ADC (lut_src then carries RAW query vectors, not residuals).
+    lut_val = sqdist if lut_metric == "l2" else dotp
 
     mean = f"""(CASE WHEN sum(x) >= 0
                      THEN (2 * sum(x) + count(*)) // (2 * count(*))
@@ -1233,7 +1281,7 @@ def _pq_subspace_ctes(corpus: str, lut_src: str, lut_keys: tuple) -> list:
                  ORDER BY {sqdist('q.vq', off)}, c.code) AS rn
         FROM {corpus} q CROSS JOIN cb{j}_{PQ_ITERS} c) WHERE rn = 1),
     lut{j} AS (
-      SELECT {pkeys}, c.code, {sqdist('p.vq', off)} AS dd
+      SELECT {pkeys}, c.code, {lut_val('p.vq', off)} AS dd
       FROM {lut_src} p CROSS JOIN cb{j}_{PQ_ITERS} c)"""
         )
     parts.append(
@@ -2747,3 +2795,250 @@ def _knn_ivf_parts(
         ).alias("cos"),
     )
     return scored_cells, _grouped_topk(scored, k), train, probe_rows
+
+
+# Re-rank window of the ADC prefilter.  On the near-orthogonal fixture
+# (worst case: quantization noise ~ the spread between candidates'
+# true cosines) exact-twin vote agreement is 0.40/0.40/0.70 at
+# M=25/50/100 vs knn_ivf's 0.80 — the window needs to be deep when the
+# ADC ordering is weak.  100 is 40% of the 500-vector fixture pool but
+# a vanishing fraction of a production cell (pool/probe ≈ N/n_cells):
+# the exact-fold saving RATIO grows with the corpus while recall is
+# set by the fixed window depth.
+KNN_ADC_OVERFETCH = 100
+
+
+def knn_classify_ivfpq(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    test_mod: int = KNN_TEST_MOD,
+    n_centroids: int = KNN_IVF_CENTROIDS,
+    n_probe: int = KNN_IVF_PROBES,
+    overfetch: int = KNN_ADC_OVERFETCH,
+) -> DataFrame:
+    """BULK k-NN labeling with an ADC PREFILTER — the full production
+    IVFADC shape for corpus-proportional probe sets: knn_classify_ivf's
+    candidate plan, but each (probe, candidate) pair is first scored by
+    8 table lookups on residual nibble codes instead of a 64-dim float
+    fold; only the top ``overfetch`` candidate IDS per probe are
+    re-scored exactly (cosine) before the vote.  At probes ≈ corpus
+    the pair set is the dominant cost, and this cuts per-pair work
+    ~8×: the pair stage reads one byte-sized code array per candidate,
+    and the exact fold runs on probes × overfetch rows only.
+
+    Structural differences from the model-sized-probe PQ paths:
+
+    - LUTs are computed ENGINE-side (:func:`_pq_lut_expr`) on the
+      probe-cell frame — a corpus-proportional probe side cannot ship
+      driver literals;
+    - the ADC is the MIPS variant (inner product, not L2): the vote
+      ranks by cosine, and on unnormalized vectors an L2 prefilter
+      measured 0.2 exact-twin agreement vs knn_ivf's 0.8.  With
+      residual codes dot(q, v̂) = dot(q, centroid[cell]) +
+      Σ dot-lookups, both integer-exact; the score dot(q, v̂)/‖v‖ is
+      an estimate of the cosine the re-rank maximizes (one IEEE
+      division, identical on both engines);
+    - the prefilter ranks candidate IDs by their BEST estimate (max
+      over a duplicate id's physical rows — deterministic under
+      re-crawled corpora), then re-rank scores every physical row of a
+      selected id;
+    - probes take the keyed-by-id rule (rid-1 lexicographic-min, like
+      ivf_topk) — this operator's contract is the production index
+      shape, not row-for-row agreement with the broadcast twin.
+
+    64-dim + finite contract (the PQ family's).  Coverage contract is
+    knn_classify_ivf's: every probe emits exactly one row whenever the
+    train side is non-empty (candidate-less probes fall back to the
+    training-majority label).  Fully oracled
+    (:func:`knn_ivfpq_oracle_sql`)."""
+    embeddings = embeddings.filter(
+        vec_finite(F.col("embedding")) & (F.size("embedding") == 64)
+    )
+    scored_cells, seed_vecs = _centroid_scored_cells(
+        embeddings, n_centroids, keep=("label",)
+    )
+    empty = scored_cells.sparkSession.createDataFrame(
+        [], "vec_id bigint, true_label int, predicted int, correct int"
+    )
+    if not seed_vecs:
+        return empty
+    vq_col = F.transform(
+        F.col("v"), lambda x: F.round(x * KMEANS_Q).cast("long")
+    )
+    seed_q = _dedup_rows_by_id(
+        scored_cells.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", "v", vq_col.alias("vq"))
+        .collect(),
+        "v",
+    )
+    cq = [[int(x) for x in r["vq"]] for r in seed_q]
+    cq_sql = "array(%s)" % ", ".join(
+        "array(%s)" % ", ".join(f"{x}L" for x in c) for c in cq
+    )
+    with_cell = scored_cells.select(
+        "vec_id",
+        "label",
+        "v",
+        "nrm",
+        vq_col.alias("vq"),
+        (F.array_position(F.col("ca"), F.array_max("ca")) - 1)
+        .cast("int")
+        .alias("cell"),
+        F.col("ca"),
+    )
+    resid_col = F.expr(
+        f"zip_with(vq, element_at({cq_sql}, cell + 1), (a, b) -> a - b)"
+    )
+    # Residual training sample: the shared 256-id rule over ALL rows
+    # (probes included — the sample is a function of the corpus, not of
+    # the split; mirrored in the oracle).
+    sample = _dedup_rows_by_id(
+        with_cell.filter(F.col("vec_id") < 256)
+        .select("vec_id", "v", resid_col.alias("vq"))
+        .collect(),
+        "v",
+    )
+    if not sample:
+        return empty
+    codebooks = _pq_train([list(r["vq"]) for r in sample])
+    train = with_cell.filter(F.col("vec_id") % test_mod != 0)
+    # Codes encode the RESIDUAL (vq rebound to rq before the encode
+    # projection — _pq_codes_expr reads the ``vq`` column by name).
+    train_coded = tracked_persist(
+        train.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+            "cell",
+            resid_col.alias("vq"),
+        ).select(
+            "neighbor_id",
+            "n_label",
+            "cv",
+            "cn",
+            "cell",
+            _pq_codes_expr(codebooks).alias("codes"),
+        )
+    )
+    # Probe rows keyed by id; the rank window's groups are dup-count-
+    # bounded.  Each probe explodes to its n_probe best cells with the
+    # per-cell residual and its ENGINE-computed LUT.
+    pw = Window.partitionBy("vec_id").orderBy("v")
+    ranked = F.reverse(
+        F.array_sort(
+            F.transform(
+                F.col("ca"),
+                lambda c, i: F.struct(c.alias("cos"), i.cast("int").alias("cell")),
+            )
+        )
+    )
+    probe_rows = (
+        with_cell.filter(F.col("vec_id") % test_mod == 0)
+        .withColumn("rid", F.row_number().over(pw))
+        .filter(F.col("rid") == 1)
+        .drop("rid")
+    )
+    # MIPS ADC, not L2 ADC: the vote tail ranks by COSINE, and on
+    # unnormalized vectors the L2 and cosine orderings disagree — an
+    # L2 prefilter measured 0.2 exact-twin agreement where knn_ivf
+    # scores 0.8 (large-norm far-in-L2 vectors can be the top-cosine
+    # neighbors).  With residual codes, dot(q, v̂) = dot(q,
+    # centroid[cell]) + Σ dot-lookups — both integer-exact — and the
+    # prefilter score is dot(q, v̂)/‖v‖ (qn is a per-query constant):
+    # an estimate of the quantity the re-rank actually maximizes.
+    qc_dot = F.expr(
+        f"aggregate(zip_with(vq, element_at({cq_sql}, cell + 1), "
+        "(a, b) -> a * b), cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    probe_cells = (
+        probe_rows.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+            "vq",
+            F.explode_outer(
+                F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])
+            ).alias("cell"),
+        )
+        .filter(F.col("cell").isNotNull())
+        .select(
+            "query_id",
+            "true_label",
+            "cell",
+            qc_dot.alias("qc_dot"),
+            _pq_lut_expr(codebooks, "dot").alias("lut"),
+        )
+    )
+    # The inverted-file equi join: both corpus-proportional sides
+    # partition by cell, nothing broadcasts.  Pair cost is 8 lookups.
+    cands = probe_cells.join(
+        train_coded.select("neighbor_id", "cell", "cn", "codes"), "cell"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    est_pairs = cands.select(
+        "query_id",
+        "true_label",
+        "neighbor_id",
+        F.when(
+            F.col("cn") > 0,
+            (F.col("qc_dot") + _pq_adc_expr()).cast("double") / F.col("cn"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+    # Prefilter by candidate ID on the BEST estimate over its physical
+    # rows (deterministic under duplicate ids); map-side partial agg
+    # makes this one co-partitioned shuffle.
+    est_ids = est_pairs.groupBy("query_id", "true_label", "neighbor_id").agg(
+        F.max("score").alias("score")
+    )
+    top_m = _grouped_topk(
+        est_ids, overfetch, tie_col="neighbor_id", order_col="score",
+        descending=True,
+    ).select("query_id", "true_label", "neighbor_id")
+    # Exact re-rank: fetch the probe/train vectors back by id — slim
+    # model-bounded-per-probe frames joining co-partitioned on ids —
+    # and run the exact cosine only on probes × overfetch rows.
+    probes_v = probe_rows.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    rescored = (
+        top_m.join(train_coded.select("neighbor_id", "n_label", "cv", "cn"),
+                   "neighbor_id")
+        .join(probes_v, "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "n_label",
+            "neighbor_id",
+            cosine_pre(
+                dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+            ).alias("cos"),
+        )
+    )
+    kn = _grouped_topk(rescored, k)
+    voted = _vote_tail(kn)
+    prior = (
+        train.groupBy(F.col("label").alias("n_label"))
+        .agg(F.count(F.lit(1)).alias("_pc"))
+        .orderBy(F.col("_pc").desc(), "n_label")
+        .limit(1)
+        .select(F.col("n_label").alias("_prior"))
+    )
+    probe_ids = probe_rows.groupBy(F.col("vec_id")).agg(
+        F.min("label").alias("_tl")
+    )
+    return (
+        probe_ids.join(voted, "vec_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "vec_id",
+            F.coalesce("true_label", F.col("_tl")).alias("true_label"),
+            F.coalesce("predicted", F.col("_prior")).alias("predicted"),
+            F.coalesce(
+                "correct",
+                (F.col("_prior") == F.col("_tl")).cast("int"),
+            ).alias("correct"),
+        )
+    )

@@ -1830,6 +1830,162 @@ def _knn_ivf_oracle() -> str:
     """
 
 
+def _knn_ivfpq_oracle() -> str:
+    """DuckDB twin of operators/similarity.knn_classify_ivfpq — the
+    residual-PQ replay (shared parameterized subspace chains) composed
+    with the bulk k-NN derivation: engine-equivalent per-(probe, cell)
+    residual LUTs, ADC sums per (probe, candidate physical row),
+    MIN-estimate prefilter per candidate ID, exact-cosine re-rank over
+    every physical row of the selected ids, the shared vote, and the
+    training-majority coverage fallback.  Probes take the rid-1
+    keyed-by-id rule (this operator's declared contract); the corpus
+    side stays per physical row."""
+    from kafka_go_cardinality_spark.operators.similarity import (
+        _pq_subspace_ctes,
+    )
+
+    K, MOD = sim.KNN_K, sim.KNN_TEST_MOD
+    NC, NP = sim.KNN_IVF_CENTROIDS, sim.KNN_IVF_PROBES
+    M = sim.KNN_ADC_OVERFETCH
+    prelude = f"""q0a AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                   list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * {sim.KMEANS_Q}) AS BIGINT))
+                     AS vq
+            FROM embeddings
+            WHERE {vec_finite_sql('embedding')} AND len(embedding) = 64),
+    q0 AS MATERIALIZED (
+           SELECT vec_id, label, v, vq,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY v) AS rid
+           FROM q0a),
+    cent AS MATERIALIZED (
+             SELECT vec_id AS cid, v AS cv, vq AS cq FROM q0
+             WHERE vec_id < {NC} AND rid = 1),
+    cc AS MATERIALIZED (
+      SELECT q0.vec_id, q0.rid, cent.cid, {_cos_sql('q0.v', 'cent.cv')} AS cos
+      FROM q0 CROSS JOIN cent),
+    cells AS MATERIALIZED (
+      SELECT vec_id, rid, cid AS cell FROM (
+        SELECT vec_id, rid, cid,
+               row_number() OVER (PARTITION BY vec_id, rid
+                                  ORDER BY cos DESC, cid ASC) AS r
+        FROM cc) WHERE r = 1),
+    rz AS MATERIALIZED (
+      SELECT q0.vec_id, q0.rid, x.cell,
+             list_transform(range(1, 65), d -> q0.vq[d] - cent.cq[d]) AS vq
+      FROM q0
+      JOIN cells x ON x.vec_id = q0.vec_id AND x.rid = q0.rid
+      JOIN cent ON cent.cid = x.cell),
+    samp AS MATERIALIZED (
+             SELECT vq, row_number() OVER (ORDER BY vec_id) AS sid
+             FROM rz WHERE vec_id < 256 AND rid = 1),
+    pcl AS MATERIALIZED (
+      SELECT vec_id AS query_id, label AS true_label, cid AS cell FROM (
+        SELECT vec_id, label, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid DESC) AS prr
+        FROM (SELECT c.vec_id, q.label, c.cid, c.cos
+              FROM cc c JOIN q0 q ON q.vec_id = c.vec_id AND q.rid = c.rid
+              WHERE c.vec_id % {MOD} = 0 AND c.rid = 1))
+      WHERE prr <= {NP}),
+    prc AS (
+      SELECT pc.query_id, pc.cell, p.vq,
+             list_sum(list_transform(range(1, 65),
+                                     d -> p.vq[d] * cent.cq[d])) AS qcd
+      FROM pcl pc
+      JOIN q0 p ON p.vec_id = pc.query_id AND p.rid = 1
+      JOIN cent ON cent.cid = pc.cell),
+    tn AS MATERIALIZED (
+      SELECT vec_id, rid,
+             sqrt(list_reduce(list_transform(range(1, 65),
+                                             i -> v[i] * v[i]),
+                              (acc, x) -> acc + x)) AS cn
+      FROM q0)"""
+    # MIPS ADC (see knn_classify_ivfpq): dot-product LUTs over the RAW
+    # query vector; with residual codes dot(q, v̂) = dot(q, cent[cell])
+    # + Σ lookups, scored as dot(q, v̂)/‖v‖.
+    subspace = ",\n    ".join(
+        _pq_subspace_ctes("rz", "prc", ("query_id", "cell"), "dot")
+    )
+    return f"""
+    WITH {prelude},
+    {subspace},
+    cand AS (
+      SELECT p.query_id, p.true_label, p.cell, x.vec_id, x.rid
+      FROM pcl p JOIN cells x USING (cell)
+      WHERE x.vec_id % {MOD} != 0 AND x.vec_id <> p.query_id),
+    est AS (
+      SELECT query_id, true_label, vec_id AS neighbor_id,
+             max(score) AS score
+      FROM (
+        SELECT a.query_id, a.true_label, a.vec_id, a.rid,
+               CASE WHEN max(tn.cn) > 0
+                    THEN CAST(max(q.qcd) + sum(l.dd) AS DOUBLE) / max(tn.cn)
+                    ELSE 0.0 END AS score
+        FROM cand a
+        JOIN codes c ON c.vec_id = a.vec_id AND c.rid = a.rid
+        JOIN lut l ON l.query_id = a.query_id AND l.cell = a.cell
+                  AND l.j = c.j AND l.code = c.code
+        JOIN prc q ON q.query_id = a.query_id AND q.cell = a.cell
+        JOIN tn ON tn.vec_id = a.vec_id AND tn.rid = a.rid
+        GROUP BY 1, 2, 3, 4)
+      GROUP BY 1, 2, 3),
+    topm AS (
+      SELECT query_id, true_label, neighbor_id FROM (
+        SELECT query_id, true_label, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rn
+        FROM est) WHERE rn <= {M}),
+    kn AS (
+      SELECT query_id, true_label, n_label FROM (
+        SELECT m.query_id, m.true_label, t.label AS n_label,
+               row_number() OVER (
+                 PARTITION BY m.query_id
+                 ORDER BY {_cos_sql('p.v', 't.v')} DESC, m.neighbor_id)
+                 AS rank
+        FROM topm m
+        JOIN q0 t ON t.vec_id = m.neighbor_id
+        JOIN q0 p ON p.vec_id = m.query_id AND p.rid = 1) WHERE rank <= {K}),
+    voted AS (
+      SELECT query_id AS vec_id, true_label, n_label AS predicted,
+             CAST(n_label = true_label AS INT) AS correct FROM (
+        SELECT query_id, true_label, n_label, count(*) AS cnt,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY count(*) DESC, n_label) AS r
+        FROM kn GROUP BY query_id, true_label, n_label) WHERE r = 1),
+    prior AS (
+      SELECT label AS p_label FROM (
+        SELECT label, count(*) AS pc FROM q0
+        WHERE vec_id % {MOD} != 0 GROUP BY 1
+        ORDER BY pc DESC, label LIMIT 1)),
+    probe_ids AS (
+      SELECT vec_id, min(label) AS tl
+      FROM q0 WHERE vec_id % {MOD} = 0 AND rid = 1 GROUP BY 1)
+    SELECT p.vec_id,
+           CAST(coalesce(v.true_label, p.tl) AS INT) AS true_label,
+           CAST(coalesce(v.predicted, prior.p_label) AS INT) AS predicted,
+           CAST(coalesce(v.correct,
+                         CAST(prior.p_label = p.tl AS INT)) AS INT)
+             AS correct
+    FROM probe_ids p
+    LEFT JOIN voted v USING (vec_id)
+    CROSS JOIN prior
+    """
+
+
+@query("q_sim_knn_ivfpq", _knn_ivfpq_oracle())
+def q_sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E21+] BULK k-NN labeling with an ADC prefilter — the full
+    production IVFADC shape: the knn_ivf candidate plan, but each pair
+    costs 8 table lookups on residual nibble codes instead of a 64-dim
+    float fold; only the top-25 candidate IDs per probe (min-estimate
+    over physical rows) are re-scored with exact cosine before the
+    shared vote + coverage fallback.  LUTs are computed engine-side
+    (corpus-proportional probe sets cannot ship driver literals).
+    Fully oracled (operators/similarity.knn_classify_ivfpq)."""
+    return sim.knn_classify_ivfpq(_emb(spark, sf_dir))
+
+
 @query("q_sim_knn_ivf", _knn_ivf_oracle())
 def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E21+] BULK k-NN labeling via the IVF candidate plan — the

@@ -127,6 +127,7 @@ VECTORS_QUERIES = [
     "q_sim_hard_negatives",
     "q_sim_knn_classify",
     "q_sim_knn_ivf",
+    "q_sim_knn_ivfpq",
     "q_sim_ann_lsh",
     "q_sim_ann_ivf",
     "q_sim_ann_pq",

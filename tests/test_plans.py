@@ -1009,6 +1009,7 @@ def test_retrieval_topk_windows_are_salted_two_level(spark, sf_dir):
         "q_sim_hard_negatives",
         "q_sim_knn_classify",
         "q_sim_knn_ivf",
+        "q_sim_knn_ivfpq",
         "q_sim_ann_lsh",
         "q_sim_ann_ivf",
         "q_sim_ann_ivfpq_residual",
