@@ -1115,3 +1115,69 @@ def test_bpe_trainer_vs_oracle_on_adversarial_alphabet(spark, docs, n_merges):
         tx.bpe_encode_oracle_sql(top_words=16, n_merges=n_merges)
     ).fetchdf()
     assert_frames_match(got_e, want_e)
+
+
+# --------------------------- round-9: PQ family small-corpus parity
+#
+# The PQ chain has structural edges no fixture-scale parity run hits:
+# corpora SMALLER than the 16-codeword init (the distinct-init rule's
+# boundary), smaller than the coarse-centroid seed range, zero vectors
+# (zero-norm guards), duplicate vec_ids with different payloads (the
+# rid/lexicographic-min conventions), and constant corpora where every
+# residual collapses to a single distinct subvector.  Run the FULL
+# Spark-vs-DuckDB parity on random such corpora: any divergence between
+# the engine pipeline and the generated-CTE replay shrinks to a small
+# counterexample here instead of surfacing as a driver hash mismatch.
+
+_small_vec = st.lists(
+    st.sampled_from([0.0, 0.25, -0.25, 1.0, -1.0, 0.5]),
+    min_size=64,
+    max_size=64,
+)
+
+_small_corpus = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30), _small_vec),
+    min_size=2,
+    max_size=14,
+)
+
+
+@given(corpus=_small_corpus)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture],
+          derandomize=True)
+def test_pq_family_small_corpus_parity(spark, corpus):
+    """ivfpq_residual_topk, ivfpq_residual_rerank_topk, and
+    knn_classify_ivfpq must hash-match their DuckDB oracles on ANY
+    small corpus (duplicate ids, zero vectors, fewer rows than
+    codewords/centroids included)."""
+    import duckdb
+
+    import pandas as pd
+
+    from kafka_go_cardinality_spark.operators import similarity as sim
+    from kafka_go_cardinality_spark.queries_datapipe import _knn_ivfpq_oracle
+
+    rows = [(vid, v, vid % 3) for vid, v in corpus]
+    sdf = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]),
+    )
+    for fn, sql in (
+        (sim.ivfpq_residual_topk, sim.ivfpq_residual_oracle_sql()),
+        (sim.ivfpq_residual_rerank_topk, sim.ivfpq_residual_rerank_oracle_sql()),
+        (lambda df: sim.knn_classify_ivfpq(df, test_mod=4), None),
+    ):
+        got = fn(sdf).toPandas()
+        if sql is None:
+            # knn oracle is built for test_mod=KNN_TEST_MOD; regenerate
+            # a matching one by swapping the modulus in the SQL text.
+            sql = _knn_ivfpq_oracle().replace(
+                f"% {sim.KNN_TEST_MOD}", "% 4"
+            )
+        want = con.execute(sql).fetchdf()
+        assert_frames_match(got, want)
