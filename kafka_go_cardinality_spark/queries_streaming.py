@@ -549,3 +549,154 @@ def _register_stream_profile() -> None:
 
 
 _register_stream_profile()
+
+
+# Vector wire dump for the online-embedding-ingest query: one per
+# (process, sf_dir), like _WIRE_DIRS.  Doubles are widened BEFORE
+# to_json so the JSONL round-trip is exact (Jackson serializes doubles
+# shortest-round-trip; the oracle's CAST(embedding AS DOUBLE[]) is the
+# same float→double widening).
+_VEC_WIRE_DIRS: dict[str, str] = {}
+
+
+def _vec_wire_dir(spark: SparkSession, sf_dir: str) -> str:
+    existing = _VEC_WIRE_DIRS.get(sf_dir)
+    if existing and os.path.isdir(existing):
+        return existing
+    emb = load_table(spark, sf_dir, "embeddings")
+    wire = emb.select(
+        F.to_json(
+            F.struct(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.expr("transform(embedding, x -> cast(x as double))").alias(
+                    "embedding"
+                ),
+            )
+        ).alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="kgc_vec_wire_")
+    wire.coalesce(4).write.mode("overwrite").text(path)
+    _VEC_WIRE_DIRS[sf_dir] = path
+    return path
+
+
+def _vec_assign_oracle() -> str:
+    """Per PHYSICAL wire row (a stream replays duplicates as-is): the
+    ann_ivf cells derivation, emitting each row's winning cell and its
+    cosine (the argmax row's cos IS array_max; ties to the lowest cid =
+    Spark's array_position-first)."""
+    from kafka_go_cardinality_spark.functions import vec_finite_sql
+    from kafka_go_cardinality_spark.operators.similarity import IVF_CENTROIDS
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, len({x}) + 1), "
+            f"i -> {x}[i] * {y}[i]), (acc, v) -> acc + v)"
+        )
+
+    cos = (
+        f"(CASE WHEN sqrt({dot('c0.v', 'c0.v')}) > 0 "
+        f"AND sqrt({dot('cent.cv', 'cent.cv')}) > 0 "
+        f"THEN {dot('c0.v', 'cent.cv')} / "
+        f"(sqrt({dot('c0.v', 'c0.v')}) * sqrt({dot('cent.cv', 'cent.cv')})) "
+        f"ELSE 0.0 END)"
+    )
+    return f"""
+    WITH c0a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE {vec_finite_sql('embedding')}),
+    c0 AS (SELECT vec_id, v,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY v) AS rid
+           FROM c0a),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM c0
+             WHERE vec_id < {IVF_CENTROIDS} AND rid = 1),
+    cc AS (SELECT c0.vec_id, c0.rid, cent.cid, {cos} AS cos
+           FROM c0 CROSS JOIN cent)
+    SELECT vec_id, CAST(cell AS INT) AS cell, round(cos, 6) AS cos FROM (
+      SELECT vec_id, rid, cid AS cell, cos,
+             row_number() OVER (PARTITION BY vec_id, rid
+                                ORDER BY cos DESC, cid ASC) AS r
+      FROM cc) WHERE r = 1
+    """
+
+
+@query("q_stream_vec_assign", _vec_assign_oracle())
+def q_stream_vec_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT E18×E21] Online embedding ingest: a STREAM of vectors is
+    assigned to IVF cells against STATIC coarse centroids — the index
+    side of a live ANN/near-dup service (new vectors route to their
+    inverted-file cell in-flight; the batch ivf_topk/semantic_dedup
+    plans consume the same cells).  Stateless streaming map: the
+    centroid model is a broadcast-sized literal (trained offline — here
+    the shared deterministic seeding), the cell argmax and cosine are
+    in-row expressions, no watermark, no state store — the one
+    streaming shape that costs NOTHING per micro-batch beyond the scan.
+    Append mode emits each wire row exactly once, so the whole path is
+    deterministic and FULLY ORACLED (stream parse → assignment ≡ the
+    ann_ivf cells derivation per physical row), unlike the
+    aggregation-bearing streaming replays whose sketch values are
+    rows-only."""
+    import math as _math
+
+    from kafka_go_cardinality_spark.functions import as_double, norm, vec_finite
+    from kafka_go_cardinality_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        _dedup_rows_by_id,
+        _dlit,
+        _dot_sql,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        vec_finite(F.col("embedding"))
+    )
+    seeds = (
+        emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .filter(F.col("vec_id") < IVF_CENTROIDS)
+        .collect()
+    )
+    seed_vecs = [row["v"] for row in _dedup_rows_by_id(seeds, "v")]
+    if not seed_vecs:
+        return spark.createDataFrame([], "vec_id bigint, cell int, cos double")
+
+    def _seq_norm(vec):
+        acc = 0.0
+        for x in vec:
+            acc = acc + float(x) * float(x)
+        return _math.sqrt(acc)
+
+    def _cell_cos(vec, cn: float) -> str:
+        if not cn > 0:
+            return "0.0D"
+        return "if(nrm > 0, %s / (nrm * %s), 0.0D)" % (
+            _dot_sql("v", vec),
+            _dlit(cn),
+        )
+
+    cos_arr = F.expr(
+        "array(%s)"
+        % ", ".join(
+            _cell_cos(vec, _seq_norm(vec)) for vec in seed_vecs
+        )
+    )
+    wire = _vec_wire_dir(spark, sf_dir)
+    src = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .json(wire)
+        .filter(vec_finite(F.col("embedding")))
+        .select("vec_id", F.col("embedding").alias("v"))
+        .select("vec_id", "v", norm(F.col("v")).alias("nrm"))
+        .select("vec_id", cos_arr.alias("ca"))
+        .select(
+            "vec_id",
+            (F.array_position(F.col("ca"), F.array_max("ca")) - 1)
+            .cast("int")
+            .alias("cell"),
+            F.round(F.array_max("ca"), 6).alias("cos"),
+        )
+    )
+    table = f"stream_vec_assign_{uuid.uuid4().hex[:8]}"
+    replay_to_memory(src, table, output_mode="append")
+    old = _LAST_REPLAY_TABLE.get("stream_vec_assign")
+    if old is not None:
+        spark.catalog.dropTempView(old)
+    _LAST_REPLAY_TABLE["stream_vec_assign"] = table
+    return spark.table(table)
