@@ -904,6 +904,118 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Temperature-scaled source mixing: token budget and the milli-unit
+# sqrt scale.  α = 0.5 (the multilingual-pretraining upweighting of
+# low-resource sources) is computed as floor(sqrt(n_tokens · 10⁶)) —
+# n·10⁶ ≤ ~10¹² is exactly representable in a double, sqrt is
+# IEEE-correctly-rounded, floor is deterministic — so the weights and
+# the largest-remainder allocation below are EXACT INTEGERS end to
+# end, which is what makes a pow()-shaped op oracle-hashable.
+MIX_TOKEN_BUDGET = 1_000_000
+MIX_SQRT_SCALE = 1_000_000
+
+
+@query(
+    "q_mix_temperature",
+    f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(sum(len({tokens_sql('text')})) AS BIGINT) AS n_tokens
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+      GROUP BY 1),
+    w AS (
+      SELECT source, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens * {MIX_SQRT_SCALE} AS DOUBLE))) AS BIGINT)
+               AS s
+      FROM tok),
+    tot AS (SELECT CAST(sum(s) AS BIGINT) AS st FROM w),
+    base AS (
+      SELECT source, n_tokens, s,
+             CAST({MIX_TOKEN_BUDGET} * s // st AS BIGINT) AS alloc0,
+             CAST(({MIX_TOKEN_BUDGET} * s) % st AS BIGINT) AS rem
+      FROM w CROSS JOIN tot),
+    short AS (
+      SELECT CAST({MIX_TOKEN_BUDGET} - sum(alloc0) AS BIGINT) AS r FROM base),
+    ranked AS (
+      SELECT source, n_tokens, s, alloc0, rem,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM base)
+    SELECT source, n_tokens, s AS weight_s,
+           CAST(alloc0 + CASE WHEN rk <= short.r THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_tokens
+    FROM ranked CROSS JOIN short
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[E26] Temperature-scaled source mixing (α = 0.5): per-source
+    sampling weights ∝ n_tokens^α — the standard multilingual /
+    multi-source pretraining move that upweights low-resource sources
+    relative to proportional sampling — allocated against a fixed token
+    budget by the largest-remainder method (Σ alloc == budget exactly,
+    every source ≥ its floor share).  Exactness: the only non-integer
+    step is one correctly-rounded sqrt of an exactly-representable
+    double (see MIX_SQRT_SCALE), so weights, remainders, and the final
+    allocation are integer arithmetic both engines replay bit-for-bit.
+    Scale shape: ONE grouped token-count shuffle over the corpus; the
+    weight/allocation algebra runs on the #sources-sized frame
+    (model-sized windows)."""
+    from pyspark.sql import Window
+
+    from kafka_go_cardinality_spark.functions import tokens
+
+    docs = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    w = tok.select(
+        "source",
+        "n_tokens",
+        F.floor(
+            F.sqrt((F.col("n_tokens") * MIX_SQRT_SCALE).cast("double"))
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    wt = Window.partitionBy()
+    base = w.select(
+        "source",
+        "n_tokens",
+        "s",
+        (F.lit(MIX_TOKEN_BUDGET) * F.col("s")).alias("_bs"),
+        F.sum("s").over(wt).alias("_st"),
+    ).select(
+        "source",
+        "n_tokens",
+        "s",
+        # `div`, not `/`: Spark's `/` on BIGINTs is DOUBLE division, and
+        # floor(correctly-rounded(a/b)) can disagree with a//b at exact
+        # boundaries; `div` is true integer division like DuckDB's `//`.
+        F.expr("_bs div _st").cast("long").alias("alloc0"),
+        (F.col("_bs") % F.col("_st")).cast("long").alias("rem"),
+    )
+    rk = Window.partitionBy().orderBy(F.col("rem").desc(), "source")
+    short = Window.partitionBy()
+    return (
+        base.withColumn("rk", F.row_number().over(rk))
+        .withColumn(
+            "_r", F.lit(MIX_TOKEN_BUDGET) - F.sum("alloc0").over(short)
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.col("s").alias("weight_s"),
+            (
+                F.col("alloc0")
+                + F.when(F.col("rk") <= F.col("_r"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+    )
+
+
 @query(
     "q_text_tfidf",
     f"""

@@ -1544,3 +1544,38 @@ def test_budget_select_prefix_and_invariance(spark, sf_dir):
         for r in budget_select(docs, n_buckets=7).collect()
     }
     assert got7 == want
+
+
+def test_mix_temperature_budget_and_monotonicity(spark):
+    """Largest-remainder invariants on a deliberately skewed corpus:
+    the allocations sum to the budget EXACTLY, a bigger source never
+    receives fewer tokens, and the alpha=0.5 temperature upweights
+    low-resource sources (tokens allocated PER CORPUS TOKEN strictly
+    decreases as source size grows — proportional sampling would hold
+    it constant)."""
+    from kafka_go_cardinality_spark.queries import QUERIES
+    from kafka_go_cardinality_spark.queries_datapipe import MIX_TOKEN_BUDGET
+
+    import tempfile
+
+    rows = []
+    did = 0
+    # sources of 1, 10, 100, 1000 ten-token docs: 4 orders of magnitude
+    for i, n_docs in enumerate((1, 10, 100, 1000)):
+        for _ in range(n_docs):
+            rows.append((did, "tok " * 10, "en", f"s{i}", 40))
+            did += 1
+    d = tempfile.mkdtemp(prefix="mixtest_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        r["source"]: (r["n_tokens"], r["alloc_tokens"])
+        for r in QUERIES["q_mix_temperature"](spark, d).collect()
+    }
+    assert sum(a for _, a in out.values()) == MIX_TOKEN_BUDGET
+    ordered = [out[f"s{i}"] for i in range(4)]
+    for (n_small, a_small), (n_big, a_big) in zip(ordered, ordered[1:]):
+        assert n_small < n_big and a_small < a_big
+        # temperature: per-token allocation strictly favors the smaller
+        assert a_small / n_small > a_big / n_big
