@@ -700,3 +700,174 @@ def q_stream_vec_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(old)
     _LAST_REPLAY_TABLE["stream_vec_assign"] = table
     return spark.table(table)
+
+
+# Online near-dup ingest guard: cosine threshold for "this incoming
+# vector already (≈) exists in the index".
+VEC_NEARDUP_TAU = 0.9
+
+
+def _vec_neardup_oracle() -> str:
+    """Batch replay of the stream ingest guard: the planted-index
+    derivation (WITH_PLANTED_NEIGHBORS_SQL), md5-hyperplane sign
+    sketches on BOTH sides (identical fold to functions.dot — the
+    _ann_lsh_oracle device), 3×4-bit band join, exact cosine ≥ τ.  One
+    event per SHARED BAND (the stateless stream emits per collision; a
+    distinct would need state), so the oracle keeps the band column
+    and no DISTINCT."""
+    from kafka_go_cardinality_spark.functions import vec_finite_sql
+    from kafka_go_cardinality_spark.operators import similarity as sim
+
+    planes = sim._hyperplanes(64)
+
+    def duck_dot(vec: str, comps) -> str:
+        arr = "[" + ", ".join(sim._dlit(c) for c in comps) + "]"
+        return (
+            f"list_reduce(list_transform(range(1, 65), "
+            f"i -> {vec}[i] * ({arr})[i]), (acc, e) -> acc + e)"
+        )
+
+    def sketch(vec: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {duck_dot(vec, comps)} >= 0 THEN {1 << p} ELSE 0 END)"
+            for p, comps in enumerate(planes)
+        )
+
+    mask = (1 << sim.ANN_BAND_BITS) - 1
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, len({x}) + 1), "
+            f"i -> {x}[i] * {y}[i]), (acc, v) -> acc + v)"
+        )
+
+    cos = (
+        f"(CASE WHEN sqrt({dot('s.v', 's.v')}) > 0 "
+        f"AND sqrt({dot('x.v', 'x.v')}) > 0 "
+        f"THEN {dot('s.v', 'x.v')} / "
+        f"(sqrt({dot('s.v', 's.v')}) * sqrt({dot('x.v', 'x.v')})) "
+        f"ELSE 0.0 END)"
+    )
+    return f"""
+    WITH aug AS ({sim.WITH_PLANTED_NEIGHBORS_SQL}),
+    idx AS (SELECT vec_id, embedding AS v,
+                   CAST({sketch('embedding')} AS BIGINT) AS sketch
+            FROM aug),
+    ibands AS (
+      SELECT vec_id AS dup_of, v, b.band,
+             (sketch >> (b.band * {sim.ANN_BAND_BITS})) & {mask} AS band_bits
+      FROM idx, (SELECT unnest(range(0, {sim.ANN_BANDS})) AS band) b),
+    strm AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings
+             WHERE {vec_finite_sql('embedding')} AND len(embedding) = 64),
+    ssk AS (SELECT vec_id, v, CAST({sketch('v')} AS BIGINT) AS sketch
+            FROM strm),
+    sbands AS (
+      SELECT vec_id, v, b.band,
+             (sketch >> (b.band * {sim.ANN_BAND_BITS})) & {mask} AS band_bits
+      FROM ssk, (SELECT unnest(range(0, {sim.ANN_BANDS})) AS band) b)
+    SELECT vec_id, dup_of, CAST(band AS INT) AS band,
+           round(cos, 6) AS cos FROM (
+      SELECT s.vec_id, x.dup_of, s.band, {cos} AS cos
+      FROM sbands s
+      JOIN ibands x ON x.band = s.band AND x.band_bits = s.band_bits
+      WHERE x.dup_of <> s.vec_id)
+    WHERE cos >= {VEC_NEARDUP_TAU}
+    """
+
+
+@query("q_stream_vec_neardup", _vec_neardup_oracle())
+def q_stream_vec_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT E18×E20/E21] Online near-dup ingest guard: each STREAMED
+    vector is checked against a STATIC planted index by LSH band join +
+    exact cosine ≥ τ — "does this incoming document already (≈) exist
+    in the corpus", the streaming twin of q_dedup_incremental /
+    q_dedup_embedding and the gate an online ingest runs BEFORE
+    admitting a document to training data.  Stateless: sign sketch and
+    band expansion are in-row expressions against md5-hyperplane
+    literals, candidates come from a stream-static equi join on (band,
+    band_bits) — the static index side is a persisted batch frame, no
+    state store, no watermark — and the exact-cosine verify runs only
+    on band collisions.  Emits one event per shared band (a distinct
+    would need state; the oracle keeps the band column instead).
+    Append mode is therefore deterministic per wire row and the query
+    is FULLY ORACLED."""
+    from kafka_go_cardinality_spark.caching import tracked_persist
+    from kafka_go_cardinality_spark.functions import (
+        cosine_pre,
+        dot,
+        norm,
+        vec_finite,
+    )
+    from kafka_go_cardinality_spark.operators import similarity as sim
+    from kafka_go_cardinality_spark.operators.similarity import ann_sketch
+
+    index = sim.with_planted_neighbors(
+        load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", F.col("embedding").alias("v"))
+    ibase = tracked_persist(
+        index.withColumn("sketch", ann_sketch("v")).withColumn(
+            "nrm", norm(F.col("v"))
+        )
+    )
+    mask = (1 << sim.ANN_BAND_BITS) - 1
+    ibands = ibase.select(
+        F.col("vec_id").alias("dup_of"),
+        F.col("v").alias("iv"),
+        F.col("nrm").alias("inrm"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sketch", b * sim.ANN_BAND_BITS).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(sim.ANN_BANDS)
+                ]
+            )
+        ).alias("band", "band_bits"),
+    )
+    wire = _vec_wire_dir(spark, sf_dir)
+    src = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .json(wire)
+        .filter(vec_finite(F.col("embedding")) & (F.size("embedding") == 64))
+        .select("vec_id", F.col("embedding").alias("v"))
+        .withColumn("sketch", ann_sketch("v"))
+        .withColumn("nrm", norm(F.col("v")))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(
+                            "sketch", b * sim.ANN_BAND_BITS
+                        ).bitwiseAND(F.lit(mask))
+                        for b in range(sim.ANN_BANDS)
+                    ]
+                )
+            ).alias("band", "band_bits"),
+        )
+        .join(ibands, ["band", "band_bits"])
+        .filter(F.col("dup_of") != F.col("vec_id"))
+        .select(
+            "vec_id",
+            "dup_of",
+            F.col("band").cast("int").alias("band"),
+            F.round(
+                cosine_pre(
+                    dot(F.col("v"), F.col("iv")), F.col("nrm"), F.col("inrm")
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= VEC_NEARDUP_TAU)
+    )
+    table = f"stream_vec_neardup_{uuid.uuid4().hex[:8]}"
+    replay_to_memory(src, table, output_mode="append")
+    old = _LAST_REPLAY_TABLE.get("stream_vec_neardup")
+    if old is not None:
+        spark.catalog.dropTempView(old)
+    _LAST_REPLAY_TABLE["stream_vec_neardup"] = table
+    return spark.table(table)
