@@ -1947,7 +1947,8 @@ def _knn_ivfpq_oracle() -> str:
     residual-PQ replay (shared parameterized subspace chains) composed
     with the bulk k-NN derivation: engine-equivalent per-(probe, cell)
     residual LUTs, ADC sums per (probe, candidate physical row),
-    MIN-estimate prefilter per candidate ID, exact-cosine re-rank over
+    MAX-estimate prefilter per candidate ID (top-KNN_ADC_OVERFETCH=100
+    by max(score) across physical rows), exact-cosine re-rank over
     every physical row of the selected ids, the shared vote, and the
     training-majority coverage fallback.  Probes take the rid-1
     keyed-by-id rule (this operator's declared contract); the corpus
@@ -2082,6 +2083,11 @@ def _knn_ivfpq_oracle() -> str:
     FROM probe_ids p
     LEFT JOIN voted v USING (vec_id)
     CROSS JOIN prior
+    -- match the engine's typed-empty result when no vec_id < n_centroids
+    -- exists (seed_vecs empty): without this guard the prior fallback
+    -- would still emit rows the engine cannot produce.
+    CROSS JOIN (SELECT count(*) AS nc FROM cent) g
+    WHERE g.nc > 0
     """
 
 
@@ -2090,8 +2096,9 @@ def q_sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E21+] BULK k-NN labeling with an ADC prefilter — the full
     production IVFADC shape: the knn_ivf candidate plan, but each pair
     costs 8 table lookups on residual nibble codes instead of a 64-dim
-    float fold; only the top-25 candidate IDs per probe (min-estimate
-    over physical rows) are re-scored with exact cosine before the
+    float fold; only the top-KNN_ADC_OVERFETCH (=100) candidate IDs per
+    probe (max-estimate over physical rows) are re-scored with exact
+    cosine before the
     shared vote + coverage fallback.  LUTs are computed engine-side
     (corpus-proportional probe sets cannot ship driver literals).
     Fully oracled (operators/similarity.knn_classify_ivfpq)."""

@@ -851,18 +851,23 @@ def q_stream_vec_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(ibands, ["band", "band_bits"])
         .filter(F.col("dup_of") != F.col("vec_id"))
+        .withColumn(
+            "cos_raw",
+            cosine_pre(
+                dot(F.col("v"), F.col("iv")), F.col("nrm"), F.col("inrm")
+            ),
+        )
+        # Filter on the UNROUNDED cosine: the oracle's outer WHERE binds
+        # to the raw subquery column (DuckDB resolves the real column over
+        # the round(...,6) select alias), so rounding first would admit
+        # pairs with true cos in [tau - 5e-7, tau) that the oracle drops.
+        .filter(F.col("cos_raw") >= VEC_NEARDUP_TAU)
         .select(
             "vec_id",
             "dup_of",
             F.col("band").cast("int").alias("band"),
-            F.round(
-                cosine_pre(
-                    dot(F.col("v"), F.col("iv")), F.col("nrm"), F.col("inrm")
-                ),
-                6,
-            ).alias("cos"),
+            F.round(F.col("cos_raw"), 6).alias("cos"),
         )
-        .filter(F.col("cos") >= VEC_NEARDUP_TAU)
     )
     table = f"stream_vec_neardup_{uuid.uuid4().hex[:8]}"
     replay_to_memory(src, table, output_mode="append")

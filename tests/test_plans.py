@@ -979,21 +979,41 @@ def test_hard_negatives_broadcasts_query_side(spark, sf_dir):
     assert count_exchanges(df) == 2, exchange_blocks(df)
 
 
+def _plan_depth(line):
+    """Tree depth of a simple-plan line = column where the operator text
+    starts, past the ``+- : `` tree art (codegen ``*(n)`` stars count as
+    content — fine, depth only needs to be consistent within a plan)."""
+    return len(line) - len(line.lstrip(" :+-"))
+
+
 def _window_partition_specs(df):
-    """(partition_spec, line_index) for every Window node in the simple
-    plan.  A simple-mode Window line is ``Window [exprs], [partition
-    spec], [order spec]`` — the middle bracket group is the partition
-    spec (rsplit from the right dodges the commas/brackets inside the
-    window expressions)."""
+    """(partition_spec, line_index, depth, lines) for every Window node
+    in the simple plan.  A simple-mode Window line is ``Window [exprs],
+    [partition spec], [order spec]`` — the middle bracket group is the
+    partition spec (rsplit from the right dodges the commas/brackets
+    inside the window expressions)."""
+    lines = plan_string(df, mode="simple").splitlines()
     specs = []
-    for i, line in enumerate(plan_string(df, mode="simple").splitlines()):
+    for i, line in enumerate(lines):
         stripped = line.strip().lstrip("+-: ").strip()
         if not stripped.startswith("Window ["):
             continue
         parts = line.rstrip().rstrip("]").rsplit("], [", 2)
         assert len(parts) == 3, f"unparseable Window line: {line}"
-        specs.append((parts[1], i))
-    return specs
+        specs.append((parts[1], i, _plan_depth(line)))
+    return specs, lines
+
+
+def _subtree_range(lines, i, depth):
+    """Line range (i, j) of the subtree rooted at line i: subsequent
+    lines strictly deeper than ``depth`` (root-first printing puts a
+    node's input/children immediately below it at greater depth)."""
+    j = i + 1
+    while j < len(lines) and (
+        not lines[j].strip() or _plan_depth(lines[j]) > depth
+    ):
+        j += 1
+    return i + 1, j
 
 
 def test_retrieval_topk_windows_are_salted_two_level(spark, sf_dir):
@@ -1015,22 +1035,24 @@ def test_retrieval_topk_windows_are_salted_two_level(spark, sf_dir):
         "q_sim_ann_ivfpq_residual",
         "q_sim_ann_ivfpqr",
     ):
-        specs = _window_partition_specs(QUERIES[name](spark, sf_dir))
-        salted = [i for s, i in specs if "_salt" in s]
+        specs, lines = _window_partition_specs(QUERIES[name](spark, sf_dir))
+        salted = [i for s, i, _ in specs if "_salt" in s]
         assert salted, f"{name}: no salted level-1 top-k window in plan"
         # A query may stack SEVERAL two-level top-ks (ivfpqr: the ADC
-        # over-fetch and the exact re-rank each have one); root-first
-        # printing puts downstream at EARLIER lines, so every
-        # query_id-alone window must have a salted level-1 window
-        # somewhere UPSTREAM (a later line) bounding its input.
-        last_salted = max(salted)
-        for s, i in specs:
+        # over-fetch and the exact re-rank each have one), so a global
+        # first/last-salted-line check is either too strict or too weak.
+        # The sound form: each query_id-alone window's INPUT — its own
+        # subtree (the deeper lines below it, root-first printing) —
+        # must contain a salted level-1 window bounding it to
+        # TOPK_SALTS*k survivors per query.
+        for s, i, d in specs:
             if "_salt" in s or "query_id" not in s:
                 continue
-            assert i < last_salted, (
+            lo, hi = _subtree_range(lines, i, d)
+            assert any(lo <= j < hi for j in salted), (
                 f"{name}: Window partitioned by [{s}] (line {i}) has NO "
-                f"salted level-1 window upstream (last salted line "
-                f"{last_salted}) — a reducer may sort a "
+                f"salted level-1 window in its own subtree (lines "
+                f"{lo}..{hi}) — a reducer may sort a "
                 f"corpus-proportional frame"
             )
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from tests.conftest import assert_frames_match
@@ -1136,12 +1136,23 @@ _small_vec = st.lists(
 )
 
 _small_corpus = st.lists(
-    st.tuples(st.integers(min_value=0, max_value=30), _small_vec),
+    st.tuples(st.integers(min_value=0, max_value=70), _small_vec),
     min_size=2,
     max_size=14,
 )
 
+# Every vec_id >= KNN_IVF_CENTROIDS (32): the coarse-centroid seed set
+# is EMPTY, the engine returns a typed empty frame, and the oracle's
+# prior fallback must be gated off too (r9 advice).  Pinned explicitly
+# because random draws rarely put ALL ids past 32.
+_EMPTY_SEED_CORPUS = [
+    (40, [1.0] + [0.0] * 63),
+    (44, [0.0, 1.0] + [0.0] * 62),
+    (52, [0.5] * 64),
+]
 
+
+@example(corpus=_EMPTY_SEED_CORPUS)
 @given(corpus=_small_corpus)
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture],
