@@ -847,6 +847,21 @@ def q_stream_vec_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     would need state; the oracle keeps the band column instead).
     Append mode is therefore deterministic per wire row and the query
     is FULLY ORACLED."""
+    src = _vec_neardup_pairs(spark, sf_dir)
+    table = f"stream_vec_neardup_{uuid.uuid4().hex[:8]}"
+    replay_to_memory(src, table, output_mode="append")
+    old = _LAST_REPLAY_TABLE.get("stream_vec_neardup")
+    if old is not None:
+        spark.catalog.dropTempView(old)
+    _LAST_REPLAY_TABLE["stream_vec_neardup"] = table
+    return spark.table(table)
+
+
+def _vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared streaming frame of the two near-dup guards:
+    (vec_id, dup_of, band, cos) for every band collision between the
+    wire stream and the static parquet-materialized LSH index that
+    passes the exact-cosine verify."""
     from kafka_go_cardinality_spark.functions import cosine_pre, norm, vec_finite
     from kafka_go_cardinality_spark.functions.udfs import dot64_seq
     from kafka_go_cardinality_spark.operators import similarity as sim
@@ -855,7 +870,7 @@ def q_stream_vec_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask = (1 << sim.ANN_BAND_BITS) - 1
     ibands = spark.read.parquet(_vec_index_dir(spark, sf_dir))
     wire = _vec_wire_dir(spark, sf_dir)
-    src = (
+    return (
         spark.readStream.schema("vec_id long, embedding array<double>")
         .json(wire)
         .filter(vec_finite(F.col("embedding")) & (F.size("embedding") == 64))
@@ -905,10 +920,44 @@ def q_stream_vec_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cos_raw"), 6).alias("cos"),
         )
     )
-    table = f"stream_vec_neardup_{uuid.uuid4().hex[:8]}"
+
+
+def _vec_neardup_distinct_oracle() -> str:
+    """The DISTINCT form of the same replay: the per-band inner query
+    collapses to one row per (vec_id, dup_of) — the cosine is a pair
+    property (band-independent), so DISTINCT over (vec_id, dup_of, cos)
+    is exactly one-event-per-duplicate."""
+    return (
+        "SELECT DISTINCT vec_id, dup_of, cos FROM (\n"
+        + _vec_neardup_oracle()
+        + "\n)"
+    )
+
+
+@query("q_stream_vec_neardup_distinct", _vec_neardup_distinct_oracle())
+def q_stream_vec_neardup_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT E18×E19×E20] The near-dup ingest guard with the
+    one-event-per-(vec_id, dup_of) contract a real admission gate
+    wants: q_stream_vec_neardup deliberately emits one event per
+    SHARED BAND (stateless), this twin adds the E19 streaming-dedup
+    machinery — ``dropDuplicates`` on the pair key — so a vector
+    colliding with the same index entry in several bands is flagged
+    once.  Deterministic despite state: every band row of a pair
+    carries IDENTICAL (vec_id, dup_of, cos) — the cosine is a pair
+    property — so whichever arrives first, the kept row is the same
+    and the query stays FULLY ORACLED (the DISTINCT form of the same
+    replay SQL).  State is bounded by the distinct-pair count of the
+    batch being replayed; a continuous deployment bounds it with
+    ``dropDuplicatesWithinWatermark`` once the wire carries event
+    time."""
+    pairs = _vec_neardup_pairs(spark, sf_dir).drop("band")
+    src = pairs.dropDuplicates(["vec_id", "dup_of"])
+    table = f"stream_vec_neardup_d_{uuid.uuid4().hex[:8]}"
     replay_to_memory(src, table, output_mode="append")
-    old = _LAST_REPLAY_TABLE.get("stream_vec_neardup")
+    old = _LAST_REPLAY_TABLE.get("stream_vec_neardup_d")
     if old is not None:
         spark.catalog.dropTempView(old)
-    _LAST_REPLAY_TABLE["stream_vec_neardup"] = table
+    _LAST_REPLAY_TABLE["stream_vec_neardup_d"] = table
     return spark.table(table)
