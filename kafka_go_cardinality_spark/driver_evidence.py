@@ -137,3 +137,37 @@ def round_index(root: str = _REPO_ROOT) -> int:
     proven block's internal order each round).  Counts only files that
     parsed, matching latest_rows()."""
     return len(_parsed_rounds(root))
+
+
+@functools.lru_cache(maxsize=8)
+def changed_files(root: str = _REPO_ROOT) -> frozenset[str]:
+    """Repo-relative paths changed since the last driver round-close
+    commit (the harness commits ``round N: verdict/advice/...`` when a
+    round ends) — the CODE-CHURN signal for the sweep rotation (r9
+    verdict item 6): a green row from round N-k proves nothing about
+    code rewritten since, so churned queries deserve re-check priority
+    over equally-aged untouched ones.  Returns the empty set whenever
+    the signal is unavailable (no git, no round commit yet, subprocess
+    failure) — ordering then degrades to the pure age rotation."""
+    import re
+    import subprocess
+
+    try:
+        base = subprocess.run(
+            ["git", "-C", root, "log", "-E",
+             "--grep", r"^round [0-9]+:", "-1", "--format=%H"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if not re.fullmatch(r"[0-9a-f]{40}", base):
+            return frozenset()
+        out = subprocess.run(
+            ["git", "-C", root, "diff", "--name-only", f"{base}..HEAD"],
+            capture_output=True, text=True, timeout=10,
+        )
+        if out.returncode != 0:
+            return frozenset()
+        return frozenset(
+            line.strip() for line in out.stdout.splitlines() if line.strip()
+        )
+    except Exception:
+        return frozenset()

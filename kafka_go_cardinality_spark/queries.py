@@ -111,12 +111,59 @@ _FAMILY_ORDER = (
 # ~4-round oracled rotation) or in equal turn (wasting hash slots).
 ROWS_ONLY_STALENESS_PENALTY = 2
 
+# CHURN-AWARE (r9 verdict item 6): a green row from round N-k proves
+# nothing about code rewritten since, so queries whose DEFINING MODULE
+# changed since the last round-close commit are aged back by
+# CHURN_BOOST rounds.  Deliberately small — a refinement of the age
+# rotation, not an override: a whole-module touch must not flood the
+# 50-slot sweep head with freshly-checked queries and starve the
+# genuinely oldest evidence.  Symmetric with the rows-only penalty, so
+# a churned rows-only query re-enters on equal age terms with untouched
+# oracled ones (its code changed; even a rows-only run re-proves it
+# still executes).  Module granularity is the honest approximation:
+# operator-module changes usually co-occur with their query module's
+# (true for every round so far), and a finer import-graph walk would
+# pin churn to code that often cannot affect results.
+CHURN_BOOST = 2
+
 _AGE: dict[str, int] = driver_evidence.evidence_age()
+
+
+def _churned_names() -> frozenset[str]:
+    """Queries whose defining module file changed since the last driver
+    round-close commit (empty when the git signal is unavailable)."""
+    import inspect
+    import os
+
+    changed = {
+        p
+        for p in driver_evidence.changed_files()
+        if p.endswith(".py") and not p.startswith("tests/")
+    }
+    if not changed:
+        return frozenset()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = set()
+    for name, fn in QUERIES.items():
+        try:
+            src = inspect.getsourcefile(inspect.unwrap(fn))
+        except TypeError:
+            continue
+        if src and os.path.relpath(src, root) in changed:
+            out.add(name)
+    return frozenset(out)
+
+
+_CHURNED: frozenset[str] = _churned_names()
 
 
 def _effective_age(name: str) -> int:
     age = _AGE.get(name, -1)
-    return age if name in ORACLE_SQL else age + ROWS_ONLY_STALENESS_PENALTY
+    if name not in ORACLE_SQL:
+        age += ROWS_ONLY_STALENESS_PENALTY
+    if name in _CHURNED:
+        age -= CHURN_BOOST
+    return age
 
 
 _PROVEN_POS: dict[str, int] = {

@@ -34,11 +34,16 @@ def test_proven_block_is_oldest_evidence_first():
     """The proven block must present oldest-evidence-first so each
     driver sweep re-proves the most stale green rows (r6 verdict item
     4), with rows-only queries aged forward by the staleness penalty so
-    hash-capable queries get the sweep slots (r7 verdict item 4):
-    ascending EFFECTIVE age across the block."""
+    hash-capable queries get the sweep slots (r7 verdict item 4), and
+    queries whose defining module changed since the last round-close
+    commit aged BACK by the churn boost (r9 verdict item 6): ascending
+    EFFECTIVE age across the block, recomputed here from the same
+    primitives the registry uses."""
     from kafka_go_cardinality_spark.queries import (
+        CHURN_BOOST,
         ORACLE_SQL,
         ROWS_ONLY_STALENESS_PENALTY,
+        _CHURNED,
     )
 
     age = driver_evidence.evidence_age()
@@ -47,10 +52,61 @@ def test_proven_block_is_oldest_evidence_first():
     ages = [
         age[n]
         + (0 if n in ORACLE_SQL else ROWS_ONLY_STALENESS_PENALTY)
+        - (CHURN_BOOST if n in _CHURNED else 0)
         for n in QUERIES
         if n in proven and n in age and n not in pending
     ]
     assert ages == sorted(ages)
+
+
+def test_churned_queries_outrank_equal_age_unchurned():
+    """Code churn must act as an age rebate within the proven block: a
+    churned query sorts with queries CHURN_BOOST rounds staler than
+    itself, so a module rewrite pulls its queries back into the sweep
+    head instead of waiting out the full rotation.  Skipped-by-vacuity
+    when the working tree matches the last round-close commit (churn
+    signal empty — pure age rotation, covered above)."""
+    from kafka_go_cardinality_spark.queries import (
+        CHURN_BOOST,
+        ORACLE_SQL,
+        ROWS_ONLY_STALENESS_PENALTY,
+        _CHURNED,
+        _effective_age,
+    )
+
+    if not _CHURNED:
+        return
+    age = driver_evidence.evidence_age()
+    proven = driver_evidence.proven_names()
+    for n in _CHURNED:
+        if n in proven and n in age:
+            unchurned = age[n] + (
+                0 if n in ORACLE_SQL else ROWS_ONLY_STALENESS_PENALTY
+            )
+            assert _effective_age(n) == unchurned - CHURN_BOOST
+
+
+def test_churn_signal_maps_modules_to_queries():
+    """changed_files() is repo-relative git paths; _churned_names()
+    must map a changed query module to exactly its own queries.  Uses
+    the live signal when present; always checks the never-crash
+    contract (empty set on any git failure is the documented
+    degradation)."""
+    import inspect
+    import os
+
+    from kafka_go_cardinality_spark.queries import QUERIES as Q, _CHURNED
+
+    changed = {
+        p
+        for p in driver_evidence.changed_files()
+        if p.endswith(".py") and not p.startswith("tests/")
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(
+        driver_evidence.__file__)))
+    for n in _CHURNED:
+        src = inspect.getsourcefile(inspect.unwrap(Q[n]))
+        assert os.path.relpath(src, root) in changed, n
 
 
 def test_hash_pending_lead_the_proven_block():
