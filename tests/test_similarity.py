@@ -503,6 +503,11 @@ def test_knn_ivfpq_prediction_quality_tracks_knn_ivf(spark, sf_dir):
     a_ivf = agreement(sim.knn_classify_ivf(emb))
     a_pq = agreement(sim.knn_classify_ivfpq(emb))
     assert a_pq >= a_ivf - 0.2, (a_ivf, a_pq)
+    # ABSOLUTE floor (r9 verdict item 7): the M-sensitivity is steep
+    # (0.70 at M=100, 0.40 at M=25/50 on this fixture) and the relative
+    # pin above would ride knn_ivf down — a future KNN_ADC_OVERFETCH
+    # tweak that lands below the usable window must fail HERE.
+    assert a_pq >= 0.6, a_pq
 
 
 def test_knn_ivfpq_empty_corpus_and_empty_train(spark):
