@@ -1192,3 +1192,50 @@ def test_pq_family_small_corpus_parity(spark, corpus):
             )
         want = con.execute(sql).fetchdf()
         assert_frames_match(got, want)
+
+
+def test_ivfpqr_scaled_overfetch_branch_parity(spark):
+    """The scale-aware over-fetch window's ORACLE branch above the
+    floor: every driver-scale corpus has N=500 rows, where
+    M = max(50, ceil(N*n_probe*2 / (5*n_centroids))) lands exactly on
+    the floor — so no parity sweep ever exercises the oracle's
+    scalar-subquery formula producing M > 50.  A 620-row corpus
+    (fixture + 120 rotated re-keyed copies, M = 62) closes that gap:
+    any drift between the engine's Python ceil-division and the SQL
+    replica would surface only at real scale otherwise."""
+    import duckdb
+
+    import pandas as pd
+
+    from kafka_go_cardinality_spark.operators import similarity as sim
+    from kafka_go_cardinality_spark.sources import load_table
+    from tests.conftest import SF_DIR, assert_frames_match
+
+    base = load_table(spark, SF_DIR, "embeddings").toPandas()
+    extra = base.head(120).copy()
+    extra["vec_id"] = extra["vec_id"] + 1000
+    # Rotate the copies one position so they are distinct vectors, not
+    # exact dups (same device as scripts_scale_probe's growth model).
+    extra["embedding"] = extra["embedding"].map(
+        lambda v: list(v[1:]) + [v[0]]
+    )
+    pdf = pd.concat([base, extra], ignore_index=True)
+    # Uniform python lists: a mixed numpy-array/list object column makes
+    # duckdb.register infer VARCHAR and the oracle's list functions bind.
+    pdf["embedding"] = pdf["embedding"].map(
+        lambda v: [float(x) for x in v]
+    )
+    n_phys = len(pdf)
+    assert sim._scaled_overfetch(n_phys, 16, 4) > sim.PQ_RERANK_OVERFETCH
+    sdf = spark.createDataFrame(
+        [
+            (int(r.vec_id), [float(x) for x in r.embedding], int(r.label))
+            for r in pdf.itertuples()
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    got = sim.ivfpq_residual_rerank_topk(sdf).toPandas()
+    want = con.execute(sim.ivfpq_residual_rerank_oracle_sql()).fetchdf()
+    assert_frames_match(got, want)
