@@ -1299,12 +1299,16 @@ def q_sim_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_sim_ann_ivfpqr", sim.ivfpq_residual_rerank_oracle_sql())
 def q_sim_ann_ivfpqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E21] Residual IVF+PQ with exact re-rank — FAISS's two-stage
-    IVFPQR production search: ADC over-fetches the top 50 per query,
-    exact integer squared-L2 re-scores only those, top-5 kept.  Recall@5
-    vs exact L2 jumps 0.30 → 0.94 on the fixture corpus while the
-    re-rank join stays a broadcast of a model-sized candidate list
-    against one corpus scan (operators/similarity.
-    ivfpq_residual_rerank_topk).  Fully oracled."""
+    IVFPQR production search: ADC over-fetches the top M per query
+    (scale-aware since r10: M = max(50, ~40% of the expected probed
+    pool N·n_probe/n_centroids), so the floor 50 binds at fixture
+    scale and M grows linearly after), exact integer squared-L2
+    re-scores only those, top-5 kept.  Recall@5 vs exact L2: 0.30 →
+    0.94 at fixture, and 1.00 at 32× where frozen M=50 decayed to
+    0.24.  The re-rank join stays a broadcast of a model-sized
+    candidate list against one corpus scan (operators/similarity.
+    ivfpq_residual_rerank_topk).  Fully oracled — the oracle computes
+    the identical integer M from a scalar-subquery count."""
     return sim.ivfpq_residual_rerank_topk(_emb(spark, sf_dir))
 
 

@@ -944,18 +944,34 @@ def q_stream_vec_neardup_distinct(
     SHARED BAND (stateless), this twin adds the E19 streaming-dedup
     machinery — ``dropDuplicates`` on the pair key — so a vector
     colliding with the same index entry in several bands is flagged
-    once.  Deterministic despite state: every band row of a pair
-    carries IDENTICAL (vec_id, dup_of, cos) — the cosine is a pair
-    property — so whichever arrives first, the kept row is the same
-    and the query stays FULLY ORACLED (the DISTINCT form of the same
-    replay SQL).  State is bounded by the distinct-pair count of the
-    batch being replayed; a continuous deployment bounds it with
-    ``dropDuplicatesWithinWatermark`` once the wire carries event
-    time."""
+    once.  Deterministic despite state: the dedup key is the FULL
+    output row (vec_id, dup_of, cos) — on the shipped corpora every
+    band row of a pair is identical (the cosine is a pair property),
+    and under re-crawled corpora where one vec_id carries two payloads
+    (the rid-edge the PQ property suite plants) each distinct cos
+    survives exactly as the oracle's DISTINCT does, so arrival order
+    never picks a winner and the query stays FULLY ORACLED (the
+    DISTINCT form of the same replay SQL).  State is bounded by the
+    distinct-pair count of the batch being replayed; a continuous
+    deployment bounds it with ``dropDuplicatesWithinWatermark`` once
+    the wire carries event time."""
     pairs = _vec_neardup_pairs(spark, sf_dir).drop("band")
-    src = pairs.dropDuplicates(["vec_id", "dup_of"])
+    src = pairs.dropDuplicates(["vec_id", "dup_of", "cos"])
+    # The first stateful vec-wire replay: size the state partitions to
+    # the wire like _replay does, instead of paying the session
+    # ceiling's per-partition state commits (the _WIRE_BYTES_PER_
+    # STATE_PARTITION rationale).
+    wire = _vec_wire_dir(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_state_partitions(wire, int(prev))),
+    )
     table = f"stream_vec_neardup_d_{uuid.uuid4().hex[:8]}"
-    replay_to_memory(src, table, output_mode="append")
+    try:
+        replay_to_memory(src, table, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     old = _LAST_REPLAY_TABLE.get("stream_vec_neardup_d")
     if old is not None:
         spark.catalog.dropTempView(old)
