@@ -349,3 +349,60 @@ def test_stream_profile_registration_matches_environment():
     assert registered == has_dep
     if registered:
         assert "q_stream_profile" in entry_mod.oracle_sql()
+
+
+def test_vec_neardup_distinct_parity_under_duplicate_vec_ids(spark, tmp_path):
+    """The full-row dedup key's reason to exist (r10 review find): a
+    re-crawled corpus can carry TWO physical rows for one vec_id with
+    different payloads, so one (vec_id, dup_of) pair yields two cos
+    values — the oracle's DISTINCT keeps both, and a (vec_id, dup_of)
+    dedup key would emit an arrival-order-dependent single row.  Runs
+    the streaming engine AND the replay SQL over a corpus with planted
+    duplicate-id rows and demands a hash match (the fixture-bound
+    parity sweep can never exercise this: every sf* table has unique
+    vec_ids)."""
+    import shutil
+
+    import duckdb
+
+    from kafka_go_cardinality_spark.queries import QUERIES
+    from kafka_go_cardinality_spark.queries_streaming import (
+        _LAST_REPLAY_TABLE,
+        _VEC_INDEX_DIRS,
+        _VEC_WIRE_DIRS,
+        _vec_neardup_distinct_oracle,
+    )
+    from kafka_go_cardinality_spark.sources import load_table
+    from tests.conftest import SF_DIR, assert_frames_match
+
+    sf = str(tmp_path / "dup_sf")
+    shutil.copytree(SF_DIR, sf)
+    con = duckdb.connect()
+    # Duplicate the first 40 ids with a rotated payload: same vec_id,
+    # different vector — two physical rows per id on BOTH the wire and
+    # the index side.
+    con.execute(
+        f"""COPY (
+            SELECT vec_id, embedding, label
+            FROM read_parquet('{SF_DIR}/embeddings.parquet')
+            UNION ALL
+            SELECT vec_id,
+                   embedding[2:] || [embedding[1]] AS embedding,
+                   label
+            FROM read_parquet('{SF_DIR}/embeddings.parquet')
+            WHERE vec_id < 40
+        ) TO '{sf}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    try:
+        got = QUERIES["q_stream_vec_neardup_distinct"](spark, sf).toPandas()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')"
+        )
+        want = con.execute(_vec_neardup_distinct_oracle()).fetchdf()
+        assert_frames_match(got, want)
+    finally:
+        # Drop the per-sf_dir caches so later tests against the real
+        # fixture don't reuse this corpus's wire/index.
+        _VEC_WIRE_DIRS.pop(sf, None)
+        _VEC_INDEX_DIRS.pop(sf, None)
