@@ -29,6 +29,7 @@ bit-identical to DuckDB's ``list_cosine_similarity`` on DOUBLE[].
 
 from __future__ import annotations
 
+import json as _json
 import math
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -240,17 +241,38 @@ def _dlit(x: float) -> str:
     return f"cast('{float(x)!r}' as double)"
 
 
+def _dmodel(values, schema: str):
+    """A driver-side model (nested lists of numbers) as ONE folded
+    Literal column: ``from_json`` over a JSON string literal is
+    constant-folded by Catalyst, so the ANALYZED tree carries a single
+    ~20 KB string instead of the old n×d-literal CreateArray — the
+    device the r9 model-as-data revert was missing (no cross join, so
+    no sizeInBytes inflation flipping downstream broadcasts; measured
+    ~5× cheaper driver-side analysis and a faster optimized plan on the
+    16×64 centroid-cosine array).  Bit-exact: json.dumps emits
+    repr-shortest doubles and Jackson parses correctly rounded, the
+    same values the old ``cast('<repr>' as double)`` literals produced
+    (pinned by the full parity suite and the poison audit's
+    NaN/±1e308 corpora)."""
+    return F.from_json(F.lit(_json.dumps(values)), schema)
+
+
 def _dot_sql(vec_expr: str, consts) -> str:
     """SQL text of ``dot(vec_expr, literal-array)`` — same sequential
     zip_with+aggregate fold as functions.dot, so identical doubles, but
     emitted as a string: constant-heavy expressions built through the
     Column API pay one Python↔JVM round trip PER call (~7 s for a
     128-codeword tree, measured in pq_topk); a string parses JVM-side in
-    milliseconds."""
+    milliseconds.  The constants ride a ``from_json`` string literal
+    (r10, the _dmodel device): the SQL parser sees ONE token instead of
+    64 cast-literals, Catalyst folds it to a single array Literal, and
+    JSON round-trips repr-shortest doubles bit-exactly — same values,
+    ~5× cheaper analysis on plane/centroid-heavy expressions."""
     return (
-        "aggregate(zip_with(%s, array(%s), (x, y) -> x * y), "
+        "aggregate(zip_with(%s, from_json('%s', 'array<double>'), "
+        "(x, y) -> x * y), "
         "cast(0 as double), (acc, e) -> acc + e)"
-        % (vec_expr, ", ".join(_dlit(c) for c in consts))
+        % (vec_expr, _json.dumps([float(c) for c in consts]))
     )
 
 
@@ -408,20 +430,27 @@ def _centroid_scored_cells(embeddings: DataFrame, n_centroids: int, keep=()):
 
     cent_norms = [_seq_norm(vec) for vec in seed_vecs]
 
-    # Same arithmetic as cosine_pre(dot(v, c), nrm, cn) — emitted as one
-    # generated-SQL array (16 × 64 constants) for the py4j reason
-    # documented on _dot_sql.
-    def _cell_cos(vec, cn: float) -> str:
-        if not cn > 0:
-            return "0.0D"
-        return "if(nrm > 0, %s / (nrm * %s), 0.0D)" % (
-            _dot_sql("v", vec),
-            _dlit(cn),
-        )
-
-    cos_arr = F.expr(
-        "array(%s)"
-        % ", ".join(_cell_cos(vec, cn) for vec, cn in zip(seed_vecs, cent_norms))
+    # Same arithmetic as cosine_pre(dot(v, c), nrm, cn), with the model
+    # shipped as one folded Literal (see _dmodel) instead of a 16×64
+    # literal tree: zip_with pairs each centroid with its driver-side
+    # norm, the inner fold is the identical sequential dot, and the
+    # zero-norm guards match the old build-time/runtime split (a zero
+    # CENTROID has cn == 0.0 in the norms literal → the when() is
+    # false → 0.0, exactly the constant the old path folded in).
+    cents = _dmodel(seed_vecs, "array<array<double>>")
+    cnorms = _dmodel(cent_norms, "array<double>")
+    cos_arr = F.zip_with(
+        cents,
+        cnorms,
+        lambda c, cn: F.when(
+            (F.col("nrm") > 0) & (cn > 0),
+            F.aggregate(
+                F.zip_with(F.col("v"), c, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            )
+            / (F.col("nrm") * cn),
+        ).otherwise(F.lit(0.0)),
     )
     nrm_col = norm(F.col("v"))
     scored_cells = tracked_persist(
@@ -1137,21 +1166,25 @@ def _pq_codes_expr(codebooks: list):
     # struct ordering (d, then index) reproduces the lowest-index
     # tie-break exactly.  Distances are exact BIGINT squared-L2 over the
     # micro-unit ``vq`` column against integer codeword literals.
+    # Each subspace's 16×8 integer codewords ride one from_json string
+    # literal (the _dmodel device) and the 16 distances come from a
+    # transform over it — codeword order, and therefore the argmin
+    # tie-break, is exactly the old array(...) enumeration order.
     subspace_exprs = []
     for j, cents in enumerate(codebooks):
-        ds = ", ".join(
-            "aggregate(zip_with(slice(vq, %d, %d), array(%s), "
+        ds = (
+            "transform(from_json('%s', 'array<array<bigint>>'), "
+            "cw -> aggregate(zip_with(slice(vq, %d, %d), cw, "
             "(a, b) -> (a - b) * (a - b)), cast(0 as bigint), "
-            "(acc, x) -> acc + x)"
+            "(acc, x) -> acc + x))"
             % (
+                _json.dumps([[int(x) for x in cw] for cw in cents]),
                 j * PQ_SUBDIM + 1,
                 PQ_SUBDIM,
-                ", ".join(str(int(x)) + "L" for x in cw),
             )
-            for cw in cents
         )
         subspace_exprs.append(
-            "cast(array_min(transform(array(%s), "
+            "cast(array_min(transform(%s, "
             "(x, i) -> named_struct('d', x, 'c', i))).c as int)" % ds
         )
     return F.expr("array(%s)" % ", ".join(subspace_exprs))
@@ -1174,21 +1207,21 @@ def _pq_lut_expr(codebooks: list, metric: str = "l2"):
     body = (
         "(a, b) -> (a - b) * (a - b)" if metric == "l2" else "(a, b) -> a * b"
     )
+    # Same from_json codeword shipping as _pq_codes_expr (order and
+    # arithmetic identical to the old literal enumeration).
     sub_arrays = []
     for j, cents in enumerate(codebooks):
-        ds = ", ".join(
-            "aggregate(zip_with(slice(vq, %d, %d), array(%s), "
-            "%s), cast(0 as bigint), "
-            "(acc, x) -> acc + x)"
+        sub_arrays.append(
+            "transform(from_json('%s', 'array<array<bigint>>'), "
+            "cw -> aggregate(zip_with(slice(vq, %d, %d), cw, "
+            "%s), cast(0 as bigint), (acc, x) -> acc + x))"
             % (
+                _json.dumps([[int(x) for x in cw] for cw in cents]),
                 j * PQ_SUBDIM + 1,
                 PQ_SUBDIM,
-                ", ".join(str(int(x)) + "L" for x in cw),
                 body,
             )
-            for cw in cents
         )
-        sub_arrays.append("array(%s)" % ds)
     return F.expr("array(%s)" % ", ".join(sub_arrays))
 
 
@@ -1606,11 +1639,9 @@ def ivfpq_residual_topk(
         .cast("int")
         .alias("cell"),
     )
-    # rq = vq − cq[cell], one generated-SQL literal array-of-arrays
-    # (the _dot_sql py4j rationale) — exact BIGINTs in, exact out.
-    cq_sql = "array(%s)" % ", ".join(
-        "array(%s)" % ", ".join(f"{x}L" for x in c) for c in cq
-    )
+    # rq = vq − cq[cell], the quantized centroids as one from_json
+    # folded literal (the _dmodel device) — exact BIGINTs in, exact out.
+    cq_sql = "from_json('%s', 'array<array<bigint>>')" % _json.dumps(cq)
     resid = with_cell.select(
         "vec_id",
         "v",
@@ -2917,9 +2948,7 @@ def knn_classify_ivfpq(
         "v",
     )
     cq = [[int(x) for x in r["vq"]] for r in seed_q]
-    cq_sql = "array(%s)" % ", ".join(
-        "array(%s)" % ", ".join(f"{x}L" for x in c) for c in cq
-    )
+    cq_sql = "from_json('%s', 'array<array<bigint>>')" % _json.dumps(cq)
     with_cell = scored_cells.select(
         "vec_id",
         "label",
