@@ -1065,3 +1065,32 @@ def test_session_codegen_cache_sized_to_surface(spark):
     assert (
         int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 2000
     )
+
+
+def test_model_literals_constant_fold_out_of_physical_plans(spark, sf_dir):
+    """The r10 folded-literal device (similarity._dmodel and the
+    from_json-emitting _dot_sql/_pq_*_expr): Catalyst must fold every
+    model-bearing ``from_json(<string literal>)`` into a plain array
+    Literal BEFORE execution.  If a Spark upgrade stops folding it,
+    every row would re-parse a 10-20 KB JSON string — values stay
+    right (parity blind), wall explodes — so the pin is on the PLAN:
+    no JsonToStructs survives into the optimized physical tree of the
+    queries that ship models this way."""
+    for name in (
+        "q_sim_ann_pq",
+        "q_sim_ann_ivfpq",
+        "q_sim_ann_ivfpq_residual",
+        "q_sim_ann_ivfpqr",
+        "q_sim_knn_ivfpq",
+        "q_sim_ann_lsh",
+        "q_dedup_semdedup",
+        "q_stream_vec_assign",
+    ):
+        if name not in QUERIES:
+            continue
+        df = QUERIES[name](spark, sf_dir)
+        plan = plan_string(df, mode="simple")
+        assert "from_json" not in plan, (
+            f"{name}: from_json survived optimization — the model "
+            "literal is being parsed per row"
+        )
