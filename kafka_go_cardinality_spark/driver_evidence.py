@@ -146,9 +146,14 @@ def changed_files(root: str = _REPO_ROOT) -> frozenset[str]:
     round ends) — the CODE-CHURN signal for the sweep rotation (r9
     verdict item 6): a green row from round N-k proves nothing about
     code rewritten since, so churned queries deserve re-check priority
-    over equally-aged untouched ones.  Returns the empty set whenever
-    the signal is unavailable (no git, no round commit yet, subprocess
-    failure) — ordering then degrades to the pure age rotation."""
+    over equally-aged untouched ones.  Diffs BASE vs the WORKING TREE
+    (``git diff <base>``, not ``<base>..HEAD`` — r10 ADVICE): the
+    intent is "code rewritten since the round-close commit", and the
+    freshest rewrites are exactly the ones not yet committed when a
+    mid-session sweep imports the registry.  Returns the empty set
+    whenever the signal is unavailable (no git, no round commit yet,
+    subprocess failure) — ordering then degrades to the pure age
+    rotation."""
     import re
     import subprocess
 
@@ -161,7 +166,7 @@ def changed_files(root: str = _REPO_ROOT) -> frozenset[str]:
         if not re.fullmatch(r"[0-9a-f]{40}", base):
             return frozenset()
         out = subprocess.run(
-            ["git", "-C", root, "diff", "--name-only", f"{base}..HEAD"],
+            ["git", "-C", root, "diff", "--name-only", base],
             capture_output=True, text=True, timeout=10,
         )
         if out.returncode != 0:

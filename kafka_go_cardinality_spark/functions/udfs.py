@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 # Return types as DataType instances, not DDL strings: string types are
 # parsed eagerly at decoration time and would require an active
@@ -62,6 +62,51 @@ def dot64_seq(a: pd.Series, b: pd.Series) -> pd.Series:
     for d in range(A.shape[1]):
         acc = acc + A[:, d] * B[:, d]
     return pd.Series(acc)
+
+
+def cell_dots_udf(seed_vecs):
+    """Factory: Arrow-batched per-row dot products against EVERY
+    centroid — the 2-D :func:`dot64_seq`.  ``acc[:, i] = (…(0.0 +
+    v0·c_i0) + v1·c_i1)…`` performs the HOF fold's additions in the
+    same order per (row, centroid), vectorized across rows × centroids
+    instead of interpreted per element — the scale path of
+    ``operators/similarity._centroid_scored_cells`` when the √N grid
+    makes the interpreted fold the wall (79 of 89 s at the 128×
+    probe).  Rows whose length differs from the centroid dim emit an
+    all-None array — exactly the HOF path's zip_with null-padding
+    collapse (any padded dim nulls the product; the fold is
+    null-absorbing, so every centroid dot goes null).  Caller contract
+    (shared with dot64_seq): elements are non-null — vec_finite runs
+    upstream on every consumer — because Arrow surfaces a SQL NULL
+    element as NaN, which this path cannot tell from a real NaN."""
+    C = np.array([list(v) for v in seed_vecs], dtype=np.float64)
+    n_cells, dim = C.shape
+    Ct = np.ascontiguousarray(C.T)  # (dim, n_cells)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def dots(v: pd.Series) -> pd.Series:
+        arrs = v.to_numpy()
+        ok = np.fromiter(
+            (a is not None and len(a) == dim for a in arrs),
+            dtype=bool,
+            count=len(arrs),
+        )
+        out = np.empty(len(arrs), dtype=object)
+        idx = np.flatnonzero(ok)
+        if idx.size:
+            V = np.vstack(
+                [np.asarray(arrs[i], dtype=np.float64) for i in idx]
+            )
+            acc = np.zeros((idx.size, n_cells))
+            for d in range(dim):
+                acc = acc + V[:, d : d + 1] * Ct[d]
+            for j, i in enumerate(idx):
+                out[i] = acc[j]
+        for i in np.flatnonzero(~ok):
+            out[i] = [None] * n_cells
+        return pd.Series(out)
+
+    return dots
 
 
 @pandas_udf(LongType())

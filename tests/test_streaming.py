@@ -406,3 +406,62 @@ def test_vec_neardup_distinct_parity_under_duplicate_vec_ids(spark, tmp_path):
         # fixture don't reuse this corpus's wire/index.
         _VEC_WIRE_DIRS.pop(sf, None)
         _VEC_INDEX_DIRS.pop(sf, None)
+
+
+def test_vec_neardup_poisoned_corpus_parity(spark, tmp_path):
+    """R10 ADVICE (medium) adjudication pin: the claim was that a
+    malformed embedding row (NULL vector / wrong dim / NULL element)
+    reaches the static LSH index unfiltered, sketches to 0, meets
+    stream rows in zero-valued bands, and crashes dot64_seq's
+    np.vstack on the ragged batch.  The premise is false —
+    with_planted_neighbors filters `vec_finite & size == 64` on the
+    index side before _vec_index_dir ever sketches (and its SQL twin
+    carries the same WHERE) — but the invariant deserves a pin: this
+    test plants exactly the ADVICE's malformed rows (NULL vector,
+    32-dim vector, NaN-element vector, NULL-element vector) and
+    demands both near-dup replays complete AND hash-match their
+    oracles.  If the upstream filter is ever relaxed, this fails
+    loudly instead of crashing a production ingest gate."""
+    import shutil
+
+    import duckdb
+
+    from kafka_go_cardinality_spark.queries import ORACLE_SQL, QUERIES
+    from kafka_go_cardinality_spark.queries_streaming import (
+        _VEC_INDEX_DIRS,
+        _VEC_WIRE_DIRS,
+    )
+    from tests.conftest import SF_DIR, assert_frames_match
+
+    sf = str(tmp_path / "poison_sf")
+    shutil.copytree(SF_DIR, sf)
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (
+            SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')
+            UNION ALL SELECT 920001, NULL, NULL
+            UNION ALL SELECT 920002,
+                CAST(list_transform(range(32), x -> 0.5) AS FLOAT[]), 2
+            UNION ALL SELECT 920003,
+                CAST(list_transform(range(64),
+                     x -> CASE WHEN x = 0 THEN CAST('nan' AS FLOAT)
+                               ELSE 0.5 END) AS FLOAT[]), 3
+            UNION ALL SELECT 920004,
+                CAST(list_transform(range(64),
+                     x -> CASE WHEN x = 0 THEN NULL
+                               ELSE 0.5 END) AS FLOAT[]), 3
+        ) TO '{sf}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    try:
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')"
+        )
+        for name in ("q_stream_vec_neardup", "q_stream_vec_neardup_distinct"):
+            got = QUERIES[name](spark, sf).toPandas()
+            want = con.execute(ORACLE_SQL[name]).fetchdf()
+            assert_frames_match(got, want)
+    finally:
+        con.close()
+        _VEC_WIRE_DIRS.pop(sf, None)
+        _VEC_INDEX_DIRS.pop(sf, None)
