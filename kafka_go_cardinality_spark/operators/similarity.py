@@ -254,8 +254,21 @@ def _dmodel(values, schema: str):
     repr-shortest doubles and Jackson parses correctly rounded, the
     same values the old ``cast('<repr>' as double)`` literals produced
     (pinned by the full parity suite and the poison audit's
-    NaN/±1e308 corpora)."""
-    return F.from_json(F.lit(_json.dumps(values)), schema)
+    NaN/±1e308 corpora).
+
+    ``allowNonNumericNumbers`` is pinned ON explicitly (r10 ADVICE):
+    json.dumps emits the non-standard ``Infinity``/``NaN`` tokens for
+    non-finite values — reachable, e.g. a centroid NORM overflowing to
+    +inf from large-magnitude finite elements — and relying on Spark's
+    current default would let a future default flip degrade the parse
+    to a silent NULL array under PERMISSIVE mode, poisoning results
+    without an error.  The oracle needs no twin pin: its norms overflow
+    to the same ±inf in DuckDB arithmetic directly."""
+    return F.from_json(
+        F.lit(_json.dumps(values)),
+        schema,
+        {"allowNonNumericNumbers": "true"},
+    )
 
 
 def _dot_sql(vec_expr: str, consts) -> str:
@@ -270,7 +283,8 @@ def _dot_sql(vec_expr: str, consts) -> str:
     JSON round-trips repr-shortest doubles bit-exactly — same values,
     ~5× cheaper analysis on plane/centroid-heavy expressions."""
     return (
-        "aggregate(zip_with(%s, from_json('%s', 'array<double>'), "
+        "aggregate(zip_with(%s, from_json('%s', 'array<double>', "
+        "map('allowNonNumericNumbers', 'true')), "
         "(x, y) -> x * y), "
         "cast(0 as double), (acc, e) -> acc + e)"
         % (vec_expr, _json.dumps([float(c) for c in consts]))
@@ -2439,7 +2453,11 @@ def mmr_select(embeddings: DataFrame, k: int = MMR_K) -> DataFrame:
         return spark.createDataFrame([], schema)
 
     def lit_arr(vals):
-        return F.array(*[F.lit(float(x)) for x in vals])
+        # One folded from_json token per picked vector (the _dmodel
+        # device) instead of a 64-element CreateArray: each greedy round
+        # re-analyzes the whole surviving-candidate plan, so the k
+        # per-round literal trees are analyzer cost, not row cost.
+        return _dmodel([float(x) for x in vals], "array<double>")
 
     qid = qrow[0]["vec_id"]
     cand = (

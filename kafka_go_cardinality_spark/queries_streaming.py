@@ -80,17 +80,29 @@ def _wire_dir(spark: SparkSession, sf_dir: str) -> str:
 # pass-to-pass variance; min-of-2 across the stateful set shows 6 ≈ 8
 # for aggregations while q_stream_stream_join (4 state stores per
 # partition × 2 micro-batches) degrades monotonically (6→2.64 s,
-# 8→2.75, 12→3.22) — 512 KiB stays.
+# 8→2.75, 12→3.22) — 512 KiB stays for single-store replays.
+#
+# STORE-AWARE sizing (r10 verdict item 4): the per-micro-batch commit
+# cost is per state-store INSTANCE, i.e. partitions × stores-per-
+# partition, so a replay whose plan stacks S stateful operators (or a
+# stream-stream join, S=4 internal stores) pays S× the commit overhead
+# at the same partition count.  ``stores`` scales the divisor so the
+# INSTANCE count stays what the 512 KiB constant was tuned for.
+# Min-of-2 at the sf0.1 wires: the join (4.3 MiB typed wire) improves
+# monotonically 9→3.11 s, 5→2.65, 3→2.48, 2→2.40 then flattens (1→
+# 2.44) — stores=4 lands it at 2-3; the dedup+agg stacks (stores=2)
+# measure 2.44→2.18 s (card_day_exact) with session/dedup flat.
 _WIRE_BYTES_PER_STATE_PARTITION = 512 << 10
 
 
-def _state_partitions(wire_path: str, ceiling: int) -> int:
+def _state_partitions(wire_path: str, ceiling: int, stores: int = 1) -> int:
     total = sum(
         e.stat().st_size
         for e in os.scandir(wire_path)
         if e.name.startswith("part-")
     )
-    return max(1, min(ceiling, -(-total // _WIRE_BYTES_PER_STATE_PARTITION)))
+    per_part = _WIRE_BYTES_PER_STATE_PARTITION * max(1, stores)
+    return max(1, min(ceiling, -(-total // per_part)))
 
 
 # Latest memory-sink table per replay prefix: a memory sink pins its
@@ -104,13 +116,22 @@ _LAST_REPLAY_TABLE: dict[str, str] = {}
 
 
 def _replay(
-    spark: SparkSession, sf_dir: str, build, prefix: str, output_mode: str = "complete"
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+    prefix: str,
+    output_mode: str = "complete",
+    stores: int = 1,
 ) -> DataFrame:
     wire = _wire_dir(spark, sf_dir)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     # Read at query start (stream planning has no AQE to coalesce later);
-    # restored after the blocking replay finishes.
-    spark.conf.set("spark.sql.shuffle.partitions", str(_state_partitions(wire, int(prev))))
+    # restored after the blocking replay finishes.  ``stores`` = stateful
+    # operators stacked in the built plan (see _state_partitions).
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_state_partitions(wire, int(prev), stores)),
+    )
     try:
         parsed = parse_user_events(file_user_source(spark, wire))
         table = f"{prefix}_{uuid.uuid4().hex[:8]}"
@@ -140,7 +161,11 @@ def q_stream_card_day_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation is sub-second-insensitive, so floored wire seconds still
     match the oracle on raw timestamps."""
     return _replay(
-        spark, sf_dir, lambda e: stream_exact_cardinality(e, "day"), "stream_day_exact"
+        spark,
+        sf_dir,
+        lambda e: stream_exact_cardinality(e, "day"),
+        "stream_day_exact",
+        stores=2,  # dropDuplicates + windowed agg
     )
 
 
@@ -163,6 +188,7 @@ def q_stream_card_month_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda e: stream_exact_cardinality(e, "month"),
         "stream_month_exact",
+        stores=2,  # dropDuplicates + date_trunc agg
     )
 
 
@@ -223,7 +249,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(parsed: DataFrame) -> DataFrame:
         return session_activity(parsed.dropDuplicates(["uid", "ts"]), gap="30 minutes")
 
-    return _replay(spark, sf_dir, build, "stream_session")
+    return _replay(spark, sf_dir, build, "stream_session", stores=2)
 
 
 @query("q_stream_ref_emulation", oracle=None)  # custom stateful op: not SQL-expressible
@@ -373,7 +399,9 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire = _typed_wire_dir(spark, sf_dir)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(_state_partitions(wire, int(prev)))
+        "spark.sql.shuffle.partitions",
+        # 4 internal stores per partition for a stream-stream join
+        str(_state_partitions(wire, int(prev), stores=4)),
     )
     try:
         schema = StructType(

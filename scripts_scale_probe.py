@@ -22,6 +22,8 @@ Usage:
     python3 scripts_scale_probe.py --vectors             # embedding-table operators,
                                                          # 32x distinct-vector growth
     python3 scripts_scale_probe.py --vectors --src /root/testdata/sf0.01
+    python3 scripts_scale_probe.py --stream --factor 128 # stateful streaming
+                                                         # replays over a Kx wire
 """
 
 from __future__ import annotations
@@ -136,6 +138,70 @@ VECTORS_QUERIES = [
 ]
 
 
+# Stateful streaming replays probed by the --stream variant (r10
+# verdict item 6: the scale table covered batch only; the stateful
+# replays had never been measured past the sf0.1 wire).  The wires are
+# DERIVED from the scaled tables — events → JSONL wire for the
+# join/upsert replays, embeddings → vector wire + LSH index for the
+# near-dup pair — so replicating both tables in one dir replays a
+# genuinely K×-longer wire through the same stateful plans.  NOTE the
+# near-dup pair's candidate count is contractually quadratic in the
+# corpus at FIXED sketch width (P(band collision) is a constant
+# 3·2⁻⁴ for 3×4-bit bands on near-orthogonal data): probe it at
+# moderate K; the production dial is band WIDTH (collision prob
+# 2^-band_bits, so band_bits ∝ log N keeps the candidate set linear),
+# not partition count.
+STREAM_QUERIES = [
+    "q_stream_stream_join",
+    "q_stream_upsert_sink",
+    "q_stream_vec_neardup",
+    "q_stream_vec_neardup_distinct",
+]
+
+
+def build_scaled_stream_dir(factor: int, src: str = SRC) -> str:
+    """Scaled events AND embeddings in one dir (distinct-key growth on
+    both): the streaming replays draw their wires from whichever table
+    their query reads."""
+    con = duckdb.connect()
+    d = tempfile.mkdtemp(prefix=f"scale_st{factor}_")
+    n_ev, n_user = con.execute(
+        f"""SELECT max(event_id) + 1, max(user_id) + 1
+            FROM read_parquet('{src}/events.parquet')"""
+    ).fetchone()
+    con.execute(
+        f"""COPY (
+            SELECT event_id + g.i * {n_ev} AS event_id,
+                   ts,
+                   user_id + g.i * {n_user} AS user_id,
+                   event_type, value, props
+            FROM read_parquet('{src}/events.parquet')
+            CROSS JOIN range({factor}) g(i)
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)"""
+    )
+    n_vec = con.execute(
+        f"SELECT max(vec_id) + 1 FROM read_parquet('{src}/embeddings.parquet')"
+    ).fetchone()[0]
+    con.execute(
+        f"""COPY (
+            SELECT vec_id + g.i * {n_vec} AS vec_id,
+                   CASE WHEN g.i = 0 THEN embedding
+                        ELSE list_transform(
+                            embedding,
+                            (x, j) -> embedding[1 + ((j - 1 + g.i) % len(embedding))]
+                        )
+                   END AS embedding,
+                   label
+            FROM read_parquet('{src}/embeddings.parquet')
+            CROSS JOIN range({factor}) g(i)
+        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    for t in TABLES:
+        if t not in ("events", "embeddings"):
+            shutil.copyfile(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+    return d
+
+
 def build_scaled_vectors_dir(factor: int, src: str = SRC) -> str:
     con = duckdb.connect()
     d = tempfile.mkdtemp(prefix=f"scale_vec{factor}_")
@@ -187,8 +253,13 @@ def main() -> int:
     recall_mode = "--recall" in argv
     if recall_mode:
         argv.remove("--recall")
+    stream_mode = "--stream" in argv
+    if stream_mode:
+        argv.remove("--stream")
     names = argv or (
-        VECTORS_QUERIES
+        STREAM_QUERIES
+        if stream_mode
+        else VECTORS_QUERIES
         if vectors_mode
         else EVENTS_QUERIES if events_mode else DEFAULT_QUERIES
     )
@@ -265,7 +336,25 @@ def main() -> int:
             )
         spark.stop()
         return 0
-    if vectors_mode:
+    if stream_mode:
+        scaled = build_scaled_stream_dir(factor, src)
+        # Wire dumps + the near-dup LSH index are storage prep (bench.py
+        # rationale: producing the topic is not the replay) — build them
+        # for both dirs OUTSIDE measured time so base and scaled runs
+        # each time pure replay.
+        from kafka_go_cardinality_spark.queries_streaming import (
+            _typed_wire_dir,
+            _vec_index_dir,
+            _vec_wire_dir,
+            _wire_dir,
+        )
+
+        for d_ in (src, scaled):
+            _wire_dir(spark, d_)
+            _typed_wire_dir(spark, d_)
+            _vec_wire_dir(spark, d_)
+            _vec_index_dir(spark, d_)
+    elif vectors_mode:
         scaled = build_scaled_vectors_dir(factor, src)
     elif events_mode:
         scaled = build_scaled_events_dir(factor, src)

@@ -1217,3 +1217,38 @@ def test_ivfpqr_recall_holds_under_corpus_growth(spark, tmp_path):
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dmodel_round_trips_non_finite_values(spark):
+    """R10 ADVICE (low): json.dumps emits non-standard Infinity/NaN
+    tokens, so _dmodel/_dot_sql pin allowNonNumericNumbers ON instead
+    of riding Spark's default — a default flip would degrade the parse
+    to a silent NULL array under PERMISSIVE from_json.  Reachable case:
+    a centroid norm overflowing to +inf from large finite elements.
+    Pins: the folded literal round-trips ±inf and NaN as VALUES (never
+    null), and _dot_sql's generated SQL parses them identically."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    vals = [1.5, float("inf"), float("-inf"), float("nan"), 1e308]
+    row = (
+        spark.range(1)
+        .select(sim._dmodel(vals, "array<double>").alias("m"))
+        .collect()[0]
+    )
+    got = list(row["m"])
+    assert got[0] == 1.5 and got[4] == 1e308
+    assert got[1] == float("inf") and got[2] == float("-inf")
+    assert got[3] is not None and math.isnan(got[3])
+    # _dot_sql: dot([1,0,...], consts-with-inf) folds to inf, not null
+    dot_row = (
+        spark.range(1)
+        .select(
+            F.expr(
+                sim._dot_sql("array(1.0d, 1.0d)", [float("inf"), 0.0])
+            ).alias("d")
+        )
+        .collect()[0]
+    )
+    assert dot_row["d"] == float("inf")
