@@ -219,15 +219,19 @@ def hard_negatives(
     )
 
 
-def _hyperplanes(dim: int = 64):
+def _hyperplanes(dim: int = 64, n_planes: int = ANN_PLANES):
     """Deterministic pseudo-random hyperplanes: plane p, component j gets
     sign/magnitude from a md5-seeded integer — no RNG, reproducible
-    anywhere.  Values in [-0.5, 0.5)."""
+    anywhere.  Values in [-0.5, 0.5).  Seeding is per (plane, component),
+    so a wider request is a strict EXTENSION: planes 0..11 are identical
+    whatever ``n_planes`` is — the scale-aware band-width device
+    (queries_streaming._neardup_band_bits) relies on this to keep
+    fixture-width sketches bit-stable inside a wider sketch."""
     # built as a literal array-of-arrays column
     import hashlib
 
     planes = []
-    for p in range(ANN_PLANES):
+    for p in range(n_planes):
         comps = []
         for j in range(dim):
             h = int(hashlib.md5(f"plane{p}:{j}".encode()).hexdigest()[:15], 16)
@@ -291,13 +295,16 @@ def _dot_sql(vec_expr: str, consts) -> str:
     )
 
 
-def ann_sketch(vec_expr: str = "v", dim: int = 64):
+def ann_sketch(vec_expr: str = "v", dim: int = 64, n_planes: int = ANN_PLANES):
     """H-bit sign sketch of a double vector under the fixed hyperplanes.
 
     ``vec_expr`` is the SQL name of the vector column — the whole
-    12-plane projection is one generated-SQL expression (768 constants;
-    see _dot_sql for why strings beat Column construction here)."""
-    planes = _hyperplanes(dim)
+    projection is one generated-SQL expression (12 planes × 64
+    constants by default; see _dot_sql for why strings beat Column
+    construction here).  ``n_planes`` widens the sketch (bit p = plane
+    p, plane seeds unchanged) for consumers that extract
+    corpus-dependent band widths from a fixed-max-width sketch."""
+    planes = _hyperplanes(dim, n_planes)
     terms = [
         "if(%s >= 0, %d, 0)" % (_dot_sql(vec_expr, comps), 1 << p)
         for p, comps in enumerate(planes)

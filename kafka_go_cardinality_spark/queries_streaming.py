@@ -647,10 +647,17 @@ def _vec_index_dir(spark: SparkSession, sf_dir: str) -> str:
     # unfiltered index — is refuted by that upstream filter, and
     # tests/test_streaming.py::test_vec_neardup_poisoned_corpus_parity
     # pins the invariant with malformed rows planted in the corpus).
-    ibase = index.withColumn("sketch", ann_sketch("v")).withColumn(
-        "nrm", norm(F.col("v"))
-    )
-    mask = (1 << sim.ANN_BAND_BITS) - 1
+    # Full-width sketch, scale-aware band extraction (see the
+    # _neardup_band_bits block): band b = bits [b·w, (b+1)·w) of the
+    # 24-plane sketch — at w = 4 exactly the shipped 3×4-bit bands.
+    bits = _neardup_bits_for(spark, sf_dir)
+    ibase = index.withColumn(
+        "sketch",
+        ann_sketch(
+            "v", n_planes=sim.ANN_BANDS * VEC_NEARDUP_MAX_BAND_BITS
+        ),
+    ).withColumn("nrm", norm(F.col("v")))
+    mask = (1 << bits) - 1
     ibands = ibase.select(
         F.col("vec_id").alias("dup_of"),
         F.col("v").alias("iv"),
@@ -658,7 +665,7 @@ def _vec_index_dir(spark: SparkSession, sf_dir: str) -> str:
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("sketch", b * sim.ANN_BAND_BITS).bitwiseAND(
+                    F.shiftright("sketch", b * bits).bitwiseAND(
                         F.lit(mask)
                     )
                     for b in range(sim.ANN_BANDS)
@@ -798,19 +805,80 @@ def q_stream_vec_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vector already (≈) exists in the index".
 VEC_NEARDUP_TAU = 0.9
 
+# Scale-aware LSH band WIDTH (the named dial from the r10 streaming
+# scale probe, implemented): at fixed width the band-collision
+# probability is a constant (3·2⁻⁴ on near-orthogonal data), so the
+# guard's candidate pairs grow ∝ N² — measured 34.5× wall at 32× the
+# corpus.  Collision probability is 2^-band_bits, so one extra bit per
+# 4× corpus growth (bits ≈ ½·log₂N) holds candidate pairs to ∝ N^1.5
+# — the same balance point as the kNN pair's n_cells ∝ √N.  Mechanism:
+# BOTH engines always compute the full ANN_BANDS×MAX-bit sketch (24
+# planes, strict extension of the shipped 12 — _hyperplanes seeds per
+# (plane, component)) and extract band b as bits [b·w, (b+1)·w) of it;
+# at w = 4 those are exactly the shipped 3×4-bit bands, so every
+# fixture ≤ the first step keeps bit-identical sketches, bands, and
+# results.  w derives from a RAW embeddings row count — engine in
+# Python, oracle as the identical integer ladder over a scalar
+# subquery — so the queries stay FULLY ORACLED at any N.  Widening
+# costs recall on MARGINAL pairs (cos ≈ τ: any-band collision 0.90 at
+# w=4 → 0.70 at w=8) while near-identical duplicates stay ≥0.97 — the
+# standard LSH precision/cost trade, taken deliberately.
+VEC_NEARDUP_MAX_BAND_BITS = 8
+_VEC_NEARDUP_BITS_STEPS = (2_000, 8_000, 32_000, 128_000)
+
+
+def _neardup_band_bits(n_rows: int) -> int:
+    """Band width for an N-row corpus: ANN_BAND_BITS (4) + one bit per
+    ladder step crossed, capped by the ladder length at MAX (8)."""
+    from kafka_go_cardinality_spark.operators import similarity as sim
+
+    return sim.ANN_BAND_BITS + sum(
+        1 for t in _VEC_NEARDUP_BITS_STEPS if n_rows >= t
+    )
+
+
+def _neardup_band_bits_sql() -> str:
+    """The oracle's :func:`_neardup_band_bits`: the identical integer
+    ladder over a scalar-subquery raw count of ``embeddings``."""
+    from kafka_go_cardinality_spark.operators import similarity as sim
+
+    terms = " + ".join(
+        f"CAST(n >= {t} AS INT)" for t in _VEC_NEARDUP_BITS_STEPS
+    )
+    return (
+        f"(SELECT {sim.ANN_BAND_BITS} + {terms} "
+        f"FROM (SELECT count(*) AS n FROM embeddings) t)"
+    )
+
+
+def _neardup_bits_for(spark: SparkSession, sf_dir: str) -> int:
+    """Engine-side width: raw physical-row count (parquet footer
+    metadata — the same raw-frame contract as the kNN grid; the count
+    deliberately precedes the planted-neighbor augmentation and the
+    vec filter, mirroring the oracle's ``count(*) FROM embeddings``)."""
+    return _neardup_band_bits(
+        load_table(spark, sf_dir, "embeddings").count()
+    )
+
 
 def _vec_neardup_oracle() -> str:
     """Batch replay of the stream ingest guard: the planted-index
     derivation (WITH_PLANTED_NEIGHBORS_SQL), md5-hyperplane sign
     sketches on BOTH sides (identical fold to functions.dot — the
-    _ann_lsh_oracle device), 3×4-bit band join, exact cosine ≥ τ.  One
-    event per SHARED BAND (the stateless stream emits per collision; a
-    distinct would need state), so the oracle keeps the band column
-    and no DISTINCT."""
+    _ann_lsh_oracle device), scale-aware banded join, exact cosine ≥ τ.
+    One event per SHARED BAND (the stateless stream emits per
+    collision; a distinct would need state), so the oracle keeps the
+    band column and no DISTINCT.  Band width is the engine's integer
+    ladder over a scalar-subquery raw count (the ``bw`` CTE — see the
+    _neardup_band_bits block): the sketch is always the full 24-plane
+    one, band b is bits [b·w, (b+1)·w), identical to the shipped
+    3×4-bit bands whenever w = 4."""
     from kafka_go_cardinality_spark.functions import vec_finite_sql
     from kafka_go_cardinality_spark.operators import similarity as sim
 
-    planes = sim._hyperplanes(64)
+    planes = sim._hyperplanes(
+        64, sim.ANN_BANDS * VEC_NEARDUP_MAX_BAND_BITS
+    )
 
     def duck_dot(vec: str, comps) -> str:
         arr = "[" + ", ".join(sim._dlit(c) for c in comps) + "]"
@@ -825,7 +893,8 @@ def _vec_neardup_oracle() -> str:
             for p, comps in enumerate(planes)
         )
 
-    mask = (1 << sim.ANN_BAND_BITS) - 1
+    bits = "(SELECT bits FROM bw)"
+    mask = f"((1 << {bits}) - 1)"
 
     def dot(x: str, y: str) -> str:
         return (
@@ -841,13 +910,14 @@ def _vec_neardup_oracle() -> str:
         f"ELSE 0.0 END)"
     )
     return f"""
-    WITH aug AS ({sim.WITH_PLANTED_NEIGHBORS_SQL}),
+    WITH bw AS (SELECT CAST({_neardup_band_bits_sql()} AS BIGINT) AS bits),
+    aug AS ({sim.WITH_PLANTED_NEIGHBORS_SQL}),
     idx AS (SELECT vec_id, embedding AS v,
                    CAST({sketch('embedding')} AS BIGINT) AS sketch
             FROM aug),
     ibands AS (
       SELECT vec_id AS dup_of, v, b.band,
-             (sketch >> (b.band * {sim.ANN_BAND_BITS})) & {mask} AS band_bits
+             (sketch >> (b.band * {bits})) & {mask} AS band_bits
       FROM idx, (SELECT unnest(range(0, {sim.ANN_BANDS})) AS band) b),
     strm AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings
@@ -856,7 +926,7 @@ def _vec_neardup_oracle() -> str:
             FROM strm),
     sbands AS (
       SELECT vec_id, v, b.band,
-             (sketch >> (b.band * {sim.ANN_BAND_BITS})) & {mask} AS band_bits
+             (sketch >> (b.band * {bits})) & {mask} AS band_bits
       FROM ssk, (SELECT unnest(range(0, {sim.ANN_BANDS})) AS band) b)
     SELECT vec_id, dup_of, CAST(band AS INT) AS band,
            round(cos, 6) AS cos FROM (
@@ -904,7 +974,10 @@ def _vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_go_cardinality_spark.operators import similarity as sim
     from kafka_go_cardinality_spark.operators.similarity import ann_sketch
 
-    mask = (1 << sim.ANN_BAND_BITS) - 1
+    # Scale-aware width, identical derivation to the index build (both
+    # sides fall out of the same raw count, as the oracle's bw CTE does).
+    bits = _neardup_bits_for(spark, sf_dir)
+    mask = (1 << bits) - 1
     ibands = spark.read.parquet(_vec_index_dir(spark, sf_dir))
     wire = _vec_wire_dir(spark, sf_dir)
     return (
@@ -912,7 +985,12 @@ def _vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(wire)
         .filter(vec_finite(F.col("embedding")) & (F.size("embedding") == 64))
         .select("vec_id", F.col("embedding").alias("v"))
-        .withColumn("sketch", ann_sketch("v"))
+        .withColumn(
+            "sketch",
+            ann_sketch(
+                "v", n_planes=sim.ANN_BANDS * VEC_NEARDUP_MAX_BAND_BITS
+            ),
+        )
         .withColumn("nrm", norm(F.col("v")))
         .select(
             "vec_id",
@@ -921,9 +999,9 @@ def _vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(
                 F.array(
                     *[
-                        F.shiftright(
-                            "sketch", b * sim.ANN_BAND_BITS
-                        ).bitwiseAND(F.lit(mask))
+                        F.shiftright("sketch", b * bits).bitwiseAND(
+                            F.lit(mask)
+                        )
                         for b in range(sim.ANN_BANDS)
                     ]
                 )

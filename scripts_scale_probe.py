@@ -144,13 +144,14 @@ VECTORS_QUERIES = [
 # DERIVED from the scaled tables — events → JSONL wire for the
 # join/upsert replays, embeddings → vector wire + LSH index for the
 # near-dup pair — so replicating both tables in one dir replays a
-# genuinely K×-longer wire through the same stateful plans.  NOTE the
-# near-dup pair's candidate count is contractually quadratic in the
-# corpus at FIXED sketch width (P(band collision) is a constant
-# 3·2⁻⁴ for 3×4-bit bands on near-orthogonal data): probe it at
-# moderate K; the production dial is band WIDTH (collision prob
-# 2^-band_bits, so band_bits ∝ log N keeps the candidate set linear),
-# not partition count.
+# genuinely K×-longer wire through the same stateful plans.  The
+# near-dup pair's candidate count is quadratic at FIXED sketch width
+# (P(band collision) is a constant 3·2⁻⁴ on near-orthogonal data);
+# since r11 the width SCALES with the corpus
+# (queries_streaming._neardup_band_bits: +1 bit per 4× growth ⇒
+# candidates ∝ N^1.5) — measured: 32× wall 57.2→13.7 s after the
+# ladder landed, 128× candidate count grows 8.1× per 4× corpus,
+# exactly the N^1.5 contract.
 STREAM_QUERIES = [
     "q_stream_stream_join",
     "q_stream_upsert_sink",

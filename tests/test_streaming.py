@@ -465,3 +465,97 @@ def test_vec_neardup_poisoned_corpus_parity(spark, tmp_path):
         con.close()
         _VEC_WIRE_DIRS.pop(sf, None)
         _VEC_INDEX_DIRS.pop(sf, None)
+
+
+def test_neardup_band_width_ladder_matches_oracle_sql():
+    """The scale-aware band width (the r10 streaming probe's named
+    dial, now implemented): engine ladder and oracle SQL must emit the
+    same integer at every N — swept across each step boundary (±1) and
+    primes, DuckDB evaluating the exact expression the oracle embeds
+    (count bound to a literal)."""
+    import duckdb
+
+    from kafka_go_cardinality_spark.operators import similarity as sim
+    from kafka_go_cardinality_spark.queries_streaming import (
+        _VEC_NEARDUP_BITS_STEPS,
+        _neardup_band_bits,
+        _neardup_band_bits_sql,
+        VEC_NEARDUP_MAX_BAND_BITS,
+    )
+
+    con = duckdb.connect()
+    sql = _neardup_band_bits_sql().replace(
+        "(SELECT count(*) AS n FROM embeddings)", "(SELECT {n} AS n)"
+    )
+    probe = [0, 1, 499, 500, 2000, 99991]
+    for t in _VEC_NEARDUP_BITS_STEPS:
+        probe += [t - 1, t, t + 1]
+    for n in probe:
+        got = con.execute(f"SELECT {sql.format(n=n)}").fetchone()[0]
+        assert got == _neardup_band_bits(n), n
+    # shipped fixtures stay on the 4-bit layout; the ladder caps at MAX
+    assert _neardup_band_bits(500) == sim.ANN_BAND_BITS
+    assert _neardup_band_bits(10**9) == VEC_NEARDUP_MAX_BAND_BITS
+    con.close()
+
+
+def test_vec_neardup_scaled_width_parity_and_planted_recall(spark):
+    """Above the first ladder step (8× fixture = 4000 rows → width 5)
+    both near-dup replays must still hash-match their oracles — the
+    guard that engine and oracle derive the SAME width from the same
+    raw count — and the guard must still catch what it exists to
+    catch: every planted near-identical twin (cos ≈ 0.997, per-band
+    collision ≈ 0.998 at width 5) flags its original.  Width trades
+    MARGINAL-pair recall for the N^1.5 candidate bound; this pins that
+    true duplicates are not the pairs being traded."""
+    import shutil
+
+    import duckdb
+
+    from kafka_go_cardinality_spark.queries import ORACLE_SQL, QUERIES
+    from kafka_go_cardinality_spark.queries_streaming import (
+        _VEC_INDEX_DIRS,
+        _VEC_WIRE_DIRS,
+        _neardup_bits_for,
+    )
+    from scripts_scale_probe import build_scaled_vectors_dir
+    from tests.conftest import assert_frames_match
+
+    d = build_scaled_vectors_dir(8, "/root/testdata/sf0.001")
+    try:
+        assert _neardup_bits_for(spark, d) == 5
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet')"
+        )
+        pairs = None
+        for name in ("q_stream_vec_neardup", "q_stream_vec_neardup_distinct"):
+            got = QUERIES[name](spark, d).toPandas()
+            want = con.execute(ORACLE_SQL[name]).fetchdf()
+            assert_frames_match(got, want)
+            if pairs is None:
+                pairs = {
+                    (int(r.vec_id), int(r.dup_of))
+                    for r in got.itertuples()
+                }
+        con.close()
+        # every planted index twin (id + 1_000_000, planted for
+        # vec_id % 11 == 0 over the 64-dim-finite corpus) must flag its
+        # original stream row
+        planted = {
+            int(r[0])
+            for r in duckdb.sql(
+                f"""SELECT vec_id FROM read_parquet('{d}/embeddings.parquet')
+                    WHERE vec_id % 11 = 0 AND len(embedding) = 64"""
+            ).fetchall()
+        }
+        assert planted
+        caught = {v for v in planted if (v, v + 1_000_000) in pairs}
+        assert len(caught) >= 0.95 * len(planted), (
+            len(caught), len(planted)
+        )
+    finally:
+        _VEC_WIRE_DIRS.pop(d, None)
+        _VEC_INDEX_DIRS.pop(d, None)
+        shutil.rmtree(d, ignore_errors=True)
