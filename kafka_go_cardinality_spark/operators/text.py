@@ -1608,14 +1608,22 @@ def nb_classifier(documents: DataFrame) -> DataFrame:
     # token's llr by ~ -(B/T1 - B/T0) — on the fixture ~-0.02 nats/token,
     # ~-1 nat/doc, which drowned the real signal (measured: the skew
     # pushed 95% of docs negative).  v is exact on both engines.
+    # greatest(·, 1): on a tokenless corpus (empty, or every text
+    # empty/NULL) v == t1 == t0 == 0 and the smoothed denominators hit
+    # log(1/0) — an ANSI DIVIDE_BY_ZERO abort at model build (empty-
+    # corpus audit, r11) on a model that can never be APPLIED (no token
+    # reaches the scoring fold; score degenerates to the prior, as the
+    # oracle's bucket join does).  Whenever any token exists v ≥ 1 and
+    # the clamp is a no-op, so non-degenerate values are untouched.
     llr = F.floor(
         (
             F.log(
-                (F.col("c1") + 1).cast("double") / (F.col("t1") + F.col("v"))
+                (F.col("c1") + 1).cast("double")
+                / F.greatest(F.col("t1") + F.col("v"), F.lit(1))
             )
             - F.log(
                 (F.col("ct") - F.col("c1") + 1).cast("double")
-                / (F.col("t0") + F.col("v"))
+                / F.greatest(F.col("t0") + F.col("v"), F.lit(1))
             )
         )
         * NB_Q

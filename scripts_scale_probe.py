@@ -271,10 +271,13 @@ def main() -> int:
         # knn_ivf retrieval quality at the scaled-vectors probe (r7
         # verdict item 6): mean per-query |ivf top-k ∩ exact top-k| /
         # |exact top-k|, exact twin as ground truth.  Blind probing of
-        # n_probe/n_centroids cells would land at that fraction;
-        # measured 0.85 at 32× after the r9 dial change to 32 cells /
-        # 16 probes (2026-08-16; was 0.55 at 16/4 — see the
-        # KNN_IVF_CENTROIDS selection evidence in similarity.py).
+        # n_probe/n_centroids cells would land at that fraction.
+        # Since r11 the DEFAULT grid scales (n_cells = isqrt(N)), so
+        # this prints the scaled-default recall — 0.49 at 32× on the
+        # near-orthogonal worst case (probed fraction 16/126), vs 0.85
+        # for the explicit fixed 32-cell dial (fraction 0.5); the
+        # clustered-corpus floor for the scaled grid is pinned in
+        # tests/test_similarity.py.
         import collections
 
         from kafka_go_cardinality_spark.operators import similarity as sim

@@ -1505,6 +1505,26 @@ def test_nb_classifier_learns_real_signal(spark, sf_dir):
     assert all(r["pred_en"] == r["labeled_en"] for r in out)
 
 
+def test_nb_classifier_survives_tokenless_corpus(spark):
+    """R11 empty-audit find: with zero observed token rows — an empty
+    corpus, or one where every text is NULL (note ``tokens('')`` is
+    ``['']``, so even an empty STRING contributes a token; only
+    NULL/no rows are truly tokenless) — v == t1 == t0 == 0 and the
+    smoothing denominators hit an ANSI DIVIDE_BY_ZERO building a model
+    that can never be applied.  The greatest(·, 1) clamp must keep
+    both degenerate corpora abort-free and empty-out (NULL text emits
+    no row — the scoring-family contract)."""
+    from kafka_go_cardinality_spark.operators.text import nb_classifier
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert nb_classifier(empty).count() == 0
+    all_null = spark.createDataFrame(
+        [(1, None, "en"), (2, None, "es")],
+        "doc_id long, text string, lang string",
+    )
+    assert nb_classifier(all_null).count() == 0
+
+
 def test_budget_select_prefix_and_invariance(spark, sf_dir):
     """Kept set = exact greedy prefix recomputed naively; result is
     bucket-count invariant (the decomposition shapes the plan, never
