@@ -43,7 +43,14 @@ def _wire_dir(spark: SparkSession, sf_dir: str) -> str:
     """events.parquet → JSONL wire dump ``{"uid": ..., "ts": <unix s>}``
     (processor.go:13-16), the replayable stand-in for a retained Kafka
     topic.  ``ts`` is floored to whole seconds at the wire boundary — the
-    reference's wire type is integer seconds (processor.go:45)."""
+    reference's wire type is integer seconds (processor.go:45).
+
+    Degenerate-row contract (poison audit, r11): ``to_json`` omits NULL
+    struct fields, so a NULL user_id/ts lands on the wire as a missing
+    key and ``parse_user_events`` drops it (kafkaio.go:77-81
+    log-and-continue).  Every oracle over this wire therefore carries
+    ``WHERE user_id IS NOT NULL AND ts IS NOT NULL`` — the SQL mirror of
+    that filter; on NULL-free fixtures it is a no-op."""
     existing = _WIRE_DIRS.get(sf_dir)
     if existing and os.path.isdir(existing):
         return existing
@@ -152,6 +159,7 @@ def _replay(
            CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS timestamp,
            count(DISTINCT user_id) AS value
     FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
     GROUP BY 2
     """,
 )
@@ -176,6 +184,7 @@ def q_stream_card_day_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(epoch(date_trunc('month', ts)) AS BIGINT) AS timestamp,
            count(DISTINCT user_id) AS value
     FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
     GROUP BY 2
     """,
 )
@@ -214,6 +223,7 @@ _SESSION_GAP_S = 1800
         SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid,
                CAST(floor(epoch(ts)) AS BIGINT) AS t
         FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),
     marked AS (
         SELECT uid, t,
@@ -286,6 +296,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(c.c_nationkey AS INT) AS nationkey,
            count(*) AS n_events
     FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.user_id IS NOT NULL AND e.ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -324,6 +335,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid,
            CAST(floor(epoch(ts)) AS BIGINT) AS t
     FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
     """,
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,6 +450,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
            count(*) AS n
     FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -702,7 +715,8 @@ def _vec_assign_oracle() -> str:
     )
     return f"""
     WITH c0a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                 FROM embeddings WHERE {vec_finite_sql('embedding')}),
+                 FROM embeddings WHERE {vec_finite_sql('embedding')}
+                   AND len(embedding) = 64),
     c0 AS (SELECT vec_id, v,
                   row_number() OVER (PARTITION BY vec_id ORDER BY v) AS rid
            FROM c0a),
@@ -745,7 +759,7 @@ def q_stream_vec_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
-        vec_finite(F.col("embedding"))
+        vec_finite(F.col("embedding")) & (F.size("embedding") == 64)
     )
     seeds = (
         emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
@@ -780,7 +794,11 @@ def q_stream_vec_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         spark.readStream.schema("vec_id long, embedding array<double>")
         .json(wire)
-        .filter(vec_finite(F.col("embedding")))
+        # size == 64: the similarity family's dimension contract — a
+        # wrong-width vector is malformed wire input (poison audit row
+        # 920002: a clean 32-dim vector must drop on BOTH engines, not
+        # prefix-dot on one and NULL-fold on the other).
+        .filter(vec_finite(F.col("embedding")) & (F.size("embedding") == 64))
         .select("vec_id", F.col("embedding").alias("v"))
         .select("vec_id", "v", norm(F.col("v")).alias("nrm"))
         .select("vec_id", cos_arr.alias("ca"))

@@ -18,7 +18,11 @@ Usage:
     python3 scripts_poison_audit.py            # summary over all queries
     python3 scripts_poison_audit.py q_argmax   # per-row diff for one query
 
-Streaming queries are excluded (they replay fixed file fixtures).
+Streaming queries are INCLUDED (since r11): each replay materializes its
+wire dump from the poisoned dir, so the malformed-row filter at the wire
+boundary (parse_user_events — the reference's kafkaio.go:77-81
+log-and-continue skip) is exercised against real poison, and every
+streaming oracle must agree on which rows that filter drops.
 """
 
 from __future__ import annotations
@@ -118,8 +122,6 @@ def main() -> int:
     crashes, oracle_crashes, mismatches, ok = [], [], [], 0
     names = [only] if only else sorted(qs)
     for name in names:
-        if name.startswith("q_stream"):
-            continue
         try:
             s = qs[name](spark, d).toPandas()
         except Exception as e:  # noqa: BLE001 — audit collects, never raises

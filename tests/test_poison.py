@@ -87,6 +87,32 @@ def test_poisoned_input_parity(spark, poison, name):
         assert_frames_match(pdf, con.execute(os_[name]).fetchdf())
 
 
+# Formerly hash-diverged when the poison audit first covered STREAMING
+# replays (r11): the wire boundary drops malformed rows
+# (parse_user_events — NULL uid/ts never leaves the source; the vector
+# wire additionally drops wrong-dimension vectors per the similarity
+# family's size==64 contract), but the oracles lacked the mirroring
+# WHERE, so they kept a NULL/NaN group the stream can never emit —
+# and the NULL poisoned the pandas dtype of every other row's column.
+STREAM_FORMER_DIVERGERS = [
+    "q_stream_card_day_exact",
+    "q_stream_card_month_exact",
+    "q_stream_dedup",
+    "q_stream_enrich",
+    "q_stream_session",
+    "q_stream_upsert_sink",
+    "q_stream_vec_assign",
+]
+
+
+@pytest.mark.parametrize("name", STREAM_FORMER_DIVERGERS)
+def test_stream_poisoned_input_parity(spark, poison, name):
+    d, con = poison
+    qs, os_ = _registry()
+    pdf = qs[name](spark, d).toPandas()  # replay must not abort
+    assert_frames_match(pdf, con.execute(os_[name]).fetchdf())
+
+
 def test_poison_tables_cover_all_base_tables():
     assert set(TABLES) == {
         "region", "nation", "customer", "supplier", "part", "orders",
