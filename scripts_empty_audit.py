@@ -50,7 +50,14 @@ Usage:
     python3 scripts_empty_audit.py --unicode       # adversarial multilingual corpus
     python3 scripts_empty_audit.py q_kmeans        # one query
 
-Streaming queries are excluded (they replay fixed file fixtures).
+Streaming queries are INCLUDED (since r11, like the poison audit): each
+replay materializes its wire dump from the audited dir, so the empty /
+singleton / clone / longdoc / unicode corpora flow through the real
+wire-parse path.  The empty case is the reference's idle-topic state
+(kafkaio.go:59-75 keeps polling) — every replay must come back
+zero-row without aborting, including the model-seeded ones
+(q_stream_vec_assign's empty-seed early return, the near-dup guard's
+empty static index).
 """
 
 from __future__ import annotations
@@ -277,8 +284,6 @@ def main() -> int:
     crashes, oracle_crashes, mismatches, ok = [], [], [], 0
     names = [only] if only else sorted(qs)
     for name in names:
-        if name.startswith("q_stream"):
-            continue
         try:
             s = qs[name](spark, d).toPandas()
         except Exception as e:  # noqa: BLE001 — audit collects, never raises
