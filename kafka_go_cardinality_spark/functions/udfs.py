@@ -64,6 +64,52 @@ def dot64_seq(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(acc)
 
 
+@pandas_udf(DoubleType())
+def pair_dot_seq(a: pd.Series, b: pd.Series) -> pd.Series:
+    """:func:`dot64_seq` with the HOF fold's FULL length semantics —
+    the pair-verify fast path for frames that are vec_finite-filtered
+    but not pinned to 64 dims (the bulk-kNN candidate stage).  Rows
+    where both sides are 64-dim take the vectorized column fold
+    (identical IEEE sequence to ``functions.dot``); any other row
+    replays ``zip_with``'s behavior exactly: equal lengths → a
+    sequential Python fold over that length (same op order), unequal
+    lengths or a NULL side → NULL (zip_with NULL-pads the shorter
+    side, the product nulls, the fold absorbs).  Element-level NULLs
+    are excluded upstream by vec_finite (shared caveat with
+    cell_dots_udf: Arrow shows a NULL element as NaN)."""
+    arrs_a = a.to_numpy()
+    arrs_b = b.to_numpy()
+    n = len(arrs_a)
+    ok = np.fromiter(
+        (
+            x is not None and y is not None and len(x) == 64 and len(y) == 64
+            for x, y in zip(arrs_a, arrs_b)
+        ),
+        dtype=bool,
+        count=n,
+    )
+    out = np.empty(n, dtype=object)
+    idx = np.flatnonzero(ok)
+    if idx.size:
+        A = np.vstack([np.asarray(arrs_a[i], dtype=np.float64) for i in idx])
+        B = np.vstack([np.asarray(arrs_b[i], dtype=np.float64) for i in idx])
+        acc = np.zeros(idx.size)
+        for d in range(64):
+            acc = acc + A[:, d] * B[:, d]
+        for j, i in enumerate(idx):
+            out[i] = acc[j]
+    for i in np.flatnonzero(~ok):
+        xa, xb = arrs_a[i], arrs_b[i]
+        if xa is None or xb is None or len(xa) != len(xb):
+            out[i] = None
+        else:
+            s = 0.0
+            for x, y in zip(xa, xb):
+                s = s + float(x) * float(y)
+            out[i] = s
+    return pd.Series(out)
+
+
 def cell_dots_udf(seed_vecs):
     """Factory: Arrow-batched per-row dot products against EVERY
     centroid — the 2-D :func:`dot64_seq`.  ``acc[:, i] = (…(0.0 +

