@@ -646,7 +646,6 @@ def _vec_index_dir(spark: SparkSession, sf_dir: str) -> str:
         return existing
     from kafka_go_cardinality_spark.functions import norm
     from kafka_go_cardinality_spark.operators import similarity as sim
-    from kafka_go_cardinality_spark.operators.similarity import ann_sketch
 
     index = sim.with_planted_neighbors(
         load_table(spark, sf_dir, "embeddings")
@@ -660,31 +659,21 @@ def _vec_index_dir(spark: SparkSession, sf_dir: str) -> str:
     # unfiltered index — is refuted by that upstream filter, and
     # tests/test_streaming.py::test_vec_neardup_poisoned_corpus_parity
     # pins the invariant with malformed rows planted in the corpus).
-    # Full-width sketch, scale-aware band extraction (see the
-    # _neardup_band_bits block): band b = bits [b·w, (b+1)·w) of the
-    # 24-plane sketch — at w = 4 exactly the shipped 3×4-bit bands.
-    bits = _neardup_bits_for(spark, sf_dir)
+    # Scale-aware band values (see the ladder block): band b = its own
+    # w-plane mini-sketch over planes [b·w, (b+1)·w) — exactly
+    # bands·width planes are ever computed (guide §2.3: don't compute
+    # what you throw away; at sf0.1's (5, 3) rung that is 15 planes
+    # against the 80-plane oracle ceiling), values identical to the
+    # old packed-sketch bit windows wherever both exist.
+    bits, bands = _neardup_dims_for(spark, sf_dir)
     ibase = index.withColumn(
-        "sketch",
-        ann_sketch(
-            "v", n_planes=sim.ANN_BANDS * VEC_NEARDUP_MAX_BAND_BITS
-        ),
+        "bvals", sim.ann_band_values("v", bits, bands)
     ).withColumn("nrm", norm(F.col("v")))
-    mask = (1 << bits) - 1
     ibands = ibase.select(
         F.col("vec_id").alias("dup_of"),
         F.col("v").alias("iv"),
         F.col("nrm").alias("inrm"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("sketch", b * bits).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for b in range(sim.ANN_BANDS)
-                ]
-            )
-        ).alias("band", "band_bits"),
+        F.posexplode("bvals").alias("band", "band_bits"),
     )
     path = tempfile.mkdtemp(prefix="kgc_vec_index_")
     ibands.coalesce(4).write.mode("overwrite").parquet(path)
@@ -830,28 +819,95 @@ VEC_NEARDUP_TAU = 0.9
 # corpus.  Collision probability is 2^-band_bits, so one extra bit per
 # 4× corpus growth (bits ≈ ½·log₂N) holds candidate pairs to ∝ N^1.5
 # — the same balance point as the kNN pair's n_cells ∝ √N.  Mechanism:
-# BOTH engines always compute the full ANN_BANDS×MAX-bit sketch (24
-# planes, strict extension of the shipped 12 — _hyperplanes seeds per
-# (plane, component)) and extract band b as bits [b·w, (b+1)·w) of it;
-# at w = 4 those are exactly the shipped 3×4-bit bands, so every
-# fixture ≤ the first step keeps bit-identical sketches, bands, and
-# results.  w derives from a RAW embeddings row count — engine in
-# Python, oracle as the identical integer ladder over a scalar
-# subquery — so the queries stay FULLY ORACLED at any N.  Widening
-# costs recall on MARGINAL pairs (cos ≈ τ: any-band collision 0.90 at
-# w=4 → 0.70 at w=8) while near-identical duplicates stay ≥0.97 — the
-# standard LSH precision/cost trade, taken deliberately.
-VEC_NEARDUP_MAX_BAND_BITS = 8
-_VEC_NEARDUP_BITS_STEPS = (2_000, 8_000, 32_000, 128_000)
+# band b is bits [b·w, (b+1)·w) of the ANN_BANDS·w-plane sign sketch.
+# Because _hyperplanes seeds md5-per-(plane, component), a wider
+# sketch is a STRICT EXTENSION of a narrower one (bit p = plane p at
+# any width — the property the 12→24 step already relied on), so the
+# ENGINE computes exactly the ANN_BANDS·w planes the current width
+# needs (computing the full MAX-width sketch and masking, as r11 did,
+# produces bit-identical bands while paying for planes no band reads
+# — at the fixture widths that was 24 planes computed for 12-15 used)
+# while the ORACLE — one static SQL string — always folds the full
+# MAX-width sketch and extracts the same [b·w, (b+1)·w) windows: the
+# extracted bands are equal either way, pinned by the scaled-width
+# parity test.  At w = 4 the bands are exactly the shipped 3×4-bit
+# ones, so every fixture ≤ the first step keeps bit-identical results.
+# w derives from a RAW embeddings row count — engine in Python, oracle
+# as the identical integer ladder over a scalar subquery — so the
+# queries stay FULLY ORACLED at any N.  Widening costs recall on
+# MARGINAL pairs (cos ≈ τ: any-band collision 0.90 at w=4 → 0.70 at
+# w=8) while near-identical duplicates stay ≥0.97 — the standard LSH
+# precision/cost trade, taken deliberately.
+#
+# r12 (r11 verdict item 3): the ladder gets its next rungs by scaling
+# band COUNT alongside width.  Width alone cannot go past 8 bits
+# without giving up the planted-twin floor: the fixture twins sit at
+# per-plane sign agreement p ≈ 0.904 (cos ≈ 0.955 — genuine near-dups
+# for τ = 0.9), so a single band's hit rate p^w decays geometrically
+# and 3 bands at w = 9 catch only 0.82 (measured on the rotated
+# 736-twin sample) — the exact recall the ≥95% floor exists to
+# protect.  Adding bands restores it: measured catch/mass per rung
+# (rotated twin sample / random-pair collision fraction):
+#   (4,3) shipped   (5,3) 0.951   (6,4) 0.974/.0625  (7,5) 0.981/.0391
+#   (8,5) 0.973/.0195  (9,7) 0.981/.0137  (10,8) 0.988/.0078
+# — every rung ≥0.95, candidate mass ~0.6× per 4× corpus ⇒ candidates
+# ∝ ~N^1.64 (vs N^1.5 for width-only-with-floorless-recall, N² for a
+# frozen sketch).  Bands are no longer bit-windows of ONE packed
+# BIGINT (that capped bands·width at 63 planes): band b is computed
+# directly as its own w-plane mini-sketch over planes [b·w, (b+1)·w) —
+# numerically identical to the old shift-and-mask extraction wherever
+# both exist (the strict-extension md5-per-(plane, component) seeding,
+# the property every widening step has used).  The engine materializes
+# exactly bands·width planes; the oracle folds a static 80-plane sign
+# ARRAY (the ladder ceiling) and windows it dynamically.  Ceiling:
+# above 2.048M rows the dial freezes at (10, 8) and candidate growth
+# reverts toward N²·0.008 — the next rung needs either a lower
+# marginal-pair floor or longer hashes (SURVEY scale table).
+VEC_NEARDUP_MAX_BAND_BITS = 10
+_VEC_NEARDUP_BITS_STEPS = (
+    2_000,
+    8_000,
+    32_000,
+    128_000,
+    512_000,
+    2_048_000,
+)
+# Band count per ladder position (index = steps crossed).
+_VEC_NEARDUP_BANDS = (3, 3, 4, 5, 5, 7, 8)
+# Static oracle sketch width: the widest any rung reads (10 × 8).
+VEC_NEARDUP_MAX_PLANES = max(
+    (4 + i) * b for i, b in enumerate(_VEC_NEARDUP_BANDS)
+)
 
 
 def _neardup_band_bits(n_rows: int) -> int:
     """Band width for an N-row corpus: ANN_BAND_BITS (4) + one bit per
-    ladder step crossed, capped by the ladder length at MAX (8)."""
+    ladder step crossed, capped by the ladder length at MAX (10)."""
     from kafka_go_cardinality_spark.operators import similarity as sim
 
     return sim.ANN_BAND_BITS + sum(
         1 for t in _VEC_NEARDUP_BITS_STEPS if n_rows >= t
+    )
+
+
+def _neardup_bands(n_rows: int) -> int:
+    """Band COUNT for an N-row corpus — the r12 rung dial (see the
+    ladder block): indexed by the same steps-crossed as the width."""
+    return _VEC_NEARDUP_BANDS[
+        sum(1 for t in _VEC_NEARDUP_BITS_STEPS if n_rows >= t)
+    ]
+
+
+def _neardup_bands_sql() -> str:
+    """The oracle's :func:`_neardup_bands`: the identical list lookup
+    over a scalar-subquery raw count of ``embeddings``."""
+    terms = " + ".join(
+        f"CAST(n >= {t} AS INT)" for t in _VEC_NEARDUP_BITS_STEPS
+    )
+    lst = "[" + ", ".join(str(b) for b in _VEC_NEARDUP_BANDS) + "]"
+    return (
+        f"(SELECT ({lst})[1 + {terms}] "
+        f"FROM (SELECT count(*) AS n FROM embeddings) t)"
     )
 
 
@@ -869,14 +925,25 @@ def _neardup_band_bits_sql() -> str:
     )
 
 
+def _neardup_raw_count(spark: SparkSession, sf_dir: str) -> int:
+    """Raw physical-row count (parquet footer metadata — the same
+    raw-frame contract as the kNN grid; the count deliberately precedes
+    the planted-neighbor augmentation and the vec filter, mirroring the
+    oracle's ``count(*) FROM embeddings``).  The ONE dial both ladder
+    laws read — tests force post-cap rungs by patching this."""
+    return load_table(spark, sf_dir, "embeddings").count()
+
+
 def _neardup_bits_for(spark: SparkSession, sf_dir: str) -> int:
-    """Engine-side width: raw physical-row count (parquet footer
-    metadata — the same raw-frame contract as the kNN grid; the count
-    deliberately precedes the planted-neighbor augmentation and the
-    vec filter, mirroring the oracle's ``count(*) FROM embeddings``)."""
-    return _neardup_band_bits(
-        load_table(spark, sf_dir, "embeddings").count()
-    )
+    """Engine-side width from the shared raw count."""
+    return _neardup_band_bits(_neardup_raw_count(spark, sf_dir))
+
+
+def _neardup_dims_for(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(width, bands) from ONE raw count — index build and stream side
+    derive both dials identically, as the oracle's bw CTE does."""
+    n = _neardup_raw_count(spark, sf_dir)
+    return _neardup_band_bits(n), _neardup_bands(n)
 
 
 def _vec_neardup_oracle() -> str:
@@ -886,33 +953,46 @@ def _vec_neardup_oracle() -> str:
     _ann_lsh_oracle device), scale-aware banded join, exact cosine ≥ τ.
     One event per SHARED BAND (the stateless stream emits per
     collision; a distinct would need state), so the oracle keeps the
-    band column and no DISTINCT.  Band width is the engine's integer
-    ladder over a scalar-subquery raw count (the ``bw`` CTE — see the
-    _neardup_band_bits block): the sketch is always the full 24-plane
-    one, band b is bits [b·w, (b+1)·w), identical to the shipped
-    3×4-bit bands whenever w = 4."""
+    band column and no DISTINCT.  Band width AND count are the
+    engine's integer ladders over one scalar-subquery raw count (the
+    ``bw`` CTE — see the ladder block): the oracle folds the static
+    80-plane sign array (the ladder ceiling) once per row and windows
+    it per band — band b = Σ_{{j<w}} sb[b·w+j]·2^j, identical to the
+    engine's per-band mini-sketches at any rung, and to the shipped
+    3×4-bit bands whenever (w, B) = (4, 3)."""
     from kafka_go_cardinality_spark.functions import vec_finite_sql
     from kafka_go_cardinality_spark.operators import similarity as sim
 
-    planes = sim._hyperplanes(
-        64, sim.ANN_BANDS * VEC_NEARDUP_MAX_BAND_BITS
-    )
+    planes = sim._hyperplanes(64, VEC_NEARDUP_MAX_PLANES)
 
     def duck_dot(vec: str, comps) -> str:
-        arr = "[" + ", ".join(sim._dlit(c) for c in comps) + "]"
-        return (
-            f"list_reduce(list_transform(range(1, 65), "
-            f"i -> {vec}[i] * ({arr})[i]), (acc, e) -> acc + e)"
-        )
+        # Unrolled left-associative sum: the same IEEE adds in the same
+        # order as the engine's sequential fold (x1·c1 + x2·c2 + … ≡
+        # ((x1·c1 + x2·c2) + x3·c3)…; the fold's extra leading 0.0 can
+        # only flip a zero's SIGN, which a `>= 0` test cannot see — and
+        # the dot feeds ONLY the sign below).  ~20× cheaper in DuckDB
+        # than list_reduce(list_transform(...)), which allocates two
+        # 64-element lists and runs an interpreted lambda per plane per
+        # row — at the 80-plane ceiling that made the oracle the wall.
+        return "(" + " + ".join(
+            f"{vec}[{i + 1}] * {sim._dlit(c)}" for i, c in enumerate(comps)
+        ) + ")"
 
-    def sketch(vec: str) -> str:
-        return " + ".join(
-            f"(CASE WHEN {duck_dot(vec, comps)} >= 0 THEN {1 << p} ELSE 0 END)"
-            for p, comps in enumerate(planes)
-        )
+    def signs(vec: str) -> str:
+        return "[" + ", ".join(
+            f"(CASE WHEN {duck_dot(vec, comps)} >= 0 THEN 1 ELSE 0 END)"
+            for comps in planes
+        ) + "]"
 
-    bits = "(SELECT bits FROM bw)"
-    mask = f"((1 << {bits}) - 1)"
+    # bw rides the FROM clause as a 1-row cross join: DuckDB lambdas
+    # can capture row columns (bw.bits) but not scalar subqueries; the
+    # band fan-out unnests the static ceiling and filters to bw.bands.
+    max_bands = max(_VEC_NEARDUP_BANDS)
+    bval = (
+        "CAST(list_sum(list_transform(range(0, bw.bits), "
+        "j -> CAST(sb[b.band * bw.bits + j + 1] AS BIGINT) "
+        "* (CAST(1 AS BIGINT) << j))) AS BIGINT)"
+    )
 
     def dot(x: str, y: str) -> str:
         return (
@@ -928,24 +1008,26 @@ def _vec_neardup_oracle() -> str:
         f"ELSE 0.0 END)"
     )
     return f"""
-    WITH bw AS (SELECT CAST({_neardup_band_bits_sql()} AS BIGINT) AS bits),
+    WITH bw AS (SELECT CAST({_neardup_band_bits_sql()} AS BIGINT) AS bits,
+                       CAST({_neardup_bands_sql()} AS BIGINT) AS bands),
     aug AS ({sim.WITH_PLANTED_NEIGHBORS_SQL}),
-    idx AS (SELECT vec_id, embedding AS v,
-                   CAST({sketch('embedding')} AS BIGINT) AS sketch
+    idx AS (SELECT vec_id, embedding AS v, {signs('embedding')} AS sb
             FROM aug),
     ibands AS (
-      SELECT vec_id AS dup_of, v, b.band,
-             (sketch >> (b.band * {bits})) & {mask} AS band_bits
-      FROM idx, (SELECT unnest(range(0, {sim.ANN_BANDS})) AS band) b),
+      SELECT vec_id AS dup_of, v, b.band, {bval} AS band_bits
+      FROM idx CROSS JOIN bw,
+           (SELECT unnest(range(0, {max_bands})) AS band) b
+      WHERE b.band < bw.bands),
     strm AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings
              WHERE {vec_finite_sql('embedding')} AND len(embedding) = 64),
-    ssk AS (SELECT vec_id, v, CAST({sketch('v')} AS BIGINT) AS sketch
+    ssk AS (SELECT vec_id, v, {signs('v')} AS sb
             FROM strm),
     sbands AS (
-      SELECT vec_id, v, b.band,
-             (sketch >> (b.band * {bits})) & {mask} AS band_bits
-      FROM ssk, (SELECT unnest(range(0, {sim.ANN_BANDS})) AS band) b)
+      SELECT vec_id, v, b.band, {bval} AS band_bits
+      FROM ssk CROSS JOIN bw,
+           (SELECT unnest(range(0, {max_bands})) AS band) b
+      WHERE b.band < bw.bands)
     SELECT vec_id, dup_of, CAST(band AS INT) AS band,
            round(cos, 6) AS cos FROM (
       SELECT s.vec_id, x.dup_of, s.band, {cos} AS cos
@@ -990,12 +1072,11 @@ def _vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_go_cardinality_spark.functions import cosine_pre, norm, vec_finite
     from kafka_go_cardinality_spark.functions.udfs import dot64_seq
     from kafka_go_cardinality_spark.operators import similarity as sim
-    from kafka_go_cardinality_spark.operators.similarity import ann_sketch
 
-    # Scale-aware width, identical derivation to the index build (both
-    # sides fall out of the same raw count, as the oracle's bw CTE does).
-    bits = _neardup_bits_for(spark, sf_dir)
-    mask = (1 << bits) - 1
+    # Scale-aware (width, bands), identical derivation to the index
+    # build (both sides fall out of the same raw count, as the oracle's
+    # bw CTE does).
+    bits, bands = _neardup_dims_for(spark, sf_dir)
     ibands = spark.read.parquet(_vec_index_dir(spark, sf_dir))
     wire = _vec_wire_dir(spark, sf_dir)
     return (
@@ -1003,27 +1084,20 @@ def _vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(wire)
         .filter(vec_finite(F.col("embedding")) & (F.size("embedding") == 64))
         .select("vec_id", F.col("embedding").alias("v"))
-        .withColumn(
-            "sketch",
-            ann_sketch(
-                "v", n_planes=sim.ANN_BANDS * VEC_NEARDUP_MAX_BAND_BITS
-            ),
-        )
+        # Rung-proportional band values (bands·width planes — all any
+        # band reads; see the _vec_index_dir comment): per wire row
+        # this cuts the dominant in-row cost of the two slowest
+        # replays by ~38% at the fixture rung ((5,3) = 15 planes vs
+        # the 24 the r11 fixed-max sketch always folded) and shrinks
+        # the generated expression tree the micro-batch planner
+        # re-analyzes.
+        .withColumn("bvals", sim.ann_band_values("v", bits, bands))
         .withColumn("nrm", norm(F.col("v")))
         .select(
             "vec_id",
             "v",
             "nrm",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.shiftright("sketch", b * bits).bitwiseAND(
-                            F.lit(mask)
-                        )
-                        for b in range(sim.ANN_BANDS)
-                    ]
-                )
-            ).alias("band", "band_bits"),
+            F.posexplode("bvals").alias("band", "band_bits"),
         )
         .join(ibands, ["band", "band_bits"])
         .filter(F.col("dup_of") != F.col("vec_id"))

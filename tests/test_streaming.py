@@ -483,8 +483,16 @@ def test_neardup_band_width_ladder_matches_oracle_sql():
         VEC_NEARDUP_MAX_BAND_BITS,
     )
 
+    from kafka_go_cardinality_spark.queries_streaming import (
+        _neardup_bands,
+        _neardup_bands_sql,
+    )
+
     con = duckdb.connect()
     sql = _neardup_band_bits_sql().replace(
+        "(SELECT count(*) AS n FROM embeddings)", "(SELECT {n} AS n)"
+    )
+    bsql = _neardup_bands_sql().replace(
         "(SELECT count(*) AS n FROM embeddings)", "(SELECT {n} AS n)"
     )
     probe = [0, 1, 499, 500, 2000, 99991]
@@ -493,9 +501,14 @@ def test_neardup_band_width_ladder_matches_oracle_sql():
     for n in probe:
         got = con.execute(f"SELECT {sql.format(n=n)}").fetchone()[0]
         assert got == _neardup_band_bits(n), n
-    # shipped fixtures stay on the 4-bit layout; the ladder caps at MAX
+        got = con.execute(f"SELECT {bsql.format(n=n)}").fetchone()[0]
+        assert got == _neardup_bands(n), n
+    # shipped fixtures stay on the 3×4-bit layout; the ladder caps at
+    # the (MAX bits, last band rung) ceiling
     assert _neardup_band_bits(500) == sim.ANN_BAND_BITS
+    assert _neardup_bands(500) == sim.ANN_BANDS
     assert _neardup_band_bits(10**9) == VEC_NEARDUP_MAX_BAND_BITS
+    assert _neardup_bands(10**9) == 8
     con.close()
 
 
@@ -558,4 +571,70 @@ def test_vec_neardup_scaled_width_parity_and_planted_recall(spark):
     finally:
         _VEC_WIRE_DIRS.pop(d, None)
         _VEC_INDEX_DIRS.pop(d, None)
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_vec_neardup_parity_at_nine_bit_width(spark, monkeypatch):
+    """R11 verdict item 3: the ladder's post-cap rungs — 9-bit bands ×
+    7 bands, planes the r11 24-plane sketch did not have — must keep
+    full engine↔oracle hash parity AND the ≥95% planted-twin floor
+    (the recall the rung's band-count growth exists to hold: 3 bands
+    at 9 bits measured 0.82).  Corpus size and (width, bands) are
+    independent dials of the SAME law (both = f(raw count) on both
+    sides), so the post-cap rung is exercised by FORCING the count a
+    600k-row corpus would have — engine via _neardup_raw_count
+    patched, oracle by binding the count subquery to the same literal
+    (the ladder-test device) — on an 8× corpus both engines can
+    afford to replay end-to-end."""
+    import shutil
+
+    import duckdb
+
+    from kafka_go_cardinality_spark import queries_streaming as qs
+    from kafka_go_cardinality_spark.queries import ORACLE_SQL, QUERIES
+    from scripts_scale_probe import build_scaled_vectors_dir
+    from tests.conftest import assert_frames_match
+
+    assert qs._neardup_band_bits(600_000) == 9
+    assert qs._neardup_bands(600_000) == 7
+    monkeypatch.setattr(qs, "_neardup_raw_count", lambda s, d: 600_000)
+
+    d = build_scaled_vectors_dir(8, "/root/testdata/sf0.001")
+    try:
+        assert qs._neardup_dims_for(spark, d) == (9, 7)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet')"
+        )
+        pairs = None
+        for name in ("q_stream_vec_neardup", "q_stream_vec_neardup_distinct"):
+            sql = ORACLE_SQL[name].replace(
+                "(SELECT count(*) AS n FROM embeddings)",
+                "(SELECT 600000 AS n)",
+            )
+            assert sql != ORACLE_SQL[name]
+            got = QUERIES[name](spark, d).toPandas()
+            want = con.execute(sql).fetchdf()
+            assert_frames_match(got, want)
+            if pairs is None:
+                pairs = {
+                    (int(r.vec_id), int(r.dup_of)) for r in got.itertuples()
+                }
+        planted = {
+            int(r[0])
+            for r in con.execute(
+                """SELECT vec_id FROM embeddings
+                   WHERE vec_id % 11 = 0 AND len(embedding) = 64"""
+            ).fetchall()
+        }
+        con.close()
+        assert planted
+        caught = {v for v in planted if (v, v + 1_000_000) in pairs}
+        assert len(caught) >= 0.95 * len(planted), (
+            len(caught), len(planted)
+        )
+    finally:
+        qs._VEC_WIRE_DIRS.pop(d, None)
+        qs._VEC_INDEX_DIRS.pop(d, None)
         shutil.rmtree(d, ignore_errors=True)
