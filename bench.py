@@ -55,6 +55,30 @@ def _load_stamp() -> list | None:
         return None
 
 
+def _canary_wall(spark) -> float:
+    """Fixed-cost calibration pair (r11 verdict item 6): a constant
+    spark.range aggregate + a small parquet scan, timed min-of-2 after
+    one warm run.  The work is INDEPENDENT of the engine's query code
+    and of sf, so the ratio canary_start/canary_end between two rounds'
+    stamps measures the HOST, not the code — the r10/r11 close-stamp
+    deltas (126→166 s with identical per-query ratios across untouched
+    families) each burned a multi-run adjudication that this number
+    settles by arithmetic.  Normalization rule (SURVEY §7.15): divide a
+    round's wall by (its canary / the reference round's canary) before
+    calling a cross-round delta a regression."""
+    ev = f"{SF_DIR}/events.parquet"
+    runs = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        spark.range(20_000_000).selectExpr(
+            "sum(id * 3 + 1)", "count(if(id % 7 = 0, 1, NULL))"
+        ).collect()
+        spark.read.parquet(ev).selectExpr("sum(user_id)").collect()
+        if i:  # run 0 is warm-up (plan compile, footer cache)
+            runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
+
+
 def main() -> int:
     from kafka_go_cardinality_spark.session import get_spark
 
@@ -88,6 +112,11 @@ def main() -> int:
     for name in sorted(queries):
         queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # Host-noise canary at measurement start (after warm-up so JIT is
+    # settled, before the timed passes so it brackets them with the
+    # end-stamp twin below).
+    canary_start = _canary_wall(spark)
+
     # Two full timed passes, per-query MIN: steady-state cost with
     # resistance to transient host noise (interleaved whole passes, so a
     # noisy window can't hit the same query twice).  Each query stands
@@ -107,6 +136,7 @@ def main() -> int:
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 
+    canary_end = _canary_wall(spark)
     total = round(sum(timings.values()), 3)
     # Split lanes (r8 verdict item 5): the ~13 q_stream_* replays pay a
     # fixed micro-batch + WAL/state-commit floor per query — real
@@ -193,6 +223,7 @@ def main() -> int:
         "code_rev": rev,
         "loadavg_start": load_start,
         "loadavg_end": _load_stamp(),
+        "canary_wall": {"start": canary_start, "end": canary_end},
         "uptime_sec": uptime_sec,
         "metric": "all_queries_total_wall",
         "value": total,
@@ -247,6 +278,7 @@ def main() -> int:
                 "unit": "sec",
                 "loadavg_start": load_start,
                 "loadavg_end": _load_stamp(),
+                "canary_wall": {"start": canary_start, "end": canary_end},
                 "queries": {k: timings[k] for k in sorted(slow[:keep])},
                 "n_queries": len(timings),
                 "queries_full": "BENCH_FULL.json",
