@@ -171,8 +171,17 @@ def changed_files(root: str = _REPO_ROOT) -> frozenset[str]:
         )
         if out.returncode != 0:
             return frozenset()
-        return frozenset(
-            line.strip() for line in out.stdout.splitlines() if line.strip()
+        # `git diff <base>` never lists UNTRACKED files, so a brand-new
+        # not-yet-added module would be invisible to the churn boost
+        # despite being the freshest rewrite (r11 ADVICE) — union in the
+        # untracked-but-not-ignored set.
+        untracked = subprocess.run(
+            ["git", "-C", root, "ls-files", "--others", "--exclude-standard"],
+            capture_output=True, text=True, timeout=10,
         )
+        names = list(out.stdout.splitlines())
+        if untracked.returncode == 0:
+            names += untracked.stdout.splitlines()
+        return frozenset(line.strip() for line in names if line.strip())
     except Exception:
         return frozenset()

@@ -24,6 +24,9 @@ Usage:
     python3 scripts_scale_probe.py --vectors --src /root/testdata/sf0.01
     python3 scripts_scale_probe.py --stream --factor 128 # stateful streaming
                                                          # replays over a Kx wire
+    python3 scripts_scale_probe.py --curate --factor 128 # cross-modal composites:
+                                                         # docs AND embeddings scaled
+                                                         # with one shared id stride
 """
 
 from __future__ import annotations
@@ -203,6 +206,60 @@ def build_scaled_stream_dir(factor: int, src: str = SRC) -> str:
     return d
 
 
+# Cross-modal composites probed by the --curate variant (r11 verdict
+# item 5: the heavy batch set with no scale-table rows).  These queries
+# JOIN documents to embeddings on doc_id = vec_id, so scaling either
+# table alone starves the join (scaled rows have no partner and the
+# composite's growth hides).  Both tables are replicated with ONE
+# shared id stride — max(doc_id, vec_id) + 1 — so every copy reproduces
+# the base join structure exactly: copy i's first |embeddings| docs
+# match copy i's embeddings, and growth is genuinely K× on both sides
+# of the join.
+CURATE_QUERIES = [
+    "q_pipeline_emb_curate",
+]
+
+
+def build_scaled_curate_dir(factor: int, src: str = SRC) -> str:
+    con = duckdb.connect()
+    d = tempfile.mkdtemp(prefix=f"scale_cur{factor}_")
+    stride = con.execute(
+        f"""SELECT greatest(
+              (SELECT max(doc_id) FROM read_parquet('{src}/documents.parquet')),
+              (SELECT max(vec_id) FROM read_parquet('{src}/embeddings.parquet'))
+            ) + 1"""
+    ).fetchone()[0]
+    con.execute(
+        f"""COPY (
+            SELECT doc_id + g.i * {stride} AS doc_id,
+                   CASE WHEN g.i = 0 THEN text
+                        ELSE regexp_replace(text, '(\\S+)', '\\1' || g.i, 'g')
+                   END AS text,
+                   lang, source, n_chars
+            FROM read_parquet('{src}/documents.parquet')
+            CROSS JOIN range({factor}) g(i)
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (
+            SELECT vec_id + g.i * {stride} AS vec_id,
+                   CASE WHEN g.i = 0 THEN embedding
+                        ELSE list_transform(
+                            embedding,
+                            (x, j) -> embedding[1 + ((j - 1 + g.i) % len(embedding))]
+                        )
+                   END AS embedding,
+                   label
+            FROM read_parquet('{src}/embeddings.parquet')
+            CROSS JOIN range({factor}) g(i)
+        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    for t in TABLES:
+        if t not in ("documents", "embeddings"):
+            shutil.copyfile(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+    return d
+
+
 def build_scaled_vectors_dir(factor: int, src: str = SRC) -> str:
     con = duckdb.connect()
     d = tempfile.mkdtemp(prefix=f"scale_vec{factor}_")
@@ -257,9 +314,14 @@ def main() -> int:
     stream_mode = "--stream" in argv
     if stream_mode:
         argv.remove("--stream")
+    curate_mode = "--curate" in argv
+    if curate_mode:
+        argv.remove("--curate")
     names = argv or (
         STREAM_QUERIES
         if stream_mode
+        else CURATE_QUERIES
+        if curate_mode
         else VECTORS_QUERIES
         if vectors_mode
         else EVENTS_QUERIES if events_mode else DEFAULT_QUERIES
@@ -358,6 +420,8 @@ def main() -> int:
             _typed_wire_dir(spark, d_)
             _vec_wire_dir(spark, d_)
             _vec_index_dir(spark, d_)
+    elif curate_mode:
+        scaled = build_scaled_curate_dir(factor, src)
     elif vectors_mode:
         scaled = build_scaled_vectors_dir(factor, src)
     elif events_mode:

@@ -238,3 +238,34 @@ def test_latest_row_wins(tmp_path):
     root = str(tmp_path)
     assert driver_evidence.proven_names(root) == frozenset({"q_x"})
     assert driver_evidence.stale_red_names(root) == frozenset()
+
+
+def test_changed_files_includes_untracked(tmp_path):
+    """r11 ADVICE: `git diff --name-only <base>` never lists untracked
+    files, so a brand-new not-yet-added module was invisible to the
+    churn boost despite being the freshest rewrite.  changed_files()
+    must union in `git ls-files --others --exclude-standard`."""
+    import subprocess
+
+    root = str(tmp_path)
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", root, *args], check=True, capture_output=True
+        )
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    (tmp_path / "a.py").write_text("x = 1\n")
+    git("add", "a.py")
+    git("commit", "-qm", "round 1: verdict/advice")
+    (tmp_path / "a.py").write_text("x = 2\n")          # tracked, modified
+    (tmp_path / "brand_new.py").write_text("y = 1\n")  # untracked
+    driver_evidence.changed_files.cache_clear()
+    try:
+        changed = driver_evidence.changed_files(root)
+        assert "a.py" in changed
+        assert "brand_new.py" in changed
+    finally:
+        driver_evidence.changed_files.cache_clear()
