@@ -155,6 +155,141 @@ def cell_dots_udf(seed_vecs):
     return dots
 
 
+# Pair-enumeration chunk bound for block_pair_cos: caps the fancy-index
+# copies (A = V[ii]) at ~134 MB per chunk (2 sides x 131k pairs x 64
+# dims x 8 B) so a degenerate block (label-only blocking under a
+# hostile id space) streams its N^2 pairs in bounded memory instead of
+# materializing them all at once.  Regular scale-aware blocks (~3N/
+# (labels*sqrt(N)) rows, <=150 at the 128x probe) never reach it.
+BLOCK_PAIR_CHUNK = 1 << 17
+
+
+def block_pair_cos(min_cos: float, label_type: str | None = None):
+    """Factory: grouped-map (``applyInPandas``) WITHIN-BLOCK pair
+    cosine — the §8 'move the heavy bytes once' shape for blocked
+    self-joins.  The equi-self-join form materializes every candidate
+    pair as a row carrying BOTH 64-dim vectors (9M pairs x 128 doubles
+    ≈ 9 GB through the exchange and, on the dot64_seq variant, through
+    Arrow — measured 141 s at the 128x vectors probe vs 31 s for the
+    interpreted fold it was meant to beat); this pass ships each block
+    row ONCE (vec_id, v, nrm) and enumerates pairs inside numpy, so
+    the Python boundary carries N rows in and only the ≥min_cos
+    survivors out.
+
+    Bit-parity contract (the dot64_seq device, per pair): the cosine
+    is the sequential fold ``((0.0 + x0·y0) + x1·y1) + …`` vectorized
+    ACROSS pairs — one IEEE multiply and add per dim in fold order —
+    then one multiply (na·nb) and one divide, exactly
+    ``cosine_pre(dot(a, b), na, nb)`` including the zero-norm guard's
+    0.0.  Pairs are unordered with ``vec_a < vec_b`` (strict: equal
+    ids never pair, mirroring the join's filter); each block's rows
+    must be 64-dim finite (callers run with_planted_neighbors
+    upstream).  ``min_cos`` is a PREFILTER — callers keep their exact
+    Spark-side threshold/round semantics on the returned raw ``cos``
+    and must pass a lower bound that can never exclude a survivor.
+
+    Returns ``(fn, schema)`` for ``groupBy(...).applyInPandas``;
+    ``label_type`` adds a constant-within-block passthrough column."""
+    cols = ["vec_a", "vec_b"] + (["label"] if label_type else []) + ["cos"]
+    schema = "vec_a bigint, vec_b bigint, " + (
+        f"label {label_type}, " if label_type else ""
+    ) + "cos double"
+
+    def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = {
+            "vec_a": np.empty(0, dtype=np.int64),
+            "vec_b": np.empty(0, dtype=np.int64),
+            "cos": np.empty(0, dtype=np.float64),
+        }
+        if label_type:
+            empty["label"] = np.empty(0, dtype=object)
+        if m < 2:
+            return pd.DataFrame({c: empty[c] for c in cols})
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        V = np.vstack(pdf["v"].to_numpy())
+        ii_all, jj_all = np.triu_indices(m, k=1)
+        keep = ids[ii_all] != ids[jj_all]
+        ii_all, jj_all = ii_all[keep], jj_all[keep]
+        outs = []
+        for lo in range(0, len(ii_all), BLOCK_PAIR_CHUNK):
+            ii = ii_all[lo : lo + BLOCK_PAIR_CHUNK]
+            jj = jj_all[lo : lo + BLOCK_PAIR_CHUNK]
+            A, B = V[ii], V[jj]
+            acc = np.zeros(len(ii))
+            for d in range(V.shape[1]):
+                acc = acc + A[:, d] * B[:, d]
+            na, nb = nrm[ii], nrm[jj]
+            ok = (na > 0) & (nb > 0)
+            prod = na * nb
+            cos = np.where(ok, acc / np.where(ok, prod, 1.0), 0.0)
+            sel = cos >= min_cos
+            if not sel.any():
+                continue
+            si, sj = ii[sel], jj[sel]
+            outs.append(
+                (
+                    np.minimum(ids[si], ids[sj]),
+                    np.maximum(ids[si], ids[sj]),
+                    cos[sel],
+                )
+            )
+        if not outs:
+            return pd.DataFrame({c: empty[c] for c in cols})
+        va = np.concatenate([o[0] for o in outs])
+        vb = np.concatenate([o[1] for o in outs])
+        cs = np.concatenate([o[2] for o in outs])
+        data = {"vec_a": va, "vec_b": vb, "cos": cs}
+        if label_type:
+            data["label"] = np.full(len(va), pdf["label"].iloc[0])
+        return pd.DataFrame({c: data[c] for c in cols})
+
+    return pairs_fn, schema
+
+
+def topk_cells_udf(k: int, n_cells: int):
+    """Factory: Arrow-batched top-k CELL INDICES of a per-row score
+    array, ordered (score DESC, cell DESC) — value-identical to the
+    interpreted ``reverse(array_sort(transform(ca, (c, i) → struct(c,
+    i))))`` + slice idiom, whose per-row struct sort is the measured
+    wall at scaled grids (70k rows × a 252-struct interpreted sort =
+    ~18 s at the 128× probe; this path is one C argsort per row).  The
+    tie rule rides a column REVERSAL: a stable ascending argsort of
+    the reversed negated row keeps reversed positions (= higher cell
+    first) among equal scores, exactly the struct sort's (cos, cell)
+    descending order.  Rows whose array length differs from the
+    caller-known ``n_cells`` (impossible post vec_finite; defensive)
+    emit NULL."""
+    from pyspark.sql.types import IntegerType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def topk(ca: pd.Series) -> pd.Series:
+        arrs = ca.to_numpy()
+        out = np.empty(len(arrs), dtype=object)
+        if not len(arrs):
+            return pd.Series(out)
+        lens = np.fromiter(
+            (len(a) if a is not None else -1 for a in arrs),
+            dtype=np.int64,
+            count=len(arrs),
+        )
+        ok = lens == n_cells
+        idx = np.flatnonzero(ok)
+        if idx.size and n_cells > 0:
+            CA = np.vstack([np.asarray(arrs[i], dtype=np.float64) for i in idx])
+            # Reverse columns so stable ties resolve to the HIGHER cell.
+            order = np.argsort(-CA[:, ::-1], axis=1, kind="stable")[:, :k]
+            cells = (n_cells - 1 - order).astype(np.int32)
+            for j, i in enumerate(idx):
+                out[i] = cells[j]
+        for i in np.flatnonzero(~ok):
+            out[i] = None
+        return pd.Series(out)
+
+    return topk
+
+
 @pandas_udf(LongType())
 def int_total_qty(qty: pd.Series) -> int:  # Series -> scalar = GROUPED_AGG
     """Grouped-agg pandas UDF: integer sum of (integral-valued) quantities.

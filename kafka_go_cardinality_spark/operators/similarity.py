@@ -902,61 +902,89 @@ def embedding_neardup_pairs(
                 F.array(F.lit(0)).alias("cells"),
             )
         else:
-            ranked = F.reverse(
-                F.array_sort(
-                    F.transform(
-                        F.col("ca"),
-                        lambda c, i: F.struct(
-                            c.alias("cos"), i.cast("int").alias("cell")
-                        ),
-                    )
-                )
+            # Top-3 cells via the Arrow top-k (udfs.topk_cells_udf) —
+            # value-identical to the reversed-struct-sort idiom and one
+            # C argsort per row instead of an interpreted 252-struct
+            # sort (the measured wall of this stage at the 128× probe:
+            # ~18 of 35 s).  Only reachable above the sub-cell gate, so
+            # fixture plans never carry the extra ArrowEvalPython.
+            from kafka_go_cardinality_spark.functions.udfs import (
+                topk_cells_udf,
             )
+
             acells = scored_cells.select(
                 "vec_id",
                 "v",
                 "label",
                 "nrm",
-                F.transform(
-                    F.slice(ranked, 1, EMB_NEARDUP_PROBE_CELLS),
-                    lambda s: s["cell"],
+                topk_cells_udf(EMB_NEARDUP_PROBE_CELLS, int(n_cells))(
+                    F.col("ca")
                 ).alias("cells"),
             )
         arrow_pairs = True
-    a = acells.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-        "label",
-        F.explode("cells").alias("cell"),
-    )
-    b = acells.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-        "label",
-        F.explode("cells").alias("cell"),
-    )
-    pairs = a.join(b, ["label", "cell"]).filter(F.col("vec_a") < F.col("vec_b"))
     if arrow_pairs:
-        # Corpus-proportional candidate volume → Arrow-batched
-        # sequential fold (bit-identical to the HOF; the aug frame is
-        # 64-dim by with_planted_neighbors' filter).  Fixture plans stay
-        # on the HOF path.
-        from kafka_go_cardinality_spark.functions.udfs import dot64_seq
+        # Corpus-proportional candidate volume → grouped-map per-block
+        # pair pass (functions.udfs.block_pair_cos): each block row
+        # crosses the exchange and the Python boundary ONCE instead of
+        # riding every candidate pair (the equi-self-join form carried
+        # both 64-dim vectors on all ~9M pairs at the 128× probe —
+        # 9 GB through Arrow, 141 s; this pass moves ~110 MB in and
+        # the survivors out, same bit-exact sequential fold).  The UDF
+        # prefilter is threshold − 1e-6 — strictly below any raw cos
+        # whose ROUND(·, 6) can reach the threshold — and the decision
+        # stays with the identical Spark-side round + filter below.
+        # Fixture plans stay on the HOF-join path (n_cells == 1).
+        from kafka_go_cardinality_spark.functions.udfs import block_pair_cos
 
-        pdot = dot64_seq(F.col("va"), F.col("vb"))
+        fn, schema = block_pair_cos(threshold - 1e-6, label_type="int")
+        # Explicit partition count for the block shuffle: the exchange
+        # input is small (N rows of ~0.6 KB) but per-partition WORK is
+        # the pair enumeration (Σ|block|² grows N^1.5), so AQE's
+        # byte-based coalescing collapses it onto ~2 tasks (measured:
+        # the 128× probe's 9M pairs ran single-threaded).  n_cells ≈ √N
+        # is the natural work-derived dial; repartition on the exact
+        # group key adds no second exchange (applyInPandas needs that
+        # clustering anyway) and AQE leaves user repartitions alone.
+        n_part = max(
+            acells.sparkSession.sparkContext.defaultParallelism,
+            min(int(n_cells), 4096),
+        )
+        pairs = (
+            acells.select(
+                "vec_id", "v", "nrm", "label", F.explode("cells").alias("cell")
+            )
+            .repartition(n_part, "label", "cell")
+            .groupBy("label", "cell")
+            .applyInPandas(fn, schema)
+        )
+        cos_col = F.col("cos")
     else:
-        pdot = dot(F.col("va"), F.col("vb"))
+        a = acells.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+            "label",
+            F.explode("cells").alias("cell"),
+        )
+        b = acells.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+            "label",
+            F.explode("cells").alias("cell"),
+        )
+        pairs = a.join(b, ["label", "cell"]).filter(
+            F.col("vec_a") < F.col("vec_b")
+        )
+        cos_col = cosine_pre(
+            dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+        )
     return (
         pairs.select(
             "vec_a",
             "vec_b",
             "label",
-            F.round(
-                cosine_pre(pdot, F.col("na"), F.col("nb")),
-                6,
-            ).alias("cos"),
+            F.round(cos_col, 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .distinct()
@@ -2453,28 +2481,61 @@ def semantic_dedup(
         .cast("int")
         .alias("cell"),
     )
-    a = with_cell.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-        "cell",
-    )
-    b = with_cell.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-        "cell",
-    )
-    removed = (
-        a.join(b, "cell")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(
-            cosine_pre(dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
-            >= tau
+    if n_cells >= ARROW_ASSIGN_MIN_CELLS:
+        # Scaled grids (no shipped fixture reaches 64 cells): within-
+        # cell pairs via the grouped-map block pass — each cell row
+        # crosses the exchange once instead of riding every Σ|cell|²
+        # candidate pair through the interpreted HOF fold (the measured
+        # wall of the composed curate pipeline at the 128× probe:
+        # ~19M pairs × a 64-step interpreted fold).  Same bit-exact
+        # sequential fold; the UDF prefilter sits 1e-9 under tau and
+        # the authoritative ≥ tau comparison runs Spark-side on the
+        # returned raw doubles, identical to the join form's filter.
+        from kafka_go_cardinality_spark.functions.udfs import block_pair_cos
+
+        fn, schema = block_pair_cos(tau - 1e-9)
+        # Same work-derived partition dial as embedding_neardup_pairs:
+        # per-partition cost is Σ|cell|² pair enumeration, not bytes,
+        # so pin the block shuffle's width instead of letting AQE
+        # coalesce it to one task.
+        n_part = max(
+            with_cell.sparkSession.sparkContext.defaultParallelism,
+            min(int(n_cells), 4096),
         )
-        .select("vec_b")
-        .distinct()
-    )
+        removed = (
+            with_cell.select("vec_id", "v", "nrm", "cell")
+            .repartition(n_part, "cell")
+            .groupBy("cell")
+            .applyInPandas(fn, schema)
+            .filter(F.col("cos") >= tau)
+            .select("vec_b")
+            .distinct()
+        )
+    else:
+        a = with_cell.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+            "cell",
+        )
+        b = with_cell.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+            "cell",
+        )
+        removed = (
+            a.join(b, "cell")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .filter(
+                cosine_pre(
+                    dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+                )
+                >= tau
+            )
+            .select("vec_b")
+            .distinct()
+        )
     return (
         with_cell.join(
             removed, with_cell["vec_id"] == removed["vec_b"], "left"

@@ -1363,3 +1363,147 @@ def test_scaled_dedup_parity_and_planted_recall_above_floor(
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_block_pair_pass_bit_identical_to_join_form(spark):
+    """R12 optimization pin: above the Arrow gate, the grouped-map
+    block-pair pass (udfs.block_pair_cos + udfs.topk_cells_udf) must be
+    BIT-IDENTICAL to the equi-self-join + interpreted-HOF form it
+    replaced — same pairs, same raw doubles, same tie rule on the
+    top-3 cell selection.  Replicates the old join form inline at a
+    forced 89-cell grid over the 16× corpus and demands frame equality
+    for both embedding_neardup_pairs and semantic_dedup."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_go_cardinality_spark.functions import cosine_pre, dot
+    from scripts_scale_probe import build_scaled_vectors_dir
+
+    d = build_scaled_vectors_dir(16, "/root/testdata/sf0.001")
+    try:
+        emb = load_table(spark, d, "embeddings")
+        n_cells = 89
+
+        # --- embedding_neardup_pairs: new grouped path (public API).
+        got = {
+            (int(r.vec_a), int(r.vec_b), int(r.label), float(r.cos))
+            for r in sim.embedding_neardup_pairs(emb, n_cells=n_cells)
+            .collect()
+        }
+
+        # Old join form, replicated verbatim (reversed struct sort for
+        # top-3 cells, exploded equi self-join, interpreted HOF fold).
+        scored_cells, seeds = sim._centroid_scored_cells(
+            sim.with_planted_neighbors(emb), n_cells, keep=("label",)
+        )
+        assert seeds
+        ranked = F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.col("ca"),
+                    lambda c, i: F.struct(
+                        c.alias("cos"), i.cast("int").alias("cell")
+                    ),
+                )
+            )
+        )
+        acells = scored_cells.select(
+            "vec_id",
+            "v",
+            "label",
+            "nrm",
+            F.transform(
+                F.slice(ranked, 1, sim.EMB_NEARDUP_PROBE_CELLS),
+                lambda s: s["cell"],
+            ).alias("cells"),
+        )
+        a = acells.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+            "label",
+            F.explode("cells").alias("cell"),
+        )
+        b = acells.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+            "label",
+            F.explode("cells").alias("cell"),
+        )
+        want = {
+            (int(r.vec_a), int(r.vec_b), int(r.label), float(r.cos))
+            for r in (
+                a.join(b, ["label", "cell"])
+                .filter(F.col("vec_a") < F.col("vec_b"))
+                .select(
+                    "vec_a",
+                    "vec_b",
+                    "label",
+                    F.round(
+                        cosine_pre(
+                            dot(F.col("va"), F.col("vb")),
+                            F.col("na"),
+                            F.col("nb"),
+                        ),
+                        6,
+                    ).alias("cos"),
+                )
+                .filter(F.col("cos") >= 0.95)
+                .distinct()
+                .collect()
+            )
+        }
+        assert got == want
+
+        # --- semantic_dedup: new grouped path vs old join form.
+        got_sem = {
+            (int(r.vec_id), int(r.cell), bool(r.is_kept))
+            for r in sim.semantic_dedup(emb, n_cells=n_cells).collect()
+        }
+        with_cell = scored_cells.select(
+            "vec_id",
+            "v",
+            "nrm",
+            (F.array_position(F.col("ca"), F.array_max("ca")) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+        a2 = with_cell.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+            "cell",
+        )
+        b2 = with_cell.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+            "cell",
+        )
+        removed = (
+            a2.join(b2, "cell")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .filter(
+                cosine_pre(
+                    dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+                )
+                >= sim.SEMDEDUP_TAU
+            )
+            .select("vec_b")
+            .distinct()
+        )
+        want_sem = {
+            (int(r.vec_id), int(r.cell), bool(r.is_kept))
+            for r in with_cell.join(
+                removed, with_cell["vec_id"] == removed["vec_b"], "left"
+            )
+            .select(
+                "vec_id", "cell", F.col("vec_b").isNull().alias("is_kept")
+            )
+            .collect()
+        }
+        assert got_sem == want_sem
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
