@@ -180,12 +180,36 @@ def _effective_age(name: str) -> int:
 
 
 def _age_capped(name: str) -> bool:
-    """Latest driver evidence is >= EVIDENCE_AGE_CAP rounds old —
-    computed from the RAW age index (no penalties: the cap exists to
-    override them)."""
-    return name in _AGE and (_ROUNDS - 1 - _AGE[name]) >= EVIDENCE_AGE_CAP
+    """Latest driver evidence is >= EVIDENCE_AGE_CAP rounds old.
+
+    Rows-only queries cap ROWS_ONLY_STALENESS_PENALTY rounds LATER
+    (r12 close): the cap exists to stop penalty/boost COMPOUNDING from
+    deferring a query indefinitely (the r10 q_sample_stratified
+    incident was churn boosts to competitors stacking round after
+    round), not to erase the rows-only penalty itself — a fixed +2 is
+    bounded by construction.  Without this composition, the seven
+    q_*_approx grains plus two rollup twins (all last swept in r07)
+    capped SIMULTANEOUSLY at the r12 close and claimed 9 of the 50
+    sweep-head slots for rows-only checks, violating the r7 verdict's
+    >= 44-hash-capable bar; with it they re-enter via the same
+    penalized age rotation as everyone else, two rounds behind their
+    oracled r07 cohort."""
+    if name not in _AGE:
+        return False
+    cap = EVIDENCE_AGE_CAP + (
+        0 if name in ORACLE_SQL else ROWS_ONLY_STALENESS_PENALTY
+    )
+    return (_ROUNDS - 1 - _AGE[name]) >= cap
 
 
+# Tie-break at EQUAL effective age: oracled before rows-only (r12
+# close).  The rows-only penalty ages a query's slot claim forward by
+# 2 rounds; when that lands it in a tie with an oracled cohort (the
+# r07 approx grains at effective 8 vs the r08 block at raw 8), a name
+# tie-break handed the rows-only queries the slots — the exact
+# inversion the penalty exists to prevent.  Equal-age rows-only
+# queries enter once the tied oracled cohort has been refreshed
+# (whereupon its age moves past theirs), one rotation later.
 _PROVEN_POS: dict[str, int] = {
     n: i
     for i, n in enumerate(
@@ -194,6 +218,7 @@ _PROVEN_POS: dict[str, int] = {
             key=lambda n: (
                 0 if _age_capped(n) else 1,
                 _AGE.get(n, -1) if _age_capped(n) else _effective_age(n),
+                0 if n in ORACLE_SQL else 1,
                 n,
             ),
         )

@@ -62,18 +62,24 @@ def test_proven_block_is_oldest_evidence_first():
 
 
 def test_age_cap_overrides_penalties():
-    """R10 verdict item 3: any proven query whose latest driver
-    evidence is EVIDENCE_AGE_CAP (5) or more rounds old must lead the
-    proven block REGARDLESS of the rows-only penalty or churn boosts
-    to competitors — the penalties are refinements of the rotation,
-    and compounding refinements deferred q_sample_stratified five
-    straight rounds (r05 evidence at the r10 close).  Pins: (a) the
-    cap predicate is raw-age-based; (b) every capped proven query
-    sorts before every uncapped one inside the proven block; (c) with
-    the shipped artifacts, q_sample_stratified is capped and therefore
-    inside the 50-slot sweep head."""
+    """R10 verdict item 3, r12-close composition: any proven query
+    whose latest driver evidence is EVIDENCE_AGE_CAP (5) or more
+    rounds old must lead the proven block regardless of churn boosts
+    to competitors — the cap exists to stop COMPOUNDING deferral
+    (q_sample_stratified sat five straight rounds behind stacked
+    churn boosts at the r10 close).  ROWS-ONLY queries cap
+    ROWS_ONLY_STALENESS_PENALTY rounds later: the penalty is a fixed,
+    bounded deferral the cap was never meant to erase, and erasing it
+    let nine r07 approx grains cap simultaneously at the r12 close and
+    claim 9/50 sweep-head slots for rows-only checks (the r7 verdict's
+    >= 44-hash-capable bar).  Pins: (a) the cap predicate is raw age
+    vs EVIDENCE_AGE_CAP + (rows-only ? penalty : 0); (b) every capped
+    proven query sorts before every uncapped one inside the proven
+    block; (c) with the shipped artifacts, an oracled proven query at
+    cap age is inside the 50-slot sweep head."""
     from kafka_go_cardinality_spark.queries import (
         EVIDENCE_AGE_CAP,
+        ROWS_ONLY_STALENESS_PENALTY,
         _age_capped,
     )
 
@@ -83,9 +89,10 @@ def test_age_cap_overrides_penalties():
     pending = driver_evidence.rows_only_green_names() & set(ORACLE_SQL)
     for n in proven:
         if n in age:
-            assert _age_capped(n) == (
-                rounds - 1 - age[n] >= EVIDENCE_AGE_CAP
-            ), n
+            cap = EVIDENCE_AGE_CAP + (
+                0 if n in ORACLE_SQL else ROWS_ONLY_STALENESS_PENALTY
+            )
+            assert _age_capped(n) == (rounds - 1 - age[n] >= cap), n
     names = list(QUERIES)
     block = [n for n in names if n in proven and n not in pending]
     capped = [n for n in block if _age_capped(n)]
@@ -96,9 +103,10 @@ def test_age_cap_overrides_penalties():
             default=len(names),
         )
         assert last_capped < first_uncapped
+    # q_sample_stratified is rows-only, so its cap includes the penalty.
     if "q_sample_stratified" in proven and rounds - 1 - age.get(
         "q_sample_stratified", rounds
-    ) >= EVIDENCE_AGE_CAP:
+    ) >= EVIDENCE_AGE_CAP + ROWS_ONLY_STALENESS_PENALTY:
         assert names.index("q_sample_stratified") < 50
 
 
