@@ -156,12 +156,17 @@ def cell_dots_udf(seed_vecs):
 
 
 # Pair-enumeration chunk bound for block_pair_cos: caps the fancy-index
-# copies (A = V[ii]) at ~134 MB per chunk (2 sides x 131k pairs x 64
-# dims x 8 B) so a degenerate block (label-only blocking under a
-# hostile id space) streams its N^2 pairs in bounded memory instead of
-# materializing them all at once.  Regular scale-aware blocks (~3N/
-# (labels*sqrt(N)) rows, <=150 at the 128x probe) never reach it.
-BLOCK_PAIR_CHUNK = 1 << 17
+# copies (A = V[ii]) so a degenerate block streams
+# its N^2 pairs in bounded memory instead of materializing them all at
+# once.  32k pairs = 2 sides x 32k x 64 dims x 8 B ≈ 33 MB of
+# temporaries per chunk — measured r13: the previous 131k-pair chunks
+# (134 MB of fresh allocations per chunk) hit multi-second page-fault /
+# THP-compaction stalls in FRESH Python workers (432k-pair fold: 8.1 s
+# at 131k chunks vs 0.94 s at 32k in a cold process, identical
+# survivors), and every streaming micro-batch's workers are cold.
+# Regular scale-aware blocks (~3N/(labels*sqrt(N)) rows, <=150 at the
+# 128x probe) never reach the bound either way.
+BLOCK_PAIR_CHUNK = 1 << 15
 
 
 def block_pair_cos(min_cos: float, label_type: str | None = None):
@@ -367,3 +372,4 @@ def make_chunker_udtf():
                 yield i // 3, " ".join(toks[i : i + 3])
 
     return Chunker
+

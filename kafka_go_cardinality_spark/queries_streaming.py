@@ -487,6 +487,12 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(_state_partitions(wire, int(prev)))
     )
+    # Skip the trailing no-data micro-batch (the replay_to_memory
+    # rationale): in update mode it emits zero keys, so its only effect
+    # here was one extra no-op upsert version written and swapped.
+    ndb_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_ndb = spark.conf.get(ndb_key, None)
+    spark.conf.set(ndb_key, "false")
     try:
         parsed = parse_user_events(
             spark.readStream.option("maxFilesPerTrigger", "3").text(wire)
@@ -512,6 +518,10 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_ndb is not None:
+            spark.conf.set(ndb_key, prev_ndb)
+        else:
+            spark.conf.unset(ndb_key)
     return spark.read.parquet(versions[-1])
 
 
@@ -1068,7 +1078,23 @@ def _vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared streaming frame of the two near-dup guards:
     (vec_id, dup_of, band, cos) for every band collision between the
     wire stream and the static parquet-materialized LSH index that
-    passes the exact-cosine verify."""
+    passes the exact-cosine verify.
+
+    Plan-shape note (r13, negative result kept for the record): the
+    guide-§8 'broadcast the index, ship each wire row once' alternative
+    — a mapInPandas enumerating the identical collision set in numpy
+    against a worker-held index — was built and measured.  In BATCH
+    form it wins (1.50 s vs 2.32 s at sf0.1: the join ships 432k
+    collision pairs × two 64-dim vectors ≈ 440 MB through Arrow), but
+    inside a streaming micro-batch the fresh-per-query Python workers
+    pay import + broadcast-hydration + first-touch allocation costs
+    that erase the win (interleaved min-of-3: 3.1 s broadcast vs 2.9 s
+    join, with far worse variance) — so the stream keeps the
+    stream-static equi join, which also remains the only scale-safe
+    shape once the index outgrows a broadcast.  The chunk-size fix the
+    experiment surfaced (BLOCK_PAIR_CHUNK 131k→32k: 8.6× cold-worker
+    fold speedup) is kept in functions/udfs.py for the batch grouped
+    passes."""
     from kafka_go_cardinality_spark.functions import cosine_pre, norm, vec_finite
     from kafka_go_cardinality_spark.functions.udfs import dot64_seq
     from kafka_go_cardinality_spark.operators import similarity as sim
@@ -1102,11 +1128,10 @@ def _vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ibands, ["band", "band_bits"])
         .filter(F.col("dup_of") != F.col("vec_id"))
         # dot64_seq: the exact-cosine verify runs on EVERY band
-        # collision (858k pairs at sf0.1 — 4-bit bands make the
-        # candidate set ~3/16 of all pairs) and the lambda-HOF dot is
-        # interpreted row-at-a-time; the Arrow-batched sequential fold
-        # is bit-identical (verified by exceptAll both ways) and ~2x
-        # faster on this pair volume.
+        # collision (432k pairs at sf0.1's (5, 3) rung) and the
+        # lambda-HOF dot is interpreted row-at-a-time; the
+        # Arrow-batched sequential fold is bit-identical (verified by
+        # exceptAll both ways) and ~2x faster on this pair volume.
         .withColumn(
             "cos_raw",
             cosine_pre(

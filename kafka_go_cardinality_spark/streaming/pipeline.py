@@ -313,13 +313,36 @@ def replay_to_memory(
     table_name: str,
     output_mode: str = "complete",
     timeout_s: float = 300.0,
+    no_data_batch: bool = False,
 ) -> StreamingQuery:
     """Run a streaming result to an in-memory table with
     ``Trigger.AvailableNow`` — the reference's historical-replay mode
     (README.md:5) and the broker-free test harness.  Blocks until all
     available input is processed.  The checkpoint is ephemeral (tmpfs,
-    deleted on completion — see _ephemeral_checkpoint_dir)."""
+    deleted on completion — see _ephemeral_checkpoint_dir).
+
+    ``no_data_batch=False`` (default) skips the trailing NO-DATA
+    micro-batch (``spark.sql.streaming.noDataMicroBatches.enabled``)
+    for the duration of the replay.  In a run-to-completion replay that
+    batch exists only to advance the watermark and evict state that no
+    later batch will read — measured 0.45-0.8 s of pure state-reload/
+    re-commit per sf0.1 replay, ~25% of each replay's wall — and it
+    emits rows ONLY for operators whose OUTPUT is watermark-gated.  No
+    current replay is: complete/update-mode aggregations emit their
+    full/changed result in the data batch, ``dropDuplicates`` and
+    stream-stream INNER joins emit on arrival, and the ref emulator
+    uses ``GroupStateTimeout.NoTimeout`` (its flush is data-driven by
+    construction).  Every replayed query's rows are pinned unchanged
+    by tests/test_streaming.py::test_replays_identical_without_no_data_batch.
+    CAVEAT for future replays: an APPEND-mode *windowed aggregation*
+    (or any watermark-timeout stateful op) emits its final windows IN
+    the no-data batch — such a query must pass ``no_data_batch=True``
+    or it will return an empty/truncated frame."""
+    spark = stats.sparkSession
     ckpt = _ephemeral_checkpoint_dir()
+    ndb_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_ndb = spark.conf.get(ndb_key, None)
+    spark.conf.set(ndb_key, "true" if no_data_batch else "false")
     query = (
         stats.writeStream.format("memory")
         .queryName(table_name)
@@ -347,6 +370,10 @@ def replay_to_memory(
     finally:
         import shutil
 
+        if prev_ndb is not None:
+            spark.conf.set(ndb_key, prev_ndb)
+        else:
+            spark.conf.unset(ndb_key)
         if not query.isActive:
             shutil.rmtree(ckpt, ignore_errors=True)
         # else: leak the scratch dir rather than yank the WAL from a

@@ -35,9 +35,9 @@ def wire_dir(spark, tmp_path_factory):
     return path
 
 
-def _replay(spark, df, mode="complete"):
+def _replay(spark, df, mode="complete", **kw):
     name = f"t_{uuid.uuid4().hex[:8]}"
-    replay_to_memory(df, name, output_mode=mode)
+    replay_to_memory(df, name, output_mode=mode, **kw)
     return spark.table(name)
 
 
@@ -98,8 +98,14 @@ def test_append_mode_emits_only_watermark_closed_windows(spark, wire_dir):
     passes its end: with a tiny delay every window but the one holding the
     max event time finalizes during AvailableNow replay."""
     parsed = parse_user_events(file_user_source(spark, wire_dir))
+    # Append-mode windowed aggs emit their closed windows IN the no-data
+    # batch (the replay_to_memory caveat) — this test is the one consumer
+    # that needs it.
     appended = _replay(
-        spark, stream_cardinality(parsed, "day", watermark="0 seconds"), mode="append"
+        spark,
+        stream_cardinality(parsed, "day", watermark="0 seconds"),
+        mode="append",
+        no_data_batch=True,
     )
     complete = _replay(spark, stream_cardinality(parsed, "day"))
     n_append, n_complete = appended.count(), complete.count()
@@ -638,3 +644,47 @@ def test_vec_neardup_parity_at_nine_bit_width(spark, monkeypatch):
         qs._VEC_WIRE_DIRS.pop(d, None)
         qs._VEC_INDEX_DIRS.pop(d, None)
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_replays_identical_without_no_data_batch(spark, monkeypatch):
+    """The r13 replay optimization: replay_to_memory skips the trailing
+    no-data micro-batch (pure watermark-advance/state-evict work in a
+    run-to-completion replay — 0.45-0.8 s per sf0.1 replay).  Pin that
+    EVERY registered streaming replay's rows are bit-identical with and
+    without it: if a future replay gains a watermark-GATED emitter
+    (append-mode windowed agg, event-time timeout), that query must opt
+    back in with no_data_batch=True and this test is what catches the
+    silent truncation.  q_stream_upsert_sink manages the conf inside its
+    own foreachBatch writer (no replay_to_memory seam); its merged table
+    equals the batch aggregate by oracle parity either way."""
+    import functools
+
+    import __spark_entry__ as entry
+    from kafka_go_cardinality_spark.streaming import pipeline as pl
+    import kafka_go_cardinality_spark.queries_streaming as qsm
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    orig = pl.replay_to_memory
+
+    def force_no_data_batch(
+        stats, table_name, output_mode="complete", timeout_s=300.0,
+        no_data_batch=False,
+    ):
+        return orig(
+            stats, table_name, output_mode, timeout_s, no_data_batch=True
+        )
+
+    names = [
+        n for n in qs
+        if n.startswith("q_stream") and n != "q_stream_upsert_sink"
+    ]
+    assert len(names) >= 13
+    for name in names:
+        monkeypatch.setattr(pl, "replay_to_memory", force_no_data_batch)
+        monkeypatch.setattr(qsm, "replay_to_memory", force_no_data_batch)
+        with_ndb = sorted(map(tuple, qs[name](spark, sf).collect()))
+        monkeypatch.setattr(pl, "replay_to_memory", orig)
+        monkeypatch.setattr(qsm, "replay_to_memory", orig)
+        without = sorted(map(tuple, qs[name](spark, sf).collect()))
+        assert with_ndb == without, name
